@@ -3,36 +3,48 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``healthcare_etl_pipeline_spark/``; queries are
+registered in ``healthcare_etl_pipeline_spark/queries/`` (one entry per
+operator from SURVEY.md §2 + the north-star LLM-pipeline surface).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_etl_pipeline_spark.queries import all_queries  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+FLAGSHIP = "patients_ingest_valid"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the full 5-stage ingest pipeline
+    (validate split → consent gate → encrypt transform → decrypt roundtrip)
+    over patient records synthesized from the customer table."""
+    spec = all_queries()[FLAGSHIP]
+    return spec.fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every value-checkable query; engine-specific
+    ops (HLL sketches, xxhash64-based LSH, stubbed decode) are omitted →
+    rows-only checks."""
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

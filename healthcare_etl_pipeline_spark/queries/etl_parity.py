@@ -1,0 +1,342 @@
+"""Reference-parity queries: every SURVEY.md §2 operator family exercised on
+the testdata tables with a DuckDB oracle.
+
+The patient-domain operators (validation split P1, consent gate P2, encrypt
+transform P4/U1-U2, PHI strip P3) run on patient records SYNTHESIZED
+deterministically from the ``customer`` table — same synthesis expressed in
+Spark SQL and DuckDB SQL, so the oracle checks the full 5-stage pipeline
+end-to-end, including an encrypt→decrypt roundtrip (ciphertext itself is
+non-deterministic, so correctness is asserted on the roundtrip, exactly like
+the reference's own test — reference tests/test_encryption.py:6-12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.functions.encryption import make_decrypt_udf
+from healthcare_etl_pipeline_spark.operators.consent import consent_gate
+from healthcare_etl_pipeline_spark.operators.reads import paginate
+from healthcare_etl_pipeline_spark.operators.transform import transform_patients
+from healthcare_etl_pipeline_spark.operators.validation import (
+    PATIENT_RULES,
+    validate_split,
+)
+from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# Deterministic patient-record synthesis from `customer` (same in both engines)
+# ---------------------------------------------------------------------------
+
+_SYNTH_SPARK = [
+    "c_custkey",
+    "CASE WHEN c_custkey % 97 = 0 THEN 'Observation' ELSE 'Patient' END AS resourceType",
+    "CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE 'MRN' || CAST(c_custkey AS STRING) END AS mrn",
+    "c_name AS name",
+    "CASE WHEN c_custkey % 83 = 0 THEN '1990/01/01' "
+    "ELSE date_format(date_add(DATE '1950-01-01', CAST(c_custkey % 18000 AS INT)), 'yyyy-MM-dd') END AS birthDate",
+    "element_at(array('male','female','other','unknown','INVALID'), CAST(c_custkey % 5 AS INT) + 1) AS gender",
+    "CASE WHEN c_custkey % 7 = 0 THEN NULL "
+    "WHEN c_custkey % 101 = 0 THEN 'BAD-SSN' "
+    "ELSE format_string('%03d-%02d-%04d', CAST(c_custkey % 1000 AS INT), CAST(c_custkey % 100 AS INT), CAST(c_custkey % 10000 AS INT)) END AS ssn",
+    "CASE WHEN c_custkey % 11 = 0 THEN NULL "
+    "ELSE map('data_sharing', c_acctbal > 0, 'research', c_mktsegment = 'BUILDING') END AS consent",
+]
+
+_SYNTH_CTE = """
+WITH synth AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0 THEN 'Observation' ELSE 'Patient' END AS resourceType,
+         CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE 'MRN' || CAST(c_custkey AS VARCHAR) END AS mrn,
+         c_name AS name,
+         CASE WHEN c_custkey % 83 = 0 THEN '1990/01/01'
+              ELSE strftime(DATE '1950-01-01' + CAST(c_custkey % 18000 AS INTEGER) * INTERVAL 1 DAY, '%Y-%m-%d') END AS birthDate,
+         (['male','female','other','unknown','INVALID'])[CAST(c_custkey % 5 AS INTEGER) + 1] AS gender,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              WHEN c_custkey % 101 = 0 THEN 'BAD-SSN'
+              ELSE printf('%03d-%02d-%04d', CAST(c_custkey % 1000 AS INTEGER), CAST(c_custkey % 100 AS INTEGER), CAST(c_custkey % 10000 AS INTEGER)) END AS ssn,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal > 0 END AS data_sharing
+  FROM customer
+)
+"""
+
+# Rows passing every PATIENT_RULES check (rule order matters for messages only).
+_DUCK_IS_VALID = """
+      resourceType = 'Patient'
+      AND mrn IS NOT NULL AND mrn <> ''
+      AND name IS NOT NULL AND name <> ''
+      AND (birthDate IS NULL OR regexp_matches(birthDate, '^\\d{4}-\\d{2}-\\d{2}$'))
+      AND (gender IS NULL OR gender IN ('male','female','other','unknown'))
+      AND (ssn IS NULL OR regexp_matches(ssn, '^\\d{3}-\\d{2}-\\d{4}$'))
+"""
+
+# Violation slots in PATIENT_RULES order, with the exact compiled messages.
+_DUCK_ERRORS_CTE = """
+, errs AS (
+  SELECT *, list_filter([
+      CASE WHEN resourceType IS NULL THEN '''resourceType'' is a required property' END,
+      CASE WHEN resourceType IS NOT NULL AND resourceType <> 'Patient' THEN '''resourceType'' must be ''Patient''' END,
+      CASE WHEN mrn IS NULL OR mrn = '' THEN '''mrn'' is a required property' END,
+      CASE WHEN name IS NULL OR name = '' THEN '''name'' is a required property' END,
+      CASE WHEN birthDate IS NOT NULL AND NOT regexp_matches(birthDate, '^\\d{4}-\\d{2}-\\d{2}$') THEN '''birthDate'' does not match ''^\\d{4}-\\d{2}-\\d{2}$''' END,
+      CASE WHEN gender IS NOT NULL AND gender NOT IN ('male','female','other','unknown') THEN '''gender'' is not one of [''male'', ''female'', ''other'', ''unknown'']' END,
+      CASE WHEN ssn IS NOT NULL AND NOT regexp_matches(ssn, '^\\d{3}-\\d{2}-\\d{4}$') THEN '''ssn'' does not match ''^\\d{3}-\\d{2}-\\d{4}$''' END
+    ], x -> x IS NOT NULL) AS errors
+  FROM synth
+)
+"""
+
+
+def _synth_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").selectExpr(*_SYNTH_SPARK)
+
+
+@query(
+    "patients_ingest_valid",
+    oracle=_SYNTH_CTE
+    + "SELECT mrn, name AS name_rt, birthDate AS dob_rt, ssn AS ssn_rt,\n"
+    + "       gender, 'Patient' AS resource_type\n"
+    + "FROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS TRUE",
+    description="Full 5-stage pipeline: validate → consent → encrypt transform "
+    "→ decrypt roundtrip (P1,P2,P3,P4,U1,U2 end-to-end).",
+    tags=("pipeline", "etl", "udf"),
+)
+def patients_ingest_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    consented, _ = consent_gate(valid, consent_col=F.col("consent")["data_sharing"])
+    transformed = transform_patients(consented)
+    dec = make_decrypt_udf()
+    return transformed.select(
+        "mrn",
+        dec(F.col("encrypted_name")).alias("name_rt"),
+        dec(F.col("encrypted_dob")).alias("dob_rt"),
+        dec(F.col("encrypted_ssn")).alias("ssn_rt"),
+        "gender",
+        "resource_type",
+    )
+
+
+@query(
+    "patients_ingest_invalid",
+    oracle=_SYNTH_CTE
+    + _DUCK_ERRORS_CTE
+    + "SELECT c_custkey, array_to_string(errors, '; ') AS errors_str,\n"
+    + "       CAST(len(errors) AS BIGINT) AS n_errors\n"
+    + "FROM errs WHERE len(errors) > 0",
+    description="Validation split invalid side: ALL violations collected per "
+    "record in rule order (P1/U3, reference validation.py:14-20).",
+    tags=("validation", "etl"),
+)
+def patients_ingest_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _synth_patients(spark, sf_dir)
+    _, invalid = validate_split(raw, PATIENT_RULES)
+    return invalid.select(
+        "c_custkey",
+        F.array_join("errors", "; ").alias("errors_str"),
+        F.size("errors").cast("long").alias("n_errors"),
+    )
+
+
+@query(
+    "patients_ingest_blocked",
+    oracle=_SYNTH_CTE
+    + "SELECT mrn, 'no data_sharing consent' AS reason\nFROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS NOT TRUE",
+    description="Consent gate blocked side-output with reason (P2, strict "
+    "`is True` semantics: null/missing/false all block).",
+    tags=("consent", "etl"),
+)
+def patients_ingest_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    _, blocked = consent_gate(valid, consent_col=F.col("consent")["data_sharing"])
+    return blocked
+
+
+@query(
+    "explode_consent_map",
+    oracle="""
+    SELECT o_orderkey, 'premium' AS consent_type, o_totalprice > 100000 AS granted,
+           CASE WHEN o_totalprice > 100000 THEN o_orderdate END AS granted_at
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'priority', o_orderpriority LIKE '1-%',
+           CASE WHEN o_orderpriority LIKE '1-%' THEN o_orderdate END
+    FROM orders
+    """,
+    description="Map-explode unnest (S4): one row per consent entry with "
+    "conditional grant timestamp (reference routes.py:106-115).",
+    tags=("explode", "etl"),
+)
+def explode_consent_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    with_map = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.create_map(
+            F.lit("premium"),
+            F.col("o_totalprice") > 100000,
+            F.lit("priority"),
+            F.col("o_orderpriority").startswith("1-"),
+        ).alias("consent"),
+    )
+    return with_map.select(
+        "o_orderkey",
+        F.explode("consent").alias("consent_type", "granted"),
+        "o_orderdate",
+    ).select(
+        "o_orderkey",
+        "consent_type",
+        "granted",
+        F.when(F.col("granted"), F.col("o_orderdate")).alias("granted_at"),
+    )
+
+
+@query(
+    "consented_listing_page",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, TRUE AS has_consent
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_name, c_custkey
+    LIMIT 50 OFFSET 100
+    """,
+    description="Consent-gated listing analogue: semi-join gate + PHI-free "
+    "projection + deterministic pagination (J1-as-semi-join, P8, A3).",
+    tags=("join", "pagination", "etl"),
+)
+def consented_listing_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    gated = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment", F.lit(True).alias("has_consent"))
+    return paginate(gated, ["c_name", "c_custkey"], offset=100, limit=50)
+
+
+@query(
+    "point_lookup_customer",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
+    description="PK point lookup (P5): predicate pushes to parquet scan.",
+    tags=("filter", "etl"),
+)
+def point_lookup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .limit(1)
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    description="Anti-join conflict detection (J4): NOT EXISTS as left_anti "
+    "(customers with no pending order).",
+    tags=("join", "etl"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "nested_customer_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           string_agg(CAST(o.o_orderkey AS VARCHAR), ',' ORDER BY o.o_orderkey) AS orderkeys_csv,
+           count(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    description="Nested child shape (J3): collect_list replaces the "
+    "reference's selectin prefetch (patient.py:49-50).",
+    tags=("agg", "nested", "etl"),
+)
+def nested_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias(
+                "orderkeys_csv"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "bool_fold_customer_orders",
+    oracle="""
+    SELECT o_custkey,
+           bool_or(o_orderstatus = 'F')    AS any_finished,
+           bool_and(o_totalprice > 10000)  AS all_large
+    FROM orders GROUP BY o_custkey
+    """,
+    description="Boolean folds (A4): any()/all() as bool_or/bool_and "
+    "aggregates (reference routes.py:181-183, dag.py:151-152).",
+    tags=("agg", "etl"),
+)
+def bool_fold_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 10000).alias("all_large"),
+    )
+
+
+@query(
+    "consent_gate_events",
+    oracle="""
+    SELECT event_id, 'k below threshold' AS reason
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 IS NOT TRUE
+    """,
+    description="Generic reasoned gate (P2 pattern) over a JSON predicate: "
+    "blocked side-output with reason.",
+    tags=("consent", "json", "etl"),
+)
+def consent_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.consent import gate
+
+    events = t(spark, sf_dir, "events")
+    pred = F.get_json_object("props", "$.k").cast("long") >= 50
+    _, blocked = gate(events, pred, ("event_id",), "k below threshold")
+    return blocked
+
+
+@query(
+    "enc_roundtrip_customers",
+    oracle="SELECT c_custkey, c_name AS name_rt FROM customer",
+    description="Fernet encrypt→decrypt roundtrip (U1/U2) as Arrow-batched "
+    "pandas UDFs; non-deterministic ciphertext, deterministic roundtrip.",
+    tags=("udf", "etl"),
+)
+def enc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.functions.encryption import (
+        make_decrypt_udf,
+        make_encrypt_udf,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    enc = make_encrypt_udf()
+    dec = make_decrypt_udf()
+    return cust.select("c_custkey", dec(enc(F.col("c_name"))).alias("name_rt"))

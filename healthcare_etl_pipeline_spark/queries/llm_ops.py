@@ -1,0 +1,417 @@
+"""LLM-data-pipeline queries: dedup family, similarity search, text analysis,
+multimodal plumbing (driver north-star, SURVEY.md §2.8) — each a `queries()`
+entry with a DuckDB oracle wherever cross-engine determinism is achievable.
+
+Oracle strategy: the dedup/fingerprint/minhash/simhash queries use the
+PORTABLE polynomial hash (operators/text.py) whose fold is bit-identical in
+DuckDB SQL, so even MinHash signatures carry full value oracles. The
+LSH-bucketed ANN and mapInPandas feature extraction are engine-specific →
+rows-only checks (documented in their specs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators import dedup as D
+from healthcare_etl_pipeline_spark.operators import similarity as S
+from healthcare_etl_pipeline_spark.operators import text as X
+from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.registry import query
+
+MOD = X.MOD
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE fragments (mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+# char-code polynomial fold over expression `E` (same order as Spark aggregate)
+def _duck_hash(expr: str) -> str:
+    return X.portable_char_hash_sql(expr)
+
+
+_DUCK_TOKENS_CTE = """
+toks AS (
+  SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+_DUCK_SHINGLE_HASHES_CTE = f"""
+, sh AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+    ELSE [] END AS shingles
+  FROM toks
+), hs AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {_duck_hash('s')})) AS hs
+  FROM sh
+)
+"""
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+    description="Exact dedup (hash-groupBy on content): canonical doc per "
+    "distinct text + group size.",
+    tags=("dedup", "llm"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@query(
+    "dedup_exact_lineitem",
+    oracle="""
+    SELECT l_partkey, l_suppkey,
+           min(l_orderkey * 100 + l_linenumber) AS keep_key,
+           count(*) AS n_dups
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+    """,
+    description="Exact dedup with deterministic keeper on a real-duplicate "
+    "key space (part,supp pairs recur across orders).",
+    tags=("dedup",),
+)
+def dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("keep_key"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+@query(
+    "text_stats_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+           round(len(list_distinct(tk)) / len(tk), 6) AS ttr,
+           round(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) / len(tk), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text), 6) AS punct_ratio,
+           round(0.4 * (CASE WHEN len(tk) >= 10 AND len(tk) <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (len(list_distinct(tk)) / len(tk))
+                 + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)), 6) AS quality
+    FROM toks
+    """,
+    description="Text analysis: token counts, lexical diversity, stopword/"
+    "punctuation ratios, composite quality score — all codegen'd expressions.",
+    tags=("text", "llm"),
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return X.annotate_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "ttr",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+@query(
+    "lang_id_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(tk, x -> list_contains(['el','la','de','y','que','un'], x))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(tk, x -> list_contains(['le','la','et','les','des','un'], x))) AS BIGINT) AS s_fr,
+        CAST(len(list_filter(tk, x -> list_contains(['的','是','了','在','和','有'], x))) AS BIGINT) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scores
+    """,
+    description="Language ID heuristic: per-language stopword hits, argmax "
+    "with alphabetical tie-break ('und' when no evidence).",
+    tags=("text", "llm"),
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
+
+
+_DUCK_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "fingerprint_docs",
+    oracle="SELECT doc_id, "
+    + _duck_hash(_DUCK_NORM_TEXT)
+    + " AS fp FROM documents",
+    description="Document fingerprint: portable rolling hash over normalized "
+    "text (cross-engine bit-identical).",
+    tags=("text", "dedup", "llm"),
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+def _duck_minhash_sig_select() -> str:
+    cols = []
+    for j in range(8):
+        a, b = D.MINHASH_PARAMS[j]
+        cols.append(
+            f"coalesce(list_min(list_transform(hs, h -> (h * {a} + {b}) % {MOD})), {MOD}) AS sig_{j}"
+        )
+    return ",\n           ".join(cols)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    SELECT doc_id,
+           {_duck_minhash_sig_select()}
+    FROM hs
+    """,
+    description="MinHash signatures (k=8) over 3-word shingles with the "
+    "portable universal-hash family — value-oracled against DuckDB.",
+    tags=("dedup", "minhash", "llm"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_signatures_df(docs, "doc_id", "text", k=8, n=3)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """,
+    description="MinHash-LSH candidate pairs: 4 bands × 2 rows; equi-join on "
+    "band buckets (the O(n²)-free near-dup path).",
+    tags=("dedup", "minhash", "lsh", "llm"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , ex AS (
+      SELECT doc_id, len(hs) AS set_size, unnest(hs) AS h FROM hs
+    ), overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+             count(*) AS n_shared
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / (size_a + size_b - n_shared), 6) AS jaccard
+    FROM overlap
+    WHERE round(n_shared / (size_a + size_b - n_shared), 6) >= 0.02
+    """,
+    description="Exact n-gram Jaccard for pairs sharing ≥1 shingle "
+    "(shared-shingle self-join; no O(n²) pair space).",
+    tags=("dedup", "jaccard", "llm"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.02)
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT *, list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tk
+      FROM documents
+    ), th AS (
+      SELECT doc_id, list_transform(tk, s -> {_duck_hash('s')}) AS hashes
+      FROM toks
+    )
+    SELECT doc_id,
+      list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(0, 16), i ->
+        CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(hashes, h -> CASE WHEN (h >> i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+               (a, b) -> a + b) >= 0
+        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+        (a, b) -> a + b) AS simhash16
+    FROM th
+    """,
+    description="SimHash (16-bit) from distinct-token hashes: per-bit vote "
+    "sum — expression-only in both engines.",
+    tags=("dedup", "simhash", "llm"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash16"))
+
+
+_DUCK_COS = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a, b) -> a + b) / "
+    "(sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b)) * "
+    "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a, b) -> a + b)))"
+)
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q_id, vec_id, {_DUCK_COS} AS cos FROM q, c
+         ), ranked AS (
+           SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, vec_id, round(cos, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    description="Brute-force cosine top-5 (exact ANN baseline): broadcast "
+    "query set × corpus scan, sequential-fold dot product, window top-k.",
+    tags=("similarity", "llm"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.brute_force_topk(queries, corpus, k=5, dim=64, exact_fold=True)
+
+
+@query(
+    "ann_lsh_cosine",
+    oracle=None,  # hyperplane signs derive from Spark's xxhash64 → rows-only
+    description="LSH-bucketed approximate NN (scale path): random-hyperplane "
+    "buckets + exact re-rank inside buckets. Engine-specific hash → "
+    "rows-only check; recall measured in tests against brute force.",
+    tags=("similarity", "lsh", "llm"),
+)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ann_lsh_topk(queries, corpus, k=5, dim=64, planes=6)
+
+
+@query(
+    "embedding_label_centroid_norm",
+    oracle="""
+    WITH sums AS (
+      SELECT label, count(*) AS n,
+             round(sum(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+               (a, b) -> a + b)), 4) AS sum_sq_norm
+      FROM embeddings GROUP BY label
+    )
+    SELECT label, n, sum_sq_norm FROM sums
+    """,
+    description="Per-label embedding statistics: row count + summed squared "
+    "norms (vector agg over array column).",
+    tags=("similarity", "agg", "llm"),
+)
+def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    sq_norm = S.dot_fold(F.col("embedding"), F.col("embedding"), 64)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(sq_norm), 4).alias("sum_sq_norm"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+    description="Multimodal binary-column plumbing: payload as opaque bytes "
+    "+ typed metadata (octet length, sha-256) computed JVM-side.",
+    tags=("multimodal", "llm"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.multimodal import (
+        attach_binary_metadata,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return attach_binary_metadata(media).select(
+        "doc_id", "media_type", "n_bytes", "checksum"
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle=None,  # stubbed decode kernel is engine-specific → rows-only
+    description="mapInPandas feature extraction over binary payloads "
+    "(STUB decode — real codecs unavailable; plumbing is real).",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        "decode_status",
+    )

@@ -1,0 +1,113 @@
+"""Streaming queries driven to completion over the bounded events table.
+
+Each runs a REAL Structured Streaming query (file source → availableNow →
+memory sink) and returns the settled result; the DuckDB oracle states the
+equivalent batch SQL — cross-checking Spark's incremental execution against
+a from-scratch computation, which is exactly the guarantee streaming users
+care about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.queries.registry import query
+from healthcare_etl_pipeline_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_windows,
+    sliding_counts,
+    stream_dedup,
+    streaming_events,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="Structured Streaming tumbling 1h window (watermark + "
+    "availableNow) vs batch recomputation oracle.",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    agg = tumbling_counts(stream)
+    return run_stream_to_memory(spark, agg, output_mode="complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                     time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS window_start,
+             event_type
+      FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+    description="Sliding 2h/1h windows (each event in 2 windows) — streaming "
+    "plan vs batch window-expansion oracle.",
+    tags=("streaming", "window"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    agg = sliding_counts(stream)
+    return run_stream_to_memory(spark, agg, output_mode="complete")
+
+
+@query(
+    "session_window_users",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, seq
+    """,
+    description="Native session_window (30min gap) cross-checked against the "
+    "lag+cumsum SQL definition of sessionization.",
+    tags=("streaming", "window", "sessionize"),
+)
+def session_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+
+    # session_window in batch mode: same operator Structured Streaming uses,
+    # checked against the from-first-principles oracle.
+    events = t(spark, sf_dir, "events")
+    return session_windows(events)
+
+
+@query(
+    "stream_dedup_events",
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
+    description="Streaming dedup (dropDuplicatesWithinWatermark): "
+    "watermark-bounded state (the deployable dedup form).",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    deduped = stream_dedup(stream, ("event_id",)).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_stream_to_memory(spark, deduped, output_mode="append")

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Single place that encodes the engine's execution posture:
+
+- UTC session timezone (oracle comparisons, FHIR timestamps are UTC —
+  reference stores UTC-aware datetimes, app/models/patient.py:46-47).
+- AQE on: runtime partition coalescing, skew-join splitting, dynamic
+  broadcast conversion — the knobs that keep a fixed logical plan efficient
+  from sf0.001 in tests to 100 TB on a real cluster.
+- Arrow on: vectorized Pandas-UDF exchange for the few Python-side ops.
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden by the submitter (or left to AQE coalescing from a high base).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "healthcare-etl-pipeline-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    If a session already exists (e.g. the driver passed one in), it is
+    returned as-is — configs that require JVM restart cannot be changed.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Partial aggregation + vectorized reader are defaults, but pin the
+        # ones that matter for plan shape so behavior is reproducible.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_local_tests(spark: SparkSession) -> SparkSession:
+    """Runtime-settable configs for small-data test runs."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    return spark

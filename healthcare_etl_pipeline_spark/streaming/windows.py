@@ -1,0 +1,160 @@
+"""Structured Streaming operators: windowed aggregation, watermarks,
+streaming dedup (SURVEY.md §7.5 — the reference's "HTTP event triggers a
+micro-batch" framing generalized to real streams).
+
+The reference has NO streaming operators (SURVEY.md §2.7); this module is
+the extension surface. Batch/streaming parity: the same windowing
+expressions run in both modes — tests drive them with a bounded file stream
+(``availableNow`` trigger + memory sink) and cross-check against the batch
+plan, which the DuckDB oracle validates in turn.
+
+Scale notes:
+- Watermarks bound state: without one, a streaming agg keeps every window
+  forever. ``delay`` should exceed the real pipeline's late-data tail.
+- State lives in the state store keyed by (window, grouping keys) — group
+  cardinality, not event rate, sizes executor state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window_size: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window count+sum. Works identically on batch & stream frames."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_size), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            *group_cols,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window_size: str = "2 hours",
+    slide: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window_size/slide windows."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_size, slide), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), *group_cols, "n")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Native session windows (gap-based); batch & streaming."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "complete",
+    name: str | None = None,
+) -> DataFrame:
+    """Drive a bounded streaming query to completion into a memory sink.
+
+    availableNow processes everything currently available then stops —
+    the deterministic way to test streaming plans on file sources.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_events(
+    spark: SparkSession, sf_dir: str, *, watermark: str | None = "1 hour"
+) -> DataFrame:
+    """File-source stream over the events table (schema pinned, no inference).
+
+    The parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark rejects; it is
+    read as raw nanos (legacy conf) and rebuilt at microsecond precision.
+    Watermarks require TIMESTAMP (not NTZ) — with the session pinned to UTC
+    the wall-clock values are identical either way.
+    """
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.catalog import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos since epoch
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # FileStreamSource needs a directory; point it at the sf dir and glob the
+    # single events parquet file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    if watermark:
+        stream = stream.withWatermark("ts", watermark)
+    return stream
+
+
+def stream_dedup(
+    events: DataFrame, key_cols: tuple[str, ...] = ("event_id",), within_watermark: bool = True
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup.
+
+    ``dropDuplicatesWithinWatermark`` bounds dedup state by the watermark
+    delay — at scale, unbounded dropDuplicates state grows forever; the
+    watermark variant is the only deployable form.
+    """
+    if within_watermark and events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(list(key_cols))
+    return events.dropDuplicates(list(key_cols))
