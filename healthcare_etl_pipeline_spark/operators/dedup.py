@@ -86,7 +86,7 @@ def shingle_hashes(text_col: Column | str, n: int = 3, hash_mode: str = "portabl
     shingles = shingle_array(text_col, n)
     if hash_mode == "portable":
         return F.array_distinct(F.transform(shingles, portable_char_hash))
-    return F.array_distinct(F.transform(shingles, F.xxhash64))
+    return F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +258,7 @@ def simhash(text_col: Column | str, bits: int = 16, hash_mode: str = "portable")
     if hash_mode == "portable":
         th = F.transform(toks, portable_char_hash)
     else:
-        th = F.transform(toks, F.xxhash64)
+        th = F.transform(toks, lambda s: F.xxhash64(s))
     # Per-bit vote columns built in a Python loop: F.shiftright's bit count
     # must be a literal int, so bits can't ride a transform() lambda.
     def bit_vote(i: int):

@@ -126,10 +126,10 @@ def load_patients(
     for the run-metadata row.
 
     The transformed batch is small relative to the warehouse (reference caps
-    ingest batches at 1000 records, app/schemas/api.py:28), so it is cached
-    before the multi-sink fan-out to avoid re-running the encrypt UDFs per
-    sink — also required for correctness, since uuid()/encrypt() are
-    non-deterministic and each sink must see the same ids.
+    ingest batches at 1000 records, app/schemas/api.py:28), so it is
+    materialized once (localCheckpoint) before the multi-sink fan-out: each
+    sink must see the same non-deterministic ids/ciphertext, and the lineage
+    must not re-read the patients table it is about to append to.
     """
     existing = warehouse.read("patients")
     new, conflicting = split_mrn_conflicts(transformed, existing)
@@ -138,9 +138,15 @@ def load_patients(
         if n_conflicts:
             raise DuplicateMrnError(f"{n_conflicts} records with duplicate mrn")
 
-    batch = with_surrogate_id(new).cache()
+    # localCheckpoint (not cache): the batch lineage reads the patients table
+    # through the anti-join, so appending to patients would invalidate a plain
+    # cache (recacheByPath) and re-run the plan against the NEW table state,
+    # anti-joining the just-written rows away. Checkpointing truncates the
+    # lineage so every sink sees one immutable materialization — also required
+    # because uuid()/encrypt() are non-deterministic.
+    batch = with_surrogate_id(new).localCheckpoint(eager=True)
     try:
-        n_loaded = batch.count()  # materializes ids/ciphertext once
+        n_loaded = batch.count()
 
         patients = batch.select(
             "id",
@@ -165,5 +171,5 @@ def load_patients(
             "audit_log",
         )
     finally:
-        batch.unpersist()
+        batch.unpersist()  # frees the checkpoint blocks
     return {"load_count": n_loaded}

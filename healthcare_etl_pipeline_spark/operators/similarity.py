@@ -112,11 +112,15 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col: Column, *, planes: int, dim: int) -> Column:
+def hyperplane_signature(
+    vec_col: Column, *, planes: int, dim: int, seed: int = 0
+) -> Column:
     """Deterministic random-hyperplane LSH signature (sign pattern → bigint).
 
     Hyperplane p's coefficient for dimension d is ±1 derived from
-    xxhash64(p*dim + d) — no stored random matrix, reproducible everywhere.
+    xxhash64((seed+p)*dim + d) — no stored random matrix, reproducible
+    everywhere; ``seed`` offsets the plane family so multiple hash tables
+    are independent.
     """
     def plane_dot(p: int) -> Column:
         return F.aggregate(
@@ -125,7 +129,8 @@ def hyperplane_signature(vec_col: Column, *, planes: int, dim: int) -> Column:
             lambda acc, i: acc
             + F.element_at(vec_col, i.cast("int")).cast("double")
             * F.when(
-                F.xxhash64(F.lit(p * dim) + i).bitwiseAND(1) == 1, F.lit(1.0)
+                F.xxhash64(F.lit((seed + p) * dim) + i).bitwiseAND(1) == 1,
+                F.lit(1.0),
             ).otherwise(F.lit(-1.0)),
         )
 
@@ -136,6 +141,28 @@ def hyperplane_signature(vec_col: Column, *, planes: int, dim: int) -> Column:
     return sig
 
 
+def lsh_bucket_array(
+    vec_col: Column, *, planes: int, tables: int, dim: int
+) -> Column:
+    """array<struct<table,bucket>>: one signature per independent hash table.
+
+    Banded LSH: with collision probability p per plane, a true neighbor is a
+    candidate with probability 1-(1-p^planes)^tables — tables boost recall,
+    planes shrink buckets. Plane indices are offset per table so tables are
+    independent.
+    """
+    sigs = [
+        F.struct(
+            F.lit(t).alias("table"),
+            hyperplane_signature(
+                vec_col, planes=planes, dim=dim, seed=t * planes
+            ).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    return F.array(*sigs)
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -144,21 +171,33 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
-    planes: int = 8,
+    planes: int = 4,
+    tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket, exact re-rank inside.
+    """Approximate top-k via banded LSH: candidate = same bucket in ANY table.
 
-    At 100 TB the bucket join replaces the full cross product; recall is
-    tunable via ``planes`` (fewer planes → bigger buckets → higher recall).
+    At 100 TB the (table, bucket) equi-join replaces the full cross product;
+    each side explodes to ``tables`` rows, candidates are deduped per
+    (q_id, vec_id) before the exact cosine re-rank, so the expensive fold
+    runs once per candidate pair regardless of how many tables collide.
     """
-    sig = lambda df, name: df.select(  # noqa: E731
-        F.col(id_col).alias(name),
-        F.col(vec_col).alias(f"{name}_vec"),
-        hyperplane_signature(F.col(vec_col), planes=planes, dim=dim).alias("bucket"),
-    )
+    def sig(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.col(vec_col).alias(f"{name}_vec"),
+            F.explode(
+                lsh_bucket_array(F.col(vec_col), planes=planes, tables=tables, dim=dim)
+            ).alias("sig"),
+        ).select(name, f"{name}_vec", "sig.table", "sig.bucket")
+
     q = sig(queries, "q_id")
     c = sig(corpus, "vec_id")
-    scored = q.join(c, "bucket").withColumn(
+    candidates = (
+        q.join(c, ["table", "bucket"])
+        .select("q_id", "q_id_vec", "vec_id", "vec_id_vec")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = candidates.withColumn(
         "cos_sim", cosine_fast(F.col("q_id_vec"), F.col("vec_id_vec"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))

@@ -29,6 +29,8 @@ import json
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -53,15 +55,21 @@ class Rule:
         arg = self.arg
         # NB: pattern uses the raw regex text, not repr() — repr doubles
         # backslashes, which would leak Python escaping into data values.
-        return {
-            "required": f"'{self.column}' is a required property",
-            "const": f"'{self.column}' must be {arg!r}",
-            "enum": f"'{self.column}' is not one of {list(arg or [])!r}",
-            "pattern": f"'{self.column}' does not match '{arg}'",
-            "min_length": f"'{self.column}' is shorter than {arg} characters",
-            "not_negative": f"'{self.column}' must be >= 0",
-            "castable": f"'{self.column}' is not a valid {arg}",
-        }.get(self.kind, f"'{self.column}' failed {self.kind}")
+        if self.kind == "required":
+            return f"'{self.column}' is a required property"
+        if self.kind == "const":
+            return f"'{self.column}' must be {arg!r}"
+        if self.kind == "enum":
+            return f"'{self.column}' is not one of {list(arg or [])!r}"
+        if self.kind == "pattern":
+            return f"'{self.column}' does not match '{arg}'"
+        if self.kind == "min_length":
+            return f"'{self.column}' is shorter than {arg} characters"
+        if self.kind == "not_negative":
+            return f"'{self.column}' must be >= 0"
+        if self.kind == "castable":
+            return f"'{self.column}' is not a valid {arg}"
+        return f"'{self.column}' failed {self.kind}"
 
     def violation(self) -> Column:
         """Column<boolean>: true when this rule is VIOLATED.
@@ -141,8 +149,6 @@ def jsonschema_errors_udf(schema: dict):
     Mirrors reference validation.py:14-20 (``iter_errors`` → ``[e.message]``).
     Use only for open-ended payloads; prefer ``compile_rules`` in hot paths.
     """
-    import pandas as pd
-
     schema_json = json.dumps(schema)  # ship JSON, rebuild validator per batch
 
     @F.pandas_udf(T.ArrayType(T.StringType()))

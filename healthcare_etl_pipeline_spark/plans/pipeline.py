@@ -131,6 +131,16 @@ def write_run_record(
         for name, t in summary["tasks"].items()
         if t.get("error")
     }
+    run_schema = T.StructType(
+        [
+            T.StructField("pipeline_name", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("input_record_count", T.LongType()),
+            T.StructField("output_record_count", T.LongType()),
+            T.StructField("errors", T.StringType()),
+            T.StructField("dag_definition", T.StringType()),
+        ]
+    )
     row = warehouse.spark.createDataFrame(
         [
             {
@@ -141,7 +151,8 @@ def write_run_record(
                 "errors": json.dumps(errors) if errors else None,
                 "dag_definition": json.dumps(dag.to_dict()),
             }
-        ]
+        ],
+        run_schema,
     ).select(
         F.expr("uuid()").alias("id"),
         "pipeline_name",

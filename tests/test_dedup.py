@@ -1,0 +1,90 @@
+"""Dedup operator tests: exact, shingles, MinHash-LSH, Jaccard, SimHash."""
+
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators import dedup as D
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "completely different content about spark query engines and shuffles"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A_NEAR), (3, DOC_B), (4, DOC_A)],
+        ["doc_id", "text"],
+    )
+
+
+def test_dedup_exact_keeps_min(spark):
+    df = _docs(spark)
+    kept = D.dedup_exact(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_duplicate_groups(spark):
+    groups = D.duplicate_groups(_docs(spark), ["text"]).collect()
+    assert len(groups) == 1
+    assert groups[0].group_size == 2
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two"), (2, "one"), (3, "")], ["doc_id", "text"])
+    out = df.select(D.shingle_array("text", 3).alias("sh")).collect()
+    assert all(r.sh == [] for r in out)
+
+
+def test_shingle_count(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    out = df.select(D.shingle_array("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["a b c", "b c d", "c d e"]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {r.doc_id: r for r in D.minhash_signatures_df(_docs(spark), "doc_id", "text").collect()}
+    for j in range(8):
+        assert sigs[1][f"sig_{j}"] == sigs[4][f"sig_{j}"]  # exact dup
+    # near dup shares most signature rows
+    matches = sum(sigs[1][f"sig_{j}"] == sigs[2][f"sig_{j}"] for j in range(8))
+    assert matches >= 4
+    # unrelated doc shares (almost) none
+    mismatches = sum(sigs[1][f"sig_{j}"] != sigs[3][f"sig_{j}"] for j in range(8))
+    assert mismatches >= 7
+
+
+def test_lsh_finds_near_dup_pair(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(_docs(spark), "doc_id", "text").collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs  # near dup lands in a shared band
+    assert (1, 3) not in pairs  # unrelated doc does not
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {
+        (r.id_a, r.id_b): r
+        for r in D.ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.0).collect()
+    }
+    assert out[(1, 4)].jaccard == 1.0
+    near = out[(1, 2)]
+    # 13-token docs → 11 shingles each; only the final shingle contains the
+    # changed last token → 10 shared / 12 union
+    assert near.n_shared == 10
+    assert abs(near.jaccard - 10 / 12) < 1e-4
+    assert (1, 3) not in out  # no shared shingle at all
+
+
+def test_simhash_near_dup_close(spark):
+    rows = {r.doc_id: r.sh for r in _docs(spark).select("doc_id", D.simhash("text").alias("sh")).collect()}
+    assert rows[1] == rows[4]
+    hamming = bin(rows[1] ^ rows[2]).count("1")
+    assert hamming <= 4  # near dup: few bits differ
+    assert 0 <= rows[1] < 2**16
+
+
+def test_xxhash_mode_runs(spark):
+    """Production hash mode (engine-specific, no oracle) stays functional."""
+    sigs = D.minhash_signatures_df(_docs(spark), "doc_id", "text", hash_mode="xxhash64")
+    assert sigs.count() == 4

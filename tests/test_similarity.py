@@ -1,0 +1,68 @@
+"""Similarity-search operator tests: brute-force cosine top-k + LSH ANN."""
+
+from healthcare_etl_pipeline_spark.operators import similarity as S
+
+DIM = 8
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0] * DIM),
+        (1, [1.0] * DIM),                     # identical to 0
+        (2, [1.0] * (DIM - 1) + [0.9]),       # near
+        (3, [-1.0] * DIM),                    # opposite
+        (4, [1.0, -1.0] * (DIM // 2)),        # orthogonal
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_ordering(spark):
+    vecs = _vecs(spark)
+    queries = vecs.filter("vec_id = 0")
+    corpus = vecs.filter("vec_id > 0")
+    out = S.brute_force_topk(queries, corpus, k=4, dim=DIM).collect()
+    ranked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 4, 3]  # identical, near, orthogonal, opposite
+    by_id = {r.vec_id: r.cos_sim for r in out}
+    assert by_id[1] == 1.0
+    assert abs(by_id[4]) < 1e-9
+    assert by_id[3] == -1.0
+
+
+def test_ann_lsh_recall_on_testdata(spark):
+    """LSH ANN must recover most of the exact top-5 on real embeddings."""
+    from healthcare_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    corpus = emb.filter("vec_id >= 5")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(queries, corpus, k=5, dim=64).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in S.ann_lsh_topk(
+            queries, corpus, k=5, dim=64, planes=2, tables=12
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # banded LSH: p≈0.5/plane on near-orthogonal synthetic vectors →
+    # candidate prob ≈ 1-(1-0.25)^12 ≈ 0.97 per true neighbor
+    assert recall >= 0.6
+
+
+def test_cosine_fast_matches_fold(spark):
+    from pyspark.sql import functions as F
+
+    vecs = _vecs(spark)
+    out = vecs.crossJoin(
+        vecs.select(
+            F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        )
+    ).select(
+        S.cosine_fold(F.col("embedding"), F.col("b_emb"), DIM).alias("a"),
+        S.cosine_fast(F.col("embedding"), F.col("b_emb")).alias("b"),
+    )
+    for r in out.collect():
+        assert abs(r.a - r.b) < 1e-12

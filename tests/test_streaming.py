@@ -1,0 +1,43 @@
+"""Streaming operator tests: windowed aggregation parity batch vs stream."""
+
+from healthcare_etl_pipeline_spark.catalog import load_table
+from healthcare_etl_pipeline_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_windows,
+    stream_dedup,
+    streaming_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream_out = run_stream_to_memory(
+        spark, tumbling_counts(streaming_events(spark, SF)), output_mode="complete"
+    )
+    batch_out = tumbling_counts(load_table(spark, SF, "events"))
+    s = {(str(r.window_start), r.event_type): (r.n, r.total_value) for r in stream_out.collect()}
+    b = {(str(r.window_start), r.event_type): (r.n, r.total_value) for r in batch_out.collect()}
+    assert s == b
+    assert len(s) > 0
+
+
+def test_stream_dedup_unique_events(spark):
+    stream = streaming_events(spark, SF)
+    out = run_stream_to_memory(
+        spark, stream_dedup(stream).select("event_id"), output_mode="append"
+    )
+    n = out.count()
+    assert n == load_table(spark, SF, "events").select("event_id").distinct().count()
+
+
+def test_session_window_spans(spark):
+    events = load_table(spark, SF, "events")
+    out = session_windows(events)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        # session end = last event + gap → end > start always
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1

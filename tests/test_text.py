@@ -1,0 +1,63 @@
+"""Text-analysis operator tests: tokens, quality, lang-ID, fingerprint."""
+
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators import text as X
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "a  b\tc   d"), (2, ""), (3, "solo")], ["i", "text"])
+    out = {r.i: r for r in df.select("i", X.token_count("text").alias("n"),
+                                     X.distinct_token_count("text").alias("d")).collect()}
+    assert out[1].n == 4
+    assert out[2].n == 0
+    assert out[3].n == 1
+
+
+def test_type_token_ratio(spark):
+    df = spark.createDataFrame([(1, "a a a b")], ["i", "text"])
+    r = df.select(X.type_token_ratio("text").alias("ttr")).collect()[0]
+    assert r.ttr == 0.5
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = spark.createDataFrame([(1, "the cat!!! sat")], ["i", "text"])
+    r = df.select(
+        X.stopword_ratio("text").alias("sw"), X.punct_ratio("text").alias("p")
+    ).collect()[0]
+    assert abs(r.sw - 1 / 3) < 1e-9
+    assert abs(r.p - 3 / 14) < 1e-9
+
+
+def test_lang_id_real_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the king and a dog"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "el perro y la casa de un gato que corre"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        ["i", "text"],
+    )
+    out = {r.i: r.lang for r in df.select("i", X.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "hello  worlds")],
+        ["i", "text"],
+    )
+    out = {r.i: r.fp for r in df.select("i", X.fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]  # case + whitespace noise collapses
+    assert out[1] != out[3]
+
+
+def test_quality_score_bounds(spark):
+    good = "word " * 50
+    df = spark.createDataFrame([(1, good.strip()), (2, "!!!")], ["i", "text"])
+    out = {r.i: r.q for r in df.select("i", X.quality_score("text").alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0

@@ -1,0 +1,100 @@
+"""Validation operator tests (ported from reference tests/test_validation.py)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.validation import (
+    PATIENT_RULES,
+    Rule,
+    annotate_errors,
+    jsonschema_errors_udf,
+    validate_split,
+)
+from healthcare_etl_pipeline_spark.plans.pipeline import records_to_df
+from tests.conftest import make_patient
+
+
+def _errors_for(spark, record):
+    df = records_to_df(spark, [record])
+    return annotate_errors(df, PATIENT_RULES).collect()[0].errors
+
+
+def test_valid_record_no_errors(spark):
+    assert _errors_for(spark, make_patient()) == []
+
+
+def test_missing_required_collects_all(spark):
+    """A record missing both mrn and name reports BOTH errors (collect-all)."""
+    errors = _errors_for(spark, make_patient(mrn=None, name=None))
+    joined = " ".join(errors)
+    assert "mrn" in joined
+    assert "name" in joined
+    assert len(errors) == 2
+
+
+def test_bad_date_format(spark):
+    errors = _errors_for(spark, make_patient(birthDate="12-04-1980"))
+    assert len(errors) == 1
+    assert "birthDate" in errors[0]
+
+
+def test_bad_gender_enum(spark):
+    errors = _errors_for(spark, make_patient(gender="robot"))
+    assert len(errors) == 1
+    assert "gender" in errors[0]
+
+
+def test_empty_string_mrn_rejected(spark):
+    errors = _errors_for(spark, make_patient(mrn=""))
+    assert any("mrn" in e for e in errors)
+
+
+def test_nullable_optionals_pass(spark):
+    assert _errors_for(spark, make_patient(birthDate=None, gender=None, ssn=None)) == []
+
+
+def test_split_routes_both_sides(spark):
+    df = records_to_df(spark, [make_patient(), make_patient(mrn=None)])
+    valid, invalid = validate_split(df, PATIENT_RULES)
+    assert valid.count() == 1
+    assert invalid.count() == 1
+    assert "errors" in invalid.columns
+    assert "errors" not in valid.columns
+
+
+def test_rule_kinds():
+    df_rules = [
+        Rule("x", "min_length", 3),
+        Rule("x", "not_negative"),
+        Rule("x", "castable", "int"),
+    ]
+    assert "shorter than 3" in df_rules[0].error_message()
+    assert ">= 0" in df_rules[1].error_message()
+    assert "valid int" in df_rules[2].error_message()
+
+
+def test_jsonschema_udf_fallback(spark):
+    """Full Draft-7 fidelity path over a JSON string column."""
+    schema = {
+        "type": "object",
+        "required": ["mrn", "name"],
+        "properties": {
+            "mrn": {"type": "string", "minLength": 1},
+            "name": {"type": "string"},
+        },
+        "additionalProperties": False,
+    }
+    udf = jsonschema_errors_udf(schema)
+    df = spark.createDataFrame(
+        [
+            (json.dumps({"mrn": "M1", "name": "ok"}),),
+            (json.dumps({"mrn": "M2", "extra": 1}),),  # missing name + extra prop
+            ("not json",),
+        ],
+        ["payload"],
+    )
+    rows = df.select(udf(F.col("payload")).alias("errors")).collect()
+    assert rows[0].errors == []
+    assert len(rows[1].errors) == 2  # collect-all: missing name AND extra prop
+    assert rows[2].errors == ["record is not valid JSON"]
