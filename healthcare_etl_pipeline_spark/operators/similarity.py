@@ -141,6 +141,125 @@ def hyperplane_signature(
     return sig
 
 
+def label_centroids(
+    corpus: DataFrame,
+    *,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-cell centroid vectors, computed distributed (posexplode → avg).
+
+    Output: (cell, centroid: array<double>). The coarse quantizer for IVF —
+    here seeded from an existing partition column instead of k-means
+    iterations, so the whole operator stays deterministic and single-pass.
+    At scale this is one shuffle of (cell, pos, partial-sum) triples.
+    """
+    return (
+        corpus.select(
+            F.col(cell_col).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "component"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("component").cast("double")).alias("avg_c"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_c"))
+            ).getField("avg_c").alias("centroid")
+        )
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells.
+
+    Centroids are broadcast (k cells ≪ corpus); the argmin is a window
+    row_number over the small per-vector×cell frame.
+    """
+    scored = df.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(centroids)).withColumn(
+        "cell_sim", cosine_fast(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells,
+    probe each query's ``nprobe`` nearest cells, exact re-rank inside.
+
+    The 100 TB shape: corpus cell assignment is write-time work (stored
+    partitioned by cell → partition pruning per query); the query-time join
+    touches only probed cells, replacing the full scan with |probed|/|cells|
+    of the data.
+    """
+    cents = label_centroids(corpus, cell_col=cell_col, vec_col=vec_col, dim=dim)
+    c_cells = assign_cells(
+        corpus, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    ).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "cell")
+    q_cells = assign_cells(
+        queries, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
+    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell")
+    scored = q_cells.join(c_cells, "cell").withColumn(
+        "cos_sim", cosine_fast(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (keep_id, dup_id, cos_sim)
+    for all id_a < id_b with cosine ≥ threshold.
+
+    This is the exact O(n²) form used for oracle checking; at 100 TB run the
+    same re-rank behind the banded-LSH prefilter (``ann_lsh_topk``) instead
+    of the full self-join.
+    """
+    a = df.select(F.col(id_col).alias("keep_id"), F.col(vec_col).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("dup_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(b, F.col("keep_id") < F.col("dup_id"))
+        .withColumn("cos_sim", cosine_fold(F.col("a_vec"), F.col("b_vec"), dim))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("keep_id", "dup_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def lsh_bucket_array(
     vec_col: Column, *, planes: int, tables: int, dim: int
 ) -> Column:

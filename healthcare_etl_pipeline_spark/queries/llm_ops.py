@@ -415,3 +415,107 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         "decode_status",
     )
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS bpe_tokens,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) > 0
+                THEN round(CAST(length(text) AS DOUBLE)
+                     / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 4)
+                ELSE 0.0 END AS chars_per_token
+    FROM documents
+    """,
+    description="Token counting two ways: whitespace split + BPE-ish regex "
+    "(letter runs / digit runs / single punctuation) with chars-per-token.",
+    tags=("text", "tokens", "llm"),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    n_bpe = F.size(bpe).cast("long")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("ws_tokens"),
+        n_bpe.alias("bpe_tokens"),
+        F.when(
+            n_bpe > 0,
+            F.round(F.length("text").cast("double") / n_bpe, 4),
+        ).otherwise(F.lit(0.0)).alias("chars_per_token"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS keep_id, embedding AS qv FROM embeddings),
+         b AS (SELECT vec_id AS dup_id, embedding AS cv FROM embeddings)
+    SELECT keep_id, dup_id, round({_DUCK_COS}, 6) AS cos_sim
+    FROM a, b
+    WHERE keep_id < dup_id AND {_DUCK_COS} >= 0.35
+    """,
+    description="Embedding-cosine near-dup pairs (exact self-join form; the "
+    "scale path runs the same re-rank behind the banded-LSH prefilter).",
+    tags=("dedup", "similarity", "llm"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, dim=64, threshold=0.35)
+
+
+@query(
+    "ann_ivf_cosine",
+    oracle=None,  # float centroid averages differ in last-ulp across engines
+    description="IVF-style ANN: label-seeded centroid cells, nprobe=3 probe, "
+    "exact re-rank inside probed cells. Rows-only check; recall vs brute "
+    "force is asserted in tests.",
+    tags=("similarity", "ivf", "llm"),
+)
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return S.ann_ivf_topk(queries, corpus, k=5, dim=64, nprobe=3)
+
+
+@query(
+    "quality_filter_docs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END AS length_ok,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                  ELSE 0.0 END AS ttr,
+             CASE WHEN length(text) > 0
+                  THEN 1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 1.0 END AS low_punct
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           round(0.4 * length_ok + 0.3 * ttr + 0.3 * low_punct, 6) AS quality
+    FROM stats
+    WHERE round(0.4 * length_ok + 0.3 * ttr + 0.3 * low_punct, 6) >= 0.85
+    """,
+    description="Quality-score gate: keep documents whose composite heuristic "
+    "(length band + lexical diversity + low punctuation) clears 0.85.",
+    tags=("text", "quality", "llm"),
+)
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    annotated = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+    )
+    return annotated.filter(F.col("quality") >= 0.85)

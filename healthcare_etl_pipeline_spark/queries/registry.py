@@ -78,6 +78,7 @@ def _load_all() -> None:
         llm_ops,
         streaming_ops,
         tpch,
+        tpch_extended,
     )
 
     _LOADED = True

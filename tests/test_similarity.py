@@ -52,6 +52,34 @@ def test_ann_lsh_recall_on_testdata(spark):
     assert recall >= 0.6
 
 
+def test_ann_ivf_recall_on_testdata(spark):
+    """IVF ANN with nprobe=3 of 10 label cells must beat random-cell recall."""
+    from healthcare_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    corpus = emb.filter("vec_id >= 5")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(queries, corpus, k=5, dim=64).collect()
+    }
+    approx_rows = S.ann_ivf_topk(queries, corpus, k=5, dim=64, nprobe=3).collect()
+    approx = {(r.q_id, r.vec_id) for r in approx_rows}
+    # every query must return a full candidate list from its probed cells
+    assert len(approx_rows) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # 3/10 cells probed; neighbors concentrate in near cells
+
+
+def test_cosine_near_dup_pairs(spark):
+    from pyspark.sql import functions as F
+
+    vecs = _vecs(spark)
+    pairs = S.cosine_near_dup_pairs(vecs, dim=DIM, threshold=0.9999).collect()
+    assert {(r.keep_id, r.dup_id) for r in pairs} == {(0, 1)}  # the identical pair
+    assert pairs[0].cos_sim == 1.0
+
+
 def test_cosine_fast_matches_fold(spark):
     from pyspark.sql import functions as F
 
