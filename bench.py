@@ -49,17 +49,32 @@ def main() -> None:
     spark = get_spark()
 
     specs = all_queries()
-    # warmup: touch the big fact table + codegen pipeline once
+    # Warmup: run every headline plan once at the TARGET SF so JVM/JIT and
+    # whole-stage-codegen caches are hot before timing. Same SF matters: AQE
+    # picks different physical plans (hence different generated code) per
+    # data size. Steady-state throughput is the comparable number — codegen
+    # cost amortizes to zero over a 100 TB run.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in HEADLINE:
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n  # rowcount forced; result not used
+        # Best-of-2: the benchmark box runs other work concurrently; min of
+        # two runs rejects transient CPU-contention outliers while staying
+        # an honest end-to-end (plan+execute) wall-clock.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # noop sink: materializes EVERY output column (count() would let
+            # Catalyst prune the computed columns and under-measure the query).
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -23,7 +23,7 @@ from healthcare_etl_pipeline_spark.operators.validation import (
     PATIENT_RULES,
     validate_split,
 )
-from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.helpers import t, td
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -90,7 +90,9 @@ _DUCK_ERRORS_CTE = """
 
 
 def _synth_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "customer").selectExpr(*_SYNTH_SPARK)
+    # spread: the encrypt/decrypt pandas UDFs downstream must not run on a
+    # single input split (small single-file scans arrive as one partition)
+    return td(spark, sf_dir, "customer").selectExpr(*_SYNTH_SPARK)
 
 
 @query(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from healthcare_etl_pipeline_spark.operators import dedup as D
 from healthcare_etl_pipeline_spark.operators import similarity as S
 from healthcare_etl_pipeline_spark.operators import text as X
-from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.helpers import t, td
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 MOD = X.MOD
@@ -111,7 +111,7 @@ def dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm"),
 )
 def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return X.annotate_text_stats(docs).select(
         "doc_id",
         "n_tokens",
@@ -152,7 +152,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm"),
 )
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
 
 
@@ -169,7 +169,7 @@ _DUCK_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     tags=("text", "dedup", "llm"),
 )
 def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
@@ -197,7 +197,7 @@ def _duck_minhash_sig_select() -> str:
     tags=("dedup", "minhash", "llm"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return D.minhash_signatures_df(docs, "doc_id", "text", k=8, n=3)
 
 
@@ -227,7 +227,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "llm"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
 
 
@@ -255,7 +255,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard", "llm"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.02)
 
 
@@ -283,7 +283,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "llm"),
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash16"))
 
 
@@ -317,7 +317,7 @@ _DUCK_COS = (
     tags=("similarity", "llm"),
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return S.brute_force_topk(queries, corpus, k=5, dim=64, exact_fold=True)
@@ -332,7 +332,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh", "llm"),
 )
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return S.ann_lsh_topk(queries, corpus, k=5, dim=64, planes=6)
@@ -355,7 +355,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "agg", "llm"),
 )
 def embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     sq_norm = S.dot_fold(F.col("embedding"), F.col("embedding"), 64)
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
@@ -380,7 +380,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_binary_metadata,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -401,7 +401,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_pipeline_spark.operators.multimodal import extract_features
 
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -436,7 +436,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tokens", "llm"),
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
     n_bpe = F.size(bpe).cast("long")
     return docs.select(
@@ -464,7 +464,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "llm"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(emb, dim=64, threshold=0.35)
 
 
@@ -477,7 +477,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ivf", "llm"),
 )
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     return S.ann_ivf_topk(queries, corpus, k=5, dim=64, nprobe=3)
@@ -512,7 +512,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "llm"),
 )
 def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     annotated = docs.select(
         "doc_id",
         X.token_count("text").alias("n_tokens"),

@@ -55,6 +55,10 @@ def get_spark(
         # ones that matter for plan shape so behavior is reproducible.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split small files down to row-group granularity so single-file
+        # tables don't serialize scans on one core (locally; at scale the
+        # many-files layout already yields >= cpus splits and this is inert).
+        .config("spark.sql.files.minPartitionNum", str(cpus))
     )
     if extra_conf:
         for k, v in extra_conf.items():
