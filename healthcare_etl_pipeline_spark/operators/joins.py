@@ -1,0 +1,133 @@
+"""Custom join operators Spark lacks as built-ins: as-of join, range join,
+salted skew join.
+
+These are the "custom operators" tier of the engine (SURVEY.md §2.8 /
+build-plan §7.3): each is a composition of existing DataFrame ops — no UDF,
+no Catalyst extension — chosen for its shuffle profile at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the same key
+    and ``right_time <= left_time`` (``<`` when ``strict``).
+
+    Implementation is the union-merge, NOT a range join: tag both sides,
+    union, and run one window pass per key ordered by (time, side) taking
+    ``last(payload, ignorenulls)``. Cost = ONE shuffle of |left|+|right|
+    rows on the key — versus the naive join-then-rank which materializes
+    every (left row × earlier right row) pair before pruning. At 100 TB the
+    pairwise blowup is quadratic per hot key; the union-merge is linear.
+
+    Ties: a right row at exactly left_time sorts before the left row
+    (side 0 < side 1), so inclusive semantics match DuckDB's ASOF JOIN.
+    """
+    # Side markers order tie-breaks within one timestamp: inclusive mode
+    # puts right rows first (visible to a same-instant left row); strict
+    # mode puts them after (invisible).
+    left_side, right_side = (1, 0) if not strict else (0, 1)
+    l_tagged = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(left_side).alias("__side"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(right_side).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *payload_cols,
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).select(
+        "__side",
+        "__left",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return (
+        merged.filter(F.col("__side") == left_side)
+        .select("__left.*", *payload_cols)
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    key: str | None = None,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval range join via bucketed equi-join.
+
+    A raw ``l.point BETWEEN r.lo AND r.hi`` join has no equi-key, so Spark
+    falls back to BroadcastNestedLoop/cartesian. Binning assigns each
+    interval to every bin it overlaps (explode) and each point to its bin —
+    the join becomes an equi-join on the bin id and the BETWEEN predicate
+    only runs inside matching bins. Choose ``bin_width`` ~ typical interval
+    length so intervals explode to O(1) bins.
+    """
+    lo_bin = F.floor(F.col(right_lo) / bin_width).cast("long")
+    hi_bin = F.floor(F.col(right_hi) / bin_width).cast("long")
+    r_binned = right.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    l_binned = left.withColumn(
+        "__bin", F.floor(F.col(left_point) / bin_width).cast("long")
+    )
+    cond = (F.col(left_point) >= F.col(right_lo)) & (
+        F.col(left_point) <= F.col(right_hi)
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    join_keys = ["__bin"] if key is None else [key, "__bin"]
+    return l_binned.join(r_binned, join_keys).filter(cond).drop("__bin")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key, replicate the
+    small side across all salt values.
+
+    For hot keys (one key = one straggler partition in a plain shuffle
+    join), salting spreads each key over ``salt_buckets`` reducers. AQE's
+    skewJoin handles moderate skew automatically; this operator is the
+    explicit form for pathological keys or when AQE is off (streaming).
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(salted_small, [key, "__salt"], how).drop("__salt")

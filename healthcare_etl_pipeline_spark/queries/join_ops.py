@@ -1,0 +1,153 @@
+"""Custom-join query entries: as-of join, range join, salted skew join.
+
+Each demonstrates a join shape Spark has no built-in operator for,
+implemented with a scale-conscious composition (operators/joins.py) and
+oracle-checked against DuckDB's native forms (ASOF JOIN / BETWEEN join /
+plain join — salting must be result-invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from healthcare_etl_pipeline_spark.operators import joins as J
+from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.registry import query
+
+
+def _dedup_events(events: DataFrame) -> DataFrame:
+    """One event per (user_id, ts): keep max event_id — both engines must
+    agree on which row wins an exact-timestamp tie before an as-of join."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    purchases AS (SELECT user_id, ts, event_id FROM ev
+                  WHERE event_id IN (SELECT event_id FROM events WHERE event_type = 'purchase')),
+    clicks AS (SELECT user_id, ts, event_id AS click_id, value AS click_value FROM ev
+               WHERE event_id IN (SELECT event_id FROM events WHERE event_type = 'click'))
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.click_id AS last_click_id, round(c.click_value, 4) AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    description="As-of join: latest click at-or-before each purchase per "
+    "user — union-merge implementation (ONE shuffle on the key; no pairwise "
+    "blowup) vs DuckDB's native ASOF JOIN.",
+    tags=("join", "asof", "custom"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _dedup_events(
+        t(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "value", "event_type"
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_click_id"),
+        F.round("value", 4).alias("last_click_value"),
+    )
+    joined = J.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["last_click_id", "last_click_value"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "last_click_id",
+        "last_click_value",
+    )
+
+
+@query(
+    "range_join_purchase_window",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id
+    FROM events e
+    JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 30 MINUTE
+     AND e.ts <= p.ts
+     AND e.event_id <> p.event_id
+    """,
+    description="Point-in-interval range join (events in the 30 minutes "
+    "leading to each purchase) via bin-bucketed equi-join — avoids the "
+    "nested-loop fallback a raw BETWEEN join triggers.",
+    tags=("join", "range", "custom"),
+)
+def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            (F.unix_timestamp(F.col("ts").cast("timestamp")) - 1800).alias("lo"),
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("hi"),
+        )
+    )
+    joined = J.range_join_binned(
+        points,
+        windows,
+        left_point="ts_s",
+        right_lo="lo",
+        right_hi="hi",
+        bin_width=1800,
+        key="user_id",
+        extra_cond=F.col("event_id") != F.col("purchase_id"),
+    )
+    return joined.select("purchase_id", "event_id")
+
+
+@query(
+    "salted_join_lineitem_supplier",
+    oracle="""
+    SELECT s.s_nationkey, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    description="Skew-resistant salted join (8 salt buckets) — result must "
+    "be identical to the plain join, checked via the aggregate oracle.",
+    tags=("join", "skew", "custom"),
+)
+def salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = J.salted_join(li, supp, key="s_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -75,6 +75,7 @@ def _load_all() -> None:
     from healthcare_etl_pipeline_spark.queries import (  # noqa: F401
         analytics,
         etl_parity,
+        join_ops,
         llm_ops,
         streaming_ops,
         tpch,
