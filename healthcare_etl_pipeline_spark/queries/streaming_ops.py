@@ -111,3 +111,31 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return run_stream_to_memory(spark, deduped, output_mode="append")
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    description="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals; bounded-stream final state must equal the "
+    "batch groupBy — the arbitrary-state escape hatch, oracle-checked.",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+
+    stream = streaming_events(spark, sf_dir, watermark=None)
+    totals = stateful_user_totals(stream)
+    settled = run_stream_to_memory(spark, totals, output_mode="update")
+    return settled.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+    )

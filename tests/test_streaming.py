@@ -41,3 +41,28 @@ def test_session_window_spans(spark):
         # session end = last event + gap → end > start always
         assert r.session_end > r.session_start
         assert r.n_events >= 1
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    """applyInPandasWithState final state == batch groupBy on bounded input."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.queries.registry import get
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in get("stream_stateful_user_totals").fn(spark, sf).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
