@@ -1,0 +1,152 @@
+"""Extended analytics surface: unpivot, higher-order array functions,
+ordered string aggregation, conditional aggregates, approximate percentiles.
+
+Rounds out the relational function families (SURVEY.md §7.3) beyond the
+core tpch/analytics modules; everything here is built-in expressions, so
+the plans stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.queries.helpers import t, td
+from healthcare_etl_pipeline_spark.queries.registry import query
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, round(val, 2) AS val
+    FROM part
+    UNPIVOT (val FOR measure IN (p_retailprice, p_size))
+    """,
+    description="UNPIVOT: melt part's numeric measures into (measure, value) "
+    "rows — Spark's unpivot/melt vs DuckDB UNPIVOT.",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double"),
+            F.col("p_size").cast("double"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "val")
+        .filter(F.col("val").isNotNull())
+        .select("p_partkey", "measure", F.round("val", 2).alias("val"))
+    )
+
+
+@query(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(embedding[1] AS DOUBLE), 6)  AS first_c,
+           len(embedding)                          AS dim,
+           round(list_reduce(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) AS head_sum,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_c,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+    description="Higher-order array functions over the embedding column: "
+    "slice + fold, element access, max, filtered count.",
+    tags=("functions", "array", "llm"),
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    head = F.transform(F.slice(e, 1, 8), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_c"),
+        F.size(e).cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                head, F.lit(None).cast("double"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(acc + x),
+            ),
+            6,
+        ).alias("head_sum"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_c"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "string_agg_nation_customers",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS members
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey <= 100
+    GROUP BY n.n_name
+    """,
+    description="Ordered string aggregation (listagg): sorted collect_list + "
+    "array_join vs DuckDB string_agg ORDER BY.",
+    tags=("agg", "string"),
+)
+def string_agg_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    nation = t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "members"
+            )
+        )
+    )
+
+
+@query(
+    "conditional_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05)            AS n_discounted,
+           count(*) FILTER (WHERE l_quantity >= 25)             AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS tax_free_price,
+           round(min(l_extendedprice), 2)                       AS min_price,
+           round(max(l_extendedprice), 2)                       AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Conditional aggregation (FILTER clauses / count_if) in one "
+    "grouped pass.",
+    tags=("agg", "conditional"),
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 2
+        ).alias("tax_free_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "approx_percentiles_value",
+    oracle=None,  # sketch-based; accuracy asserted against exact in tests
+    description="approx_percentile (GK sketch) over event values — the "
+    "at-scale substitute for exact percentiles; rows-only check here, "
+    "tolerance vs exact asserted in tests.",
+    tags=("agg", "approx", "percentile"),
+)
+def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    ).select(
+        "event_type",
+        F.round(F.element_at("pcts", 1), 4).alias("p50"),
+        F.round(F.element_at("pcts", 2), 4).alias("p90"),
+        F.round(F.element_at("pcts", 3), 4).alias("p99"),
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
     # Imports deferred to avoid import cycles (modules import `query` above).
     from healthcare_etl_pipeline_spark.queries import (  # noqa: F401
         analytics,
+        analytics_extended,
         etl_parity,
         join_ops,
         llm_ops,
