@@ -150,3 +150,45 @@ def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcts", 2), 4).alias("p90"),
         F.round(F.element_at("pcts", 3), 4).alias("p99"),
     )
+
+
+@query(
+    "json_corrupt_routing",
+    oracle="""
+    WITH mangled AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN substring(props, 1, 4)
+                  ELSE props END AS props
+      FROM events
+    ), checked AS (
+      -- null out corrupt strings BEFORE json_extract: DuckDB evaluates the
+      -- extract eagerly, json_extract(NULL) is the safe path
+      SELECT event_id,
+             CASE WHEN json_valid(props) THEN props END AS good_props
+      FROM mangled
+    )
+    SELECT event_id,
+           json_extract(good_props, '$.k') IS NOT NULL AS is_valid,
+           CAST(json_extract(good_props, '$.k') AS BIGINT) AS k
+    FROM checked
+    """,
+    description="JSON source with corrupt-record routing: from_json against "
+    "a pinned schema, malformed rows flagged (quarantine side-output), typed "
+    "field extraction for the rest — the reference's parse-or-422 wire "
+    "contract as an in-plan split. Corruption injected on event_id % 97.",
+    tags=("json", "source", "etl"),
+)
+def json_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0, F.substring("props", 1, 4)
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    schema = "struct<k: bigint>"
+    parsed = F.from_json("props", schema)
+    return ev.select(
+        "event_id",
+        (parsed.isNotNull() & parsed["k"].isNotNull()).alias("is_valid"),
+        parsed["k"].alias("k"),
+    )

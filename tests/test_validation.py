@@ -98,3 +98,16 @@ def test_jsonschema_udf_fallback(spark):
     assert rows[0].errors == []
     assert len(rows[1].errors) == 2  # collect-all: missing name AND extra prop
     assert rows[2].errors == ["record is not valid JSON"]
+
+
+def test_parse_json_column_routes_corrupt(spark):
+    from healthcare_etl_pipeline_spark.sources.json_source import parse_json_column
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{broken"), (3, None), (4, '{"k": null}')],
+        ["id", "payload"],
+    )
+    parsed, corrupt = parse_json_column(df, "payload", "struct<k: bigint>")
+    assert {r.id for r in corrupt.collect()} == {2}
+    got = {r.id: (r.parsed["k"] if r.parsed else None) for r in parsed.collect()}
+    assert got == {1: 5, 3: None, 4: None}
