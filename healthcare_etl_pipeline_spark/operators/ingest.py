@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from healthcare_etl_pipeline_spark.sources.warehouse import Warehouse
 
@@ -41,14 +42,28 @@ def split_mrn_conflicts(
 ) -> ConflictSplit:
     """Anti-join conflict detection (reference routes.py:96-103 / J4).
 
+    Two conflict classes, both routed:
+    - key already in the warehouse (the reference's IntegrityError path);
+    - key duplicated WITHIN the batch — in the reference the second insert
+      of the pair 409s, so such rows are conflicts too. All copies are
+      routed (no arbitrary winner): intra-batch duplicates are a data error
+      the caller must resolve, and any pick-one rule would be
+      nondeterministic under shuffling.
+
     ``existing`` is projected to the key column only before the join, so at
     scale the probe side ships just the key; AQE turns it into a broadcast
     when the existing key set is small.
     """
+    dup_count = F.count(F.lit(1)).over(Window.partitionBy(key))
+    marked = incoming.withColumn("__dups", dup_count)
+    unique_in_batch = marked.filter(F.col("__dups") == 1).drop("__dups")
+    intra_dups = marked.filter(F.col("__dups") > 1).drop("__dups")
     existing_keys = existing_patients.select(key).distinct()
     return ConflictSplit(
-        new=incoming.join(existing_keys, key, "left_anti"),
-        conflicting=incoming.join(existing_keys, key, "left_semi"),
+        new=unique_in_batch.join(existing_keys, key, "left_anti"),
+        conflicting=unique_in_batch.join(existing_keys, key, "left_semi").unionByName(
+            intra_dups
+        ),
     )
 
 

@@ -151,3 +151,19 @@ def test_consent_explode_rows(spark, warehouse):
     # granted_at stamped iff granted (reference routes.py:113)
     assert consents[("data_sharing", True)].granted_at is not None
     assert consents[("research", False)].granted_at is None
+
+
+def test_intra_batch_duplicate_mrn_all_routed(spark, warehouse):
+    """Two same-mrn records in ONE batch: both are conflicts, neither loads
+    (reference: the second insert 409s the whole batch)."""
+    batch = [make_patient(), make_patient(name="Other Person")]
+    summary = ingest_batch(spark, batch, warehouse)
+    assert summary["record_counts"]["load_count"] == 0
+    assert warehouse.read("patients").count() == 0
+
+
+def test_intra_batch_duplicate_mrn_strict_raises(spark, warehouse):
+    batch = [make_patient(), make_patient(name="Other Person")]
+    summary = ingest_batch(spark, batch, warehouse, strict=True)
+    assert summary["status"] == "failed"
+    assert "DuplicateMrnError" in summary["tasks"]["load"]["error"]
