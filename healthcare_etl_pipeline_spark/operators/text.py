@@ -139,6 +139,43 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
+NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    # Characteristic character n-grams per language (tiny fixed profiles —
+    # the n-gram flavor of language ID, complementing the stopword lang_id).
+    "de": ("der", "sch", "ein", "ich", "und", "die"),
+    "en": ("the", "ing", "ion", "and", " of", " to"),
+    "es": ("ión", "los", " el", "que", " la", "ado"),
+    "fr": (" le", "les", "ait", " un", "des", "eur"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+
+
+def lang_id_ngram(col: Column | str) -> Column:
+    """argmax language by distinct profile-n-gram presence; 'und' when no
+    profile n-gram occurs. Tie-break: alphabetically-first language.
+
+    Presence (not frequency) keeps the formula cheap — one contains() per
+    profile gram, all inside codegen — and bit-identical to the SQL oracle.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    scores = {
+        lang: F.size(
+            F.filter(
+                F.array(*[F.lit(g) for g in grams]), lambda g: F.contains(c, g)
+            )
+        )
+        for lang, grams in NGRAM_PROFILES.items()
+    }
+    ordered = sorted(scores)
+    max_s = F.greatest(*scores.values())
+    out = F.lit("und")
+    # Build when-chain in REVERSE alphabetical order so the alphabetically
+    # first language ends up outermost and wins ties.
+    for lang in reversed(ordered):
+        out = F.when(scores[lang] == max_s, F.lit(lang)).otherwise(out)
+    return F.when(max_s > 0, out).otherwise(F.lit("und"))
+
+
 def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     """Document fingerprint: portable rolling hash of the normalized text
     (lowercased, whitespace collapsed) — stable under formatting noise."""

@@ -519,3 +519,38 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score("text").alias("quality"),
     )
     return annotated.filter(F.col("quality") >= 0.85)
+
+
+@query(
+    "lang_id_ngram_docs",
+    oracle="""
+    WITH s AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+        len(list_filter(['der','sch','ein','ich','und','die'], g -> contains(lt, g))) AS de_s,
+        len(list_filter(['the','ing','ion','and',' of',' to'], g -> contains(lt, g))) AS en_s,
+        len(list_filter(['ión','los',' el','que',' la','ado'], g -> contains(lt, g))) AS es_s,
+        len(list_filter([' le','les','ait',' un','des','eur'], g -> contains(lt, g))) AS fr_s,
+        len(list_filter(['的','是','了','在','和','有'], g -> contains(lt, g))) AS zh_s
+      FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(de_s, en_s, es_s, fr_s, zh_s) = 0 THEN 'und'
+                WHEN de_s = greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'de'
+                WHEN en_s = greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'en'
+                WHEN es_s = greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'es'
+                WHEN fr_s = greatest(de_s, en_s, es_s, fr_s, zh_s) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM sc
+    """,
+    description="Character-n-gram language ID (profile-gram presence, argmax "
+    "with alphabetical tie-break) — the n-gram flavor complementing the "
+    "stopword-based lang_id_docs; prediction emitted next to the labeled "
+    "lang column.",
+    tags=("text", "langid", "llm"),
+)
+def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", X.lang_id_ngram("text").alias("pred_lang")
+    )

@@ -61,3 +61,25 @@ def test_quality_score_bounds(spark):
     df = spark.createDataFrame([(1, good.strip()), (2, "!!!")], ["i", "text"])
     out = {r.i: r.q for r in df.select("i", X.quality_score("text").alias("q")).collect()}
     assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_lang_id_ngram_on_real_sentences(spark):
+    """n-gram lang-ID on genuinely multilingual text (the testdata's lang
+    labels are random — its text is uniformly English-ish word salad)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.operators.text import lang_id_ngram
+
+    samples = [
+        ("en", "the cat is sitting on the mat and singing a song of ice"),
+        ("de", "der hund und die katze spielen schnell in einem schönen garten"),
+        ("es", "los perros y el gato corren que saltan en la casa del pueblo"),
+        ("fr", " le chien et les chats courent un peu des heures dans le parc"),
+        ("zh", "这是一个在公园里的猫和狗的故事"),
+        ("und", "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(samples, ["expected", "text"])
+    got = {r.expected: r.pred for r in df.select(
+        "expected", lang_id_ngram("text").alias("pred")
+    ).collect()}
+    assert got == {k: k for k in got}
