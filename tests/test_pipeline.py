@@ -167,3 +167,32 @@ def test_intra_batch_duplicate_mrn_strict_raises(spark, warehouse):
     summary = ingest_batch(spark, batch, warehouse, strict=True)
     assert summary["status"] == "failed"
     assert "DuplicateMrnError" in summary["tasks"]["load"]["error"]
+
+
+def test_observed_ingest_matches_classic(spark, warehouse, tmp_path):
+    """Single-pass observe() ingest produces the same counts and table
+    contents as the per-stage-action classic path."""
+    from healthcare_etl_pipeline_spark.plans.pipeline import ingest_batch_observed
+    from healthcare_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    batch = [
+        make_patient(),
+        make_patient(mrn="MRN-002", name="John Roe", consent={"data_sharing": False}),
+        make_patient(mrn="MRN-003", name=None),  # invalid
+        make_patient(mrn="MRN-004", name="Ana Diaz"),
+    ]
+    classic = ingest_batch(spark, batch, warehouse)
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.create_all()
+    observed = ingest_batch_observed(spark, batch, wh2)
+
+    keys = ["extract_count", "valid_count", "invalid_count",
+            "consented_count", "blocked_count", "load_count"]
+    assert {k: observed["record_counts"][k] for k in keys} == {
+        k: classic["record_counts"][k] for k in keys
+    }
+    assert wh2.read("patients").count() == warehouse.read("patients").count() == 2
+    assert wh2.read("consent_records").count() == warehouse.read(
+        "consent_records"
+    ).count()
