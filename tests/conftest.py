@@ -6,7 +6,14 @@ from healthcare_etl_pipeline_spark.sources.warehouse import Warehouse
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(cpus=8)
+    spark = get_spark(
+        cpus=8,
+        extra_conf={
+            # static conf: must be set at session creation (bucketed-table
+            # tests need a writable catalog warehouse outside the repo)
+            "spark.sql.warehouse.dir": "/tmp/spark-graft-test-warehouse",
+        },
+    )
     tune_for_local_tests(spark)
     yield spark
 

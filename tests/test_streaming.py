@@ -66,3 +66,43 @@ def test_stateful_user_totals_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_patient_ingest_foreachbatch(spark, warehouse, tmp_path):
+    """JSONL patient files → streaming 5-stage pipeline → warehouse tables."""
+    import json
+
+    from healthcare_etl_pipeline_spark.streaming.ingest_stream import (
+        patient_record_stream,
+        streaming_patient_ingest,
+    )
+    from tests.conftest import make_patient
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch = [
+        make_patient(),
+        make_patient(mrn="MRN-002", name="John Roe", consent={"data_sharing": False}),
+        make_patient(mrn="MRN-003", name=None),  # invalid
+        make_patient(mrn="MRN-004", name="Ana Diaz"),
+    ]
+    (src / "batch1.jsonl").write_text("\n".join(json.dumps(r) for r in batch))
+
+    stream = patient_record_stream(spark, str(src))
+    q = streaming_patient_ingest(
+        stream, warehouse, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert warehouse.read("patients").count() == 2  # valid AND consented only
+    assert warehouse.read("audit_log").count() == 2
+    actors = {r.actor for r in warehouse.read("audit_log").collect()}
+    assert actors == {"stream:batch=0"}
+
+    # redelivery idempotence: a second drain over the same files must not
+    # duplicate patients (mrn anti-join routes them as conflicts)
+    q2 = streaming_patient_ingest(
+        stream, warehouse, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert warehouse.read("patients").count() == 2
