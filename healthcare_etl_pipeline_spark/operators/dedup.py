@@ -248,26 +248,79 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text_col: Column | str, bits: int = 16, hash_mode: str = "portable") -> Column:
-    """SimHash signature from token hashes.
-
-    bit_i = 1 iff sum over tokens of ±1 (by token-hash bit i) is >= 0.
-    Expression-only: transform(sequence(bits)) × aggregate(tokens).
-    """
+def _simhash_votes(text_col: Column | str, bits: int, hash_mode: str) -> Column:
+    """struct<c0..c{bits-1}>: per-bit ±1 vote sums, in ONE fold over the
+    token hashes (a struct accumulator carries all counters)."""
     toks = F.array_distinct(tokens(text_col))
     if hash_mode == "portable":
         th = F.transform(toks, portable_char_hash)
     else:
         th = F.transform(toks, lambda s: F.xxhash64(s))
-    # Per-bit vote columns built in a Python loop: F.shiftright's bit count
-    # must be a literal int, so bits can't ride a transform() lambda.
-    def bit_vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(1) == 1, 1
-        ).otherwise(-1)
 
+    def merge(acc: Column, h: Column) -> Column:
+        return F.struct(
+            *[
+                (
+                    acc[f"c{i}"]
+                    + F.when(
+                        F.shiftright(h, i).bitwiseAND(1) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                ).alias(f"c{i}")
+                for i in range(bits)
+            ]
+        )
+
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"c{i}") for i in range(bits)]
+    )
+    return F.aggregate(th, zero, merge)
+
+
+def _sig_from_votes(votes: Column, bits: int) -> Column:
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        vote = F.aggregate(th, F.lit(0).cast("long"), bit_vote(i))
-        sig = sig + F.when(vote >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+        sig = sig + F.when(
+            votes[f"c{i}"] >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(0)
     return sig
+
+
+def simhash(text_col: Column | str, bits: int = 16, hash_mode: str = "portable") -> Column:
+    """SimHash signature from token hashes (single-Column form).
+
+    bit_i = 1 iff sum over tokens of ±1 (by token-hash bit i) is >= 0.
+    Convenient for small frames/tests; the hot path is ``simhash_df``,
+    which puts a materialization boundary between the vote fold and the
+    16-way struct read (higher-order functions are CodegenFallback and not
+    subexpression-eliminated, so inlining re-evaluates the fold per bit).
+    """
+    return _sig_from_votes(_simhash_votes(text_col, bits, hash_mode), bits)
+
+
+def simhash_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    hash_mode: str = "portable",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-doc SimHash with the vote fold evaluated exactly once.
+
+    Same two physical choices as ``minhash_signatures_df``: repartition a
+    narrow scan to cores (CPU-bound fold), persist the per-bit vote struct
+    so the signature projection reads it instead of re-running the fold.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    votes_df = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            _simhash_votes(F.col(text_col), bits, hash_mode).alias("__votes"),
+        )
+        .persist()
+    )
+    name = out_col or f"simhash{bits}"
+    return votes_df.select(
+        F.col(id_col), _sig_from_votes(F.col("__votes"), bits).alias(name)
+    )

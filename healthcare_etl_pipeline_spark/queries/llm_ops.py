@@ -283,8 +283,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash", "llm"),
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = td(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash("text", bits=16).alias("simhash16"))
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_df(docs, "doc_id", "text", bits=16, out_col="simhash16")
 
 
 _DUCK_COS = (
