@@ -192,3 +192,47 @@ def json_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed.isNotNull() & parsed["k"].isNotNull()).alias("is_valid"),
         parsed["k"].alias("k"),
     )
+
+
+@query(
+    "sql_interface_revenue_rank",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT n.n_name, c.c_mktsegment,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    )
+    SELECT n_name, c_mktsegment, revenue,
+           rank() OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, n_name) AS rev_rank
+    FROM nation_rev
+    WHERE revenue > 0
+    """,
+    description="Pure Spark-SQL surface: the same text (CTE + join + window "
+    "rank) runs through spark.sql over registered views and through DuckDB — "
+    "exercising the SQL front end rather than the DataFrame API.",
+    tags=("sql", "window", "agg"),
+)
+def sql_interface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH nation_rev AS (
+          SELECT n.n_name, c.c_mktsegment,
+                 round(sum(o.o_totalprice), 2) AS revenue
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, c.c_mktsegment
+        )
+        SELECT n_name, c_mktsegment, revenue,
+               rank() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue DESC, n_name) AS rev_rank
+        FROM nation_rev
+        WHERE revenue > 0
+        """
+    )
