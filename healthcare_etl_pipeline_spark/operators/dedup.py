@@ -297,6 +297,65 @@ def simhash(text_col: Column | str, bits: int = 16, hash_mode: str = "portable")
     return _sig_from_votes(_simhash_votes(text_col, bits, hash_mode), bits)
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the pigeonhole band trick: split the
+    signature into ``max_hamming + 1`` bit-bands — two signatures within
+    distance d must agree EXACTLY on at least one band, so candidates come
+    from an equi-join on (band_id, band_bits), never the O(n²) pair space.
+    Candidates are then verified with the exact popcount condition.
+
+    Output: id_a < id_b, hamming distance.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    sigs = simhash_df(df, id_col, text_col, bits, hash_mode, out_col="sig")
+    bands = []
+    for b in range(n_bands):
+        lo = b * width
+        # last band absorbs the remainder bits
+        w = bits - lo if b == n_bands - 1 else width
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), lo)
+                .bitwiseAND((1 << w) - 1)
+                .alias("band_bits"),
+            )
+        )
+    bucketed = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "sig", "bk.band", "bk.band_bits")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_df(
     df: DataFrame,
     id_col: str,

@@ -554,3 +554,44 @@ def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", X.lang_id_ngram("text").alias("pred_lang")
     )
+
+
+_DUCK_SIMHASH_CTE = f"""
+    WITH toks AS (
+      SELECT *, list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tk
+      FROM documents
+    ), th AS (
+      SELECT doc_id, list_transform(tk, s -> {_duck_hash('s')}) AS hashes
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+        list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(0, 16), i ->
+          CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)],
+                 list_transform(hashes, h -> CASE WHEN (h >> i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                 (a, b) -> a + b) >= 0
+          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+          (a, b) -> a + b) AS sig
+      FROM th
+    )
+"""
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=_DUCK_SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS INTEGER) AS hamming
+    FROM sigs a, sigs b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 1
+    """,
+    description="SimHash Hamming-ball near-dup pairs (distance <= 1): "
+    "pigeonhole band bucketing for candidates (two sigs within d agree on "
+    "one of d+1 bands), exact popcount verify — never O(n^2). Oracle "
+    "recomputes the exact pair set from the portable signatures.",
+    tags=("dedup", "simhash", "llm"),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", bits=16, max_hamming=1)

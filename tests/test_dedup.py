@@ -88,3 +88,29 @@ def test_xxhash_mode_runs(spark):
     """Production hash mode (engine-specific, no oracle) stays functional."""
     sigs = D.minhash_signatures_df(_docs(spark), "doc_id", "text", hash_mode="xxhash64")
     assert sigs.count() == 4
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """Band-bucketed candidates + popcount verify == exact O(n^2) pair set."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.catalog import load_table
+    from healthcare_etl_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    fast = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(
+            docs, "doc_id", "text", bits=16, max_hamming=2
+        ).collect()
+    }
+    sigs = D.simhash_df(docs, "doc_id", "text", bits=16)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash16").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash16").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 2)
+        .collect()
+    }
+    assert fast == brute
