@@ -111,3 +111,66 @@ def test_parse_json_column_routes_corrupt(spark):
     assert {r.id for r in corrupt.collect()} == {2}
     got = {r.id: (r.parsed["k"] if r.parsed else None) for r in parsed.collect()}
     assert got == {1: 5, 3: None, 4: None}
+
+
+def test_rule_compiler_differential_vs_jsonschema(spark):
+    """compile_rules(PATIENT_RULES) must agree with the reference's actual
+    validator (jsonschema Draft-7 on the FHIR Patient contract) on validity
+    AND error count, over a seeded sweep of the input space.
+
+    Missing-vs-null: the DataFrame represents absent fields as null, so the
+    jsonschema payload drops None keys (absent ≡ null, matching the rules'
+    required/optional semantics).
+    """
+    import random
+
+    import jsonschema
+
+    from healthcare_etl_pipeline_spark.operators.validation import (
+        PATIENT_RULES,
+        annotate_errors,
+    )
+    from healthcare_etl_pipeline_spark.plans.pipeline import RAW_PATIENT_SCHEMA
+
+    fhir_schema = {
+        "type": "object",
+        "required": ["resourceType", "mrn", "name"],
+        "properties": {
+            "resourceType": {"const": "Patient"},
+            "mrn": {"type": "string", "minLength": 1},
+            "name": {"type": "string", "minLength": 1},
+            "birthDate": {"type": "string", "pattern": r"^\d{4}-\d{2}-\d{2}$"},
+            "gender": {"enum": ["male", "female", "other", "unknown"]},
+            "ssn": {"type": "string", "pattern": r"^\d{3}-\d{2}-\d{4}$"},
+        },
+    }
+    validator = jsonschema.Draft7Validator(fhir_schema)
+
+    pools = {
+        "resourceType": ["Patient", "Observation", "", None],
+        "mrn": ["MRN-1", "", None],
+        "name": ["Jane", "", None],
+        "birthDate": ["1980-04-12", "1980-4-12", "not-a-date", "", None],
+        "gender": ["male", "female", "other", "unknown", "robot", "", None],
+        "ssn": ["123-45-6789", "123456789", "", None],
+    }
+    rng = random.Random(42)
+    records = [
+        {k: rng.choice(v) for k, v in pools.items()} for _ in range(400)
+    ]
+    for r in records:
+        r["consent"] = None
+
+    df = spark.createDataFrame(
+        [{f.name: r.get(f.name) for f in RAW_PATIENT_SCHEMA.fields} for r in records],
+        RAW_PATIENT_SCHEMA,
+    )
+    spark_errors = [
+        r.errors
+        for r in annotate_errors(df.coalesce(1), PATIENT_RULES).collect()
+    ]
+    for rec, errs in zip(records, spark_errors):
+        payload = {k: v for k, v in rec.items() if v is not None and k != "consent"}
+        ref_errors = list(validator.iter_errors(payload))
+        assert (len(errs) == 0) == (len(ref_errors) == 0), (rec, errs, [e.message for e in ref_errors])
+        assert len(errs) == len(ref_errors), (rec, errs, [e.message for e in ref_errors])
