@@ -236,3 +236,91 @@ def sql_interface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE revenue > 0
         """
     )
+
+
+@query(
+    "funnel_view_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE first_view IS NOT NULL) AS n_viewed,
+           count(*) FILTER (WHERE first_view IS NOT NULL
+                            AND first_click > first_view) AS n_clicked_after,
+           count(*) FILTER (WHERE first_view IS NOT NULL
+                            AND first_click > first_view
+                            AND first_purchase > first_click) AS n_purchased_after
+    FROM firsts
+    """,
+    description="Event funnel (view -> click -> purchase, strictly ordered "
+    "first-occurrence times): one grouped pass + conditional counts — the "
+    "classic large-scale product-analytics shape.",
+    tags=("events", "funnel", "agg"),
+)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return firsts.agg(
+        F.count_if(viewed).alias("n_viewed"),
+        F.count_if(clicked).alias("n_clicked_after"),
+        F.count_if(purchased).alias("n_purchased_after"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT)
+               AS week_idx
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, week_idx,
+             min(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+      FROM weeks
+    )
+    SELECT cohort_week, week_idx - cohort_week AS week_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM cohorts
+    GROUP BY cohort_week, week_offset
+    """,
+    description="Retention cohorts: users bucketed by first-seen week "
+    "(explicit anchor arithmetic — Spark's window() and DuckDB's "
+    "time_bucket anchor 7-day buckets to different origins), distinct-"
+    "active count per (cohort, week offset).",
+    tags=("events", "retention", "window", "agg"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    week_idx = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    w = Window.partitionBy("user_id")
+    cohorts = ev.select("user_id", week_idx.alias("week_idx")).withColumn(
+        "cohort_week", F.min("week_idx").over(w)
+    )
+    return (
+        cohorts.select(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
