@@ -101,6 +101,49 @@ def extract_features(df: DataFrame, *, dim: int = 8, batch_hint: int = 256) -> D
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def resize_stub(
+    df: DataFrame, *, target_w: int = 64, target_h: int = 64, batch_hint: int = 256
+) -> DataFrame:
+    """STUB resize: deterministic fake thumbnail bytes via mapInPandas.
+
+    A real implementation decodes, resizes (PIL/opencv — unavailable here),
+    and re-encodes; the stub emits a deterministic byte prefix so schema,
+    batch shape and size accounting are real. Output keeps metadata columns
+    and replaces the payload with the "resized" bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("resize_status", T.StringType(), False),
+        ]
+    )
+    target_len = max(1, (target_w * target_h) // 256)
+
+    def kernel(batches):
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda p: bytes(p[:target_len]).ljust(target_len, b"\0")
+                if p is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "n_bytes": resized.map(lambda p: len(p) if p is not None else None),
+                    "resize_status": pdf["payload"].map(
+                        lambda p: "stub_resized" if p is not None else "null_payload"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def frame_sample(df: DataFrame, *, every_n_bytes: int = 1024) -> DataFrame:
     """STUB frame sampler: emits one row per sampled "frame" offset.
 

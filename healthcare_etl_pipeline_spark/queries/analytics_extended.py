@@ -324,3 +324,53 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "window_frame_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4)       OVER w AS spend_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS cheapest,
+           round(last_value(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS priciest,
+           round(sum(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+             AS moving_sum_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="Window-function families beyond rank/lag: ntile quartiles, "
+    "percent_rank, cume_dist, unbounded-frame first/last value, and a "
+    "3-row moving sum (sum, not avg: both engines fold the frame in order, so the double result is bit-identical; avg accumulates differently in DuckDB).",
+    tags=("window", "frames"),
+)
+def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_move = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w_full), 2).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("priciest"),
+        F.round(F.sum("o_totalprice").over(w_move), 2).alias("moving_sum_3"),
+    )

@@ -43,3 +43,17 @@ def test_frame_sample_offsets(spark):
     rows = out.collect()
     assert [r.byte_offset for r in rows] == [0, 1024, 2048]
     assert [r.frame_index for r in rows] == [0, 1, 2]
+
+
+def test_resize_stub_shapes(spark):
+    from healthcare_etl_pipeline_spark.operators.multimodal import resize_stub
+
+    out = resize_stub(_media(spark), target_w=64, target_h=64).collect()
+    by_id = {r.media_id: r for r in out}
+    target_len = (64 * 64) // 256
+    for r in out:
+        if r.resize_status == "stub_resized":
+            assert r.n_bytes == target_len
+            assert len(r.payload) == target_len
+        else:
+            assert r.payload is None
