@@ -68,6 +68,15 @@ def get_spark(
     return spark
 
 
+def health_check(spark: SparkSession) -> bool:
+    """Liveness probe (reference S8: ``SELECT 1`` connectivity check,
+    app/api/routes.py:49-61): verifies the session can plan and execute."""
+    try:
+        return spark.sql("SELECT 1").collect()[0][0] == 1
+    except Exception:  # noqa: BLE001 — probe must not raise
+        return False
+
+
 def tune_for_local_tests(spark: SparkSession) -> SparkSession:
     """Runtime-settable configs for small-data test runs."""
     spark.conf.set("spark.sql.shuffle.partitions", "8")
