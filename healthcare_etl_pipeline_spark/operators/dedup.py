@@ -191,6 +191,25 @@ def lsh_candidate_pairs(
     )
 
 
+def dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates given (id_a < id_b) pair evidence: any row that
+    appears as the LARGER id of some pair is removed (its smaller partner
+    survives).
+
+    Single-pass greedy — exact for duplicate CLIQUES (every member pairs
+    with the minimum, which survives alone). For CHAINS (5~6, 6~7 but not
+    5~7) it removes every larger pair member, so 7 is dropped even though
+    its only similar partner 6 is dropped too — conservative over-removal.
+    Full transitive canonicalization is connected components (iterative);
+    use a graph pass when chain topology matters. One anti-join = one
+    shuffle on the id.
+    """
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dominated, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pair similarity via shared-shingle join)
 # ---------------------------------------------------------------------------

@@ -595,3 +595,41 @@ _DUCK_SIMHASH_CTE = f"""
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, "doc_id", "text", bits=16, max_hamming=1)
+
+
+@query(
+    "minhash_dedup_survivors",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+    description="End-to-end near-dedup: MinHash-LSH pair evidence feeding the "
+    "greedy survivor filter (smaller id of each pair survives; exact for "
+    "cliques, see operators/dedup.py:dedup_survivors).",
+    tags=("dedup", "minhash", "lsh", "llm"),
+)
+def minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
+    return D.dedup_survivors(
+        docs.select("doc_id", "lang", "source"), pairs, id_col="doc_id"
+    )

@@ -114,3 +114,19 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
         .collect()
     }
     assert fast == brute
+
+
+def test_dedup_survivors_clique_and_chain(spark):
+    from healthcare_etl_pipeline_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        # clique {1,2,3}; chain 5~6, 6~7; isolated 9
+        [(1, 2), (1, 3), (2, 3), (5, 6), (6, 7)],
+        ["id_a", "id_b"],
+    )
+    out = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    # clique {1,2,3} keeps its minimum 1; chain 5~6~7 keeps only 5 (greedy
+    # removes every larger pair member — over-removal on chains, documented);
+    # 4, 8, 9 untouched
+    assert out == {1, 4, 5, 8, 9}
