@@ -25,21 +25,29 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q10_returned_items",
+    "q18_large_volume_customers",
     "top_orders_per_customer",
     "rollup_order_volume",
+    "window_frame_functions",
     # ETL pipeline
     "patients_ingest_valid",
     "explode_consent_map",
-    # windows / sessions / streaming
+    # custom joins
+    "asof_join_purchase_click",
+    # windows / sessions / streaming / event analytics
     "sessionize_events",
     "stream_tumbling_counts",
+    "funnel_view_purchase",
+    "retention_cohorts",
     # LLM-data ops
     "dedup_exact_lineitem",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_docs",
     "cosine_topk_bruteforce",
+    "ann_lsh_cosine",
     "text_stats_docs",
+    "token_count_bpe",
 ]
 
 

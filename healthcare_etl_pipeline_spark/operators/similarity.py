@@ -17,8 +17,11 @@ Everything is expression-only — no UDF in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -257,6 +260,94 @@ def cosine_near_dup_pairs(
         .withColumn("cos_sim", cosine_fold(F.col("a_vec"), F.col("b_vec"), dim))
         .filter(F.col("cos_sim") >= threshold)
         .select("keep_id", "dup_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_vectorized(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine: one einsum per batch instead of interpreted
+    per-element folds. Use for re-ranking large candidate sets; use
+    ``cosine_fold`` when bit-identical cross-engine values are required."""
+    import numpy as np
+
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", ma, mb)
+    norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(dots / norms)
+
+
+def make_lsh_signatures_udf(*, planes: int, tables: int, dim: int, seed: int = 42):
+    """Arrow-vectorized signature kernel: one matmul per batch.
+
+    Random-hyperplane signing is a matrix multiply (batch×dim @ dim×(p·t)),
+    which the expression form evaluates as interpreted per-element lambda
+    folds (higher-order functions are CodegenFallback — ~10µs/step); numpy
+    does the same arithmetic ~1000× faster. The ±1 plane matrix is seeded,
+    so signatures are deterministic across runs and executors.
+
+    Returns a pandas UDF: array<float> -> array<bigint> (one signature per
+    hash table).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    signs = rng.choice([-1.0, 1.0], size=(dim, planes * tables)).astype(np.float64)
+    weights = (1 << np.arange(planes, dtype=np.int64))  # bit packing per table
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)          # n × dim
+        bits = (m @ signs) >= 0.0                                  # n × (p·t)
+        per_table = bits.reshape(len(m), tables, planes)           # n × t × p
+        sigs = (per_table * weights).sum(axis=2).astype(np.int64)  # n × t
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
+def ann_lsh_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH ANN with the signature stage vectorized (numpy matmul via
+    Arrow batches); bucket join + exact re-rank identical to
+    ``ann_lsh_topk``. The production variant — the expression form remains
+    for environments where Python workers are undesirable.
+    """
+    sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)
+
+    def sig(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.col(vec_col).alias(f"{name}_vec"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"),
+        )
+
+    q = sig(queries, "q_id")
+    c = sig(corpus, "vec_id")
+    candidates = (
+        q.join(c, ["table", "bucket"])
+        .select("q_id", "q_id_vec", "vec_id", "vec_id_vec")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = candidates.withColumn(
+        "cos_sim", cosine_vectorized(F.col("q_id_vec"), F.col("vec_id_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
 
 

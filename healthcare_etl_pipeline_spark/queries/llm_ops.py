@@ -335,7 +335,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = td(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ann_lsh_topk(queries, corpus, k=5, dim=64, planes=6)
+    return S.ann_lsh_topk_vectorized(
+        queries, corpus, k=5, dim=64, planes=4, tables=6
+    )
 
 
 @query(

@@ -94,3 +94,24 @@ def test_cosine_fast_matches_fold(spark):
     )
     for r in out.collect():
         assert abs(r.a - r.b) < 1e-12
+
+
+def test_ann_lsh_vectorized_recall(spark):
+    """numpy-signature variant must hit the same recall bar as the
+    expression form."""
+    from healthcare_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    corpus = emb.filter("vec_id >= 5")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(queries, corpus, k=5, dim=64).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in S.ann_lsh_topk_vectorized(
+            queries, corpus, k=5, dim=64, planes=2, tables=12
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
