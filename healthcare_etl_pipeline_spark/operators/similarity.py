@@ -191,7 +191,7 @@ def assign_cells(
     scored = df.select(
         F.col(id_col), F.col(vec_col)
     ).crossJoin(F.broadcast(centroids)).withColumn(
-        "cell_sim", cosine_fast(F.col(vec_col), F.col("centroid"))
+        "cell_sim", cosine_vectorized(F.col(vec_col), F.col("centroid"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell"))
     return (
@@ -228,7 +228,7 @@ def ann_ivf_topk(
         queries, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
     ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell")
     scored = q_cells.join(c_cells, "cell").withColumn(
-        "cos_sim", cosine_fast(F.col("q_vec"), F.col("c_vec"))
+        "cos_sim", cosine_vectorized(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
