@@ -91,3 +91,58 @@ def test_salted_join_matches_plain(spark):
     assert {(r.k, r.v, r.name) for r in salted.collect()} == {
         (r.k, r.v, r.name) for r in plain.collect()
     }
+
+
+def test_asof_join_random_sweep_vs_naive(spark):
+    """Union-merge as-of join == naive join+rank on randomized inputs
+    (seeded): keys with no matches, ties at identical timestamps, multiple
+    rights between lefts, empty right side for some keys."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n_keys = rng.randint(1, 4)
+        lefts = [
+            (k, rng.randint(0, 30), f"L{trial}_{i}")
+            for i, k in enumerate(rng.choices(range(n_keys), k=rng.randint(1, 12)))
+        ]
+        rights = [
+            (k, rng.randint(0, 30), float(i))
+            for i, k in enumerate(rng.choices(range(n_keys + 1), k=rng.randint(0, 12)))
+        ]
+        left = spark.createDataFrame(lefts, ["key", "t", "tag"])
+        if rights:
+            right = spark.createDataFrame(rights, ["key", "rt", "px"])
+        else:
+            right = spark.createDataFrame([], "key int, rt int, px double")
+        # naive: all (left, earlier-right) pairs, keep latest right (ties →
+        # max px, mirroring deterministic max-tie-break after dedup)
+        right_dedup = (
+            right.groupBy("key", "rt").agg(F.max("px").alias("px"))
+        )
+        got = {
+            (r.tag, r.px)
+            for r in J.asof_join(
+                left,
+                right_dedup,
+                key="key",
+                left_time="t",
+                right_time="rt",
+                payload_cols=["px"],
+            ).collect()
+        }
+        w = Window.partitionBy("tag").orderBy(F.desc("rt"))
+        naive = (
+            left.join(
+                right_dedup,
+                (left.key == right_dedup.key) & (right_dedup.rt <= left.t),
+                "left",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        want = {(r.tag, r.px) for r in naive.collect()}
+        assert got == want, (trial, sorted(got), sorted(want))
