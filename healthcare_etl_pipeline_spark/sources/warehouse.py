@@ -143,3 +143,41 @@ class Warehouse:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(self.path(table))
+
+    def compact(
+        self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
+    ) -> int:
+        """Rewrite a table into size-targeted files (small-files maintenance).
+
+        Streaming/micro-batch appends leave one small file per batch per
+        partition; at scale the file count, not the byte count, dominates
+        scan planning and open() overhead. Compaction reads the table,
+        coalesces to ceil(bytes / target) files, optionally sorts within
+        partitions (tighter parquet min/max stats → better row-group
+        pruning on ``sort_by`` predicates), and atomically swaps via a
+        staged directory + rename. Returns the new file count.
+        """
+        import math
+        import pathlib
+        import shutil
+
+        path = self.path(table)
+        current = self.read(table)
+        n_bytes = sum(
+            f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+        )
+        n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+        compacted = current.repartition(n_files)
+        if sort_by:
+            compacted = compacted.sortWithinPartitions(sort_by)
+        staging = path + ".compact.tmp"
+        writer = compacted.write.mode("overwrite")
+        parts = PARTITION_COLUMNS[table]
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        old = path + ".compact.old"
+        shutil.move(path, old)
+        shutil.move(staging, path)
+        shutil.rmtree(old)
+        return n_files
