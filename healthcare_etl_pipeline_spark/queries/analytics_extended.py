@@ -374,3 +374,26 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w_full), 2).alias("priciest"),
         F.round(F.sum("o_totalprice").over(w_move), 2).alias("moving_sum_3"),
     )
+
+
+@query(
+    "keyset_page_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey > 700
+    ORDER BY c_custkey
+    LIMIT 50
+    """,
+    description="Keyset pagination (WHERE key > last ORDER BY key LIMIT n): "
+    "the scale-path alternative to OFFSET — the predicate pushes to the "
+    "parquet scan, so page N+1 costs the same as page 1.",
+    tags=("pagination", "etl", "pushdown"),
+)
+def keyset_page_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.reads import keyset_page
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return keyset_page(cust, "c_custkey", after_key=700, limit=50)
