@@ -635,3 +635,35 @@ def minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_survivors(
         docs.select("doc_id", "lang", "source"), pairs, id_col="doc_id"
     )
+
+
+_DUCK_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_DUCK_FINGERPRINT = _duck_hash(_DUCK_NORM_TEXT)
+
+
+@query(
+    "dedup_docs_by_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source,
+             {_DUCK_FINGERPRINT} AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, lang, source, fingerprint
+    FROM fp
+    WHERE doc_id = (SELECT min(doc_id) FROM fp f2 WHERE f2.fingerprint = fp.fingerprint)
+    """,
+    description="Exact dedup on a content digest: normalize (lowercase, "
+    "collapse whitespace) -> rolling-hash fingerprint -> keep min doc_id "
+    "per digest. At 100 TB the shuffle ships 8-byte digests, never the "
+    "documents themselves.",
+    tags=("dedup", "fingerprint", "llm"),
+)
+def dedup_docs_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.dedup import dedup_exact
+
+    docs = td(spark, sf_dir, "documents")
+    with_fp = docs.select(
+        "doc_id", "lang", "source", X.fingerprint("text").alias("fingerprint")
+    )
+    return dedup_exact(with_fp, ["fingerprint"], tie_break="doc_id")

@@ -562,3 +562,74 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           count(*) AS late_items,
+           round(sum(l.l_extendedprice), 2) AS late_value
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    description=(
+        "TPC-H Q12 (adapted: no shipmode column — classes by priority; "
+        "late = shipped >60d after order): fact-fact join + CASE grouping."
+    ),
+    tags=("join", "agg", "tpch"),
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    priority_class = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return joined.groupBy(priority_class.alias("priority_class")).agg(
+        F.count(F.lit(1)).alias("late_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+    )
+
+
+@query(
+    "q21_slowest_supplier",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             max(l_shipdate) AS last_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(DISTINCT l.l_orderkey) AS numwait
+    FROM lineitem l
+    JOIN per_order p ON l.l_orderkey = p.l_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    WHERE p.n_supp > 1 AND l.l_shipdate = p.last_ship
+    GROUP BY s.s_name
+    """,
+    description=(
+        "TPC-H Q21 (adapted: no commit/receipt dates — 'kept waiting' = was "
+        "the last to ship in a multi-supplier order): per-order aggregate "
+        "joined back to the fact."
+    ),
+    tags=("join", "agg", "window", "tpch"),
+)
+def q21_slowest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    return (
+        li.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("last_ship")))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
