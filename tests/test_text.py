@@ -83,3 +83,46 @@ def test_lang_id_ngram_on_real_sentences(spark):
         "expected", lang_id_ngram("text").alias("pred")
     ).collect()}
     assert got == {k: k for k in got}
+
+
+def test_text_ops_edge_cases(spark):
+    """Empty / whitespace / single-char / unicode docs must not produce
+    nulls, NaNs, or errors in any text operator."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.operators import text as X
+    from healthcare_etl_pipeline_spark.operators.dedup import (
+        shingle_array,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a"), (4, "\t\n"), (5, "héllo wörld 中文 emoji")],
+        ["doc_id", "text"],
+    )
+    out = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tok"),
+        X.type_token_ratio("text").alias("ttr"),
+        X.stopword_ratio("text").alias("sw"),
+        X.punct_ratio("text").alias("punct"),
+        X.quality_score("text").alias("q"),
+        X.lang_id("text").alias("lang"),
+        X.lang_id_ngram("text").alias("lang_ng"),
+        X.fingerprint("text").alias("fp"),
+        F.size(shingle_array("text", 3)).alias("n_shingles"),
+        simhash("text", bits=8).alias("sh"),
+    ).collect()
+    for r in out:
+        assert r.n_tok >= 0
+        assert r.ttr is not None and 0.0 <= r.ttr <= 1.0
+        assert r.sw is not None and 0.0 <= r.sw <= 1.0
+        assert r.punct is not None and 0.0 <= r.punct <= 1.0
+        assert r.q is not None and 0.0 <= r.q <= 1.0
+        assert r.lang is not None and r.lang_ng is not None
+        assert r.fp is not None
+        assert r.n_shingles >= 0
+        assert r.sh is not None
+    empty = {r.doc_id: r for r in out}
+    assert empty[1].n_tok == 0 and empty[1].n_shingles == 0
+    assert empty[2].n_tok == 0
