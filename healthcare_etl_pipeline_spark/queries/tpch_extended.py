@@ -633,3 +633,183 @@ def q21_slowest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
+
+
+# The testdata has no partsupp table; q2/q11/q20 are adapted over the
+# DERIVED part-supplier relation: distinct (partkey, suppkey) pairs seen in
+# lineitem, with supplycost := min unit price (extendedprice/quantity)
+# that supplier ever charged for that part. Deterministic, derivable in
+# both engines, and preserves the queries' operator shapes.
+
+_DUCK_PARTSUPP = """
+    partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost,
+             sum(l_quantity) AS ps_volume
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+"""
+
+
+def _spark_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_volume"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_DUCK_PARTSUPP.strip()}
+    SELECT p.p_partkey, p.p_brand, round(ps.ps_supplycost, 4) AS best_cost,
+           s.s_name, n.n_name
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s  ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_size = 10
+      AND ps.ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA'
+      )
+    """,
+    description=(
+        "TPC-H Q2 (adapted: partsupp derived from lineitem, supplycost = min "
+        "unit price): cheapest in-region supplier per size-10 part — "
+        "correlated-min decorrelated into a window over the region-filtered "
+        "part-supplier frame."
+    ),
+    tags=("join", "subquery", "broadcast", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _spark_partsupp(spark, sf_dir)
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    in_region = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = in_region.withColumn(
+        "min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 4).alias("best_cost"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_DUCK_PARTSUPP.strip()},
+    value_by_part AS (
+      SELECT ps.ps_partkey,
+             sum(ps.ps_supplycost * ps.ps_volume) AS part_value
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      WHERE s.s_nationkey = 3
+      GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, round(part_value, 2) AS part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT 0.01 * sum(part_value) FROM value_by_part)
+    """,
+    description=(
+        "TPC-H Q11 (adapted partsupp): parts whose stock value in one "
+        "nation exceeds 1% of the national total — global-scalar threshold "
+        "via crossjoined aggregate."
+    ),
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _spark_partsupp(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    value_by_part = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_volume")).alias("part_value"))
+    )
+    total = value_by_part.agg(
+        (0.01 * F.sum("part_value")).alias("threshold")
+    )
+    return (
+        value_by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q20_excess_volume_suppliers",
+    oracle=f"""
+    WITH {_DUCK_PARTSUPP.strip()},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM partsupp ps
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_suppkey = s.s_suppkey
+        AND sh.qty_1997 > 0.5 * ps.ps_volume
+    )
+    """,
+    description=(
+        "TPC-H Q20 (adapted partsupp): suppliers who shipped more than half "
+        "a part's lifetime volume in 1997 — EXISTS over a derived aggregate "
+        "join, as a semi-join."
+    ),
+    tags=("join", "semi", "agg", "tpch"),
+)
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _spark_partsupp(spark, sf_dir)
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty_1997")
+    )
+    hot = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("qty_1997") > 0.5 * F.col("ps_volume"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.join(hot, supp.s_suppkey == hot.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
