@@ -185,6 +185,55 @@ def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     return portable_char_hash(c)
 
 
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (name, regex, replacement) — applied in order; SSN before phone so the
+    # 3-2-4 digit shape is not half-eaten by a phone pattern.
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("email", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]"),
+    ("phone", r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    ("mrn", r"\bMRN-\d+\b", "[MRN]"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chained regexp_replace redaction of SSN / email / phone / MRN tokens.
+
+    The healthcare-flavored cousin of the PHI-strip projection: where
+    strip_phi_fields removes STRUCTURED fields, this scrubs identifiers
+    embedded in free text before it feeds a training corpus. Pure
+    regexp_replace chain — whole-stage codegen, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII hit counts (for audit/reporting side-outputs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast("long")
+        for name, pattern, _repl in PII_PATTERNS
+    }
+
+
+def contamination_flags(
+    text_col: Column | str, probe_ngrams: list[str]
+) -> Column:
+    """Benchmark-decontamination check: which probe n-grams occur verbatim
+    in the (normalized) document. Returns array<string> of matched probes.
+
+    The probe set is a literal array (broadcast with the plan); matching is
+    substring containment on whitespace-normalized lowered text — the
+    standard first-pass filter before expensive fuzzy matching.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+    probes = F.array(*[F.lit(p.lower()) for p in probe_ngrams])
+    return F.filter(probes, lambda p: F.contains(norm, p))
+
+
 def annotate_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-statistics annotation used by the quality pipeline."""
     c = F.col(text_col)

@@ -667,3 +667,82 @@ def dedup_docs_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", X.fingerprint("text").alias("fingerprint")
     )
     return dedup_exact(with_fp, ["fingerprint"], tie_break="doc_id")
+
+
+@query(
+    "pii_redact_docs",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' Contact: jane.doe@example.com 555-123-4567 ssn 123-45-6789 MRN-42'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                 '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '[EMAIL]', 'g'),
+               '\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+             '\bMRN-\d+\b', '[MRN]', 'g') AS redacted,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           len(regexp_extract_all(text, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b')) AS n_email
+    FROM seeded
+    """,
+    description="PII redaction for training corpora: chained regexp_replace "
+    "scrub of SSN/email/phone/MRN tokens (codegen, no Python) with per-"
+    "category hit counts; deterministic PII injected on doc_id % 7 so the "
+    "oracle exercises real replacements.",
+    tags=("text", "pii", "etl", "llm"),
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(
+                    " Contact: jane.doe@example.com 555-123-4567 ssn 123-45-6789 MRN-42"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = X.pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        X.redact_pii("text").alias("redacted"),
+        counts["ssn"].alias("n_ssn"),
+        counts["email"].alias("n_email"),
+    )
+
+
+@query(
+    "contamination_check_docs",
+    oracle=r"""
+    SELECT doc_id,
+           list_filter(['the batch value', 'hash scan join', 'spark group query'],
+                       p -> contains(regexp_replace(lower(text), '\s+', ' ', 'g'), p))
+             AS matched_probes,
+           len(list_filter(['the batch value', 'hash scan join', 'spark group query'],
+                           p -> contains(regexp_replace(lower(text), '\s+', ' ', 'g'), p))) > 0
+             AS is_contaminated
+    FROM documents
+    """,
+    description="Benchmark decontamination first pass: verbatim probe-n-gram "
+    "containment on normalized text (probe set broadcast as a literal "
+    "array); flagged docs would go to fuzzy verification.",
+    tags=("text", "contamination", "llm"),
+)
+def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = ["the batch value", "hash scan join", "spark group query"]
+    docs = td(spark, sf_dir, "documents")
+    matched = X.contamination_flags("text", probes)
+    return docs.select(
+        "doc_id",
+        matched.alias("matched_probes"),
+        (F.size(matched) > 0).alias("is_contaminated"),
+    )

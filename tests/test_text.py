@@ -126,3 +126,33 @@ def test_text_ops_edge_cases(spark):
     empty = {r.doc_id: r for r in out}
     assert empty[1].n_tok == 0 and empty[1].n_shingles == 0
     assert empty[2].n_tok == 0
+
+
+def test_redact_pii_and_counts(spark):
+    from healthcare_etl_pipeline_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 or mail a.b@x.io re MRN-77 ssn 123-45-6789"),
+            (2, "clean text, no identifiers at all"),
+            (3, "dates like 1980-04-12 must survive"),
+        ],
+        ["id", "text"],
+    )
+    counts = pii_counts("text")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            counts["ssn"].alias("n_ssn"),
+            counts["phone"].alias("n_phone"),
+            counts["email"].alias("n_email"),
+            counts["mrn"].alias("n_mrn"),
+        ).collect()
+    }
+    assert out[1].red == "call [PHONE] or mail [EMAIL] re [MRN] ssn [SSN]"
+    assert (out[1].n_ssn, out[1].n_phone, out[1].n_email, out[1].n_mrn) == (1, 1, 1, 1)
+    assert out[2].red == "clean text, no identifiers at all"
+    # a YYYY-MM-DD date is not an SSN (4-2-2 digits ≠ 3-2-4)
+    assert "1980-04-12" in out[3].red
