@@ -139,3 +139,54 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id
+    FROM events c
+    JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+     AND c.event_id <> p.event_id
+    WHERE c.event_type = 'click'
+    """,
+    description="Stream-stream interval join: clicks joined to purchases of "
+    "the same user within the preceding 30 minutes, BOTH sides streaming "
+    "with watermarks (bounded state) — checked against the batch range-join "
+    "recomputation.",
+    tags=("streaming", "join", "interval"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        streaming_events(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        streaming_events(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user
+            AND c_ts >= p_ts - INTERVAL 30 MINUTES
+            AND c_ts <= p_ts
+            AND event_id != purchase_id
+            """
+        ),
+    ).select("purchase_id", "event_id")
+    return run_stream_to_memory(spark, joined, output_mode="append")
