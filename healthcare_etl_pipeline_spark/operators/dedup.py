@@ -210,6 +210,68 @@ def dedup_survivors(
     return df.join(dominated, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clusters: (id, component) where component is the
+    minimum id reachable through pair edges — the exact canonicalization
+    ``dedup_survivors`` approximates greedily.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds (duplicate clusters are shallow — near-dup graphs are mostly
+    cliques and short chains). Each round is ONE shuffle (edge join +
+    groupBy); labels are localCheckpoint-ed per round so lineage doesn't
+    grow with iterations. Raises if not converged within max_iterations.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pair similarity via shared-shingle join)
 # ---------------------------------------------------------------------------

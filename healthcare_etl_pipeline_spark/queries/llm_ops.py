@@ -746,3 +746,48 @@ def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.alias("matched_probes"),
         (F.size(matched) > 0).alias("is_contaminated"),
     )
+
+
+@query(
+    "dedup_components_docs",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), prop AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, p.label
+      FROM prop p JOIN edges e ON p.id = e.src
+      WHERE p.label < e.dst
+    )
+    SELECT id, min(label) AS component FROM prop GROUP BY id
+    """,
+    description="Transitive duplicate clusters: iterative min-label "
+    "propagation (one shuffle per round, checkpointed lineage) over "
+    "MinHash-LSH pair evidence — the exact canonicalization the greedy "
+    "survivor filter approximates. Oracle: recursive CTE reachability.",
+    tags=("dedup", "minhash", "iterative", "llm"),
+)
+def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
+    return D.connected_components(pairs)

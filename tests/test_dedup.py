@@ -130,3 +130,21 @@ def test_dedup_survivors_clique_and_chain(spark):
     # removes every larger pair member — over-removal on chains, documented);
     # 4, 8, 9 untouched
     assert out == {1, 4, 5, 8, 9}
+
+
+def test_connected_components_chain_and_clique(spark):
+    from healthcare_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # clique {1,2,3}; chain 5-6, 6-7; long chain 10-11, 11-12, 12-13
+        [(1, 2), (1, 3), (2, 3), (5, 6), (6, 7), (10, 11), (11, 12), (12, 13)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        5: 5, 6: 5, 7: 5,
+        10: 10, 11: 10, 12: 10, 13: 10,
+    }
