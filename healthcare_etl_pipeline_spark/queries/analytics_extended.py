@@ -397,3 +397,40 @@ def keyset_page_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment"
     )
     return keyset_page(cust, "c_custkey", after_key=700, limit=50)
+
+
+@query(
+    "zscore_outlier_events",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+    description="Anomaly detection: per-event-type z-score against grouped "
+    "mean/stddev (one aggregate + broadcast join back), flagging |z| > 3.",
+    tags=("events", "anomaly", "agg"),
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

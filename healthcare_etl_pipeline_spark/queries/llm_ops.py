@@ -791,3 +791,71 @@ def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
     return D.connected_components(pairs)
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle=fr"""
+    WITH RECURSIVE {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), quality AS (
+      SELECT t.doc_id,
+             CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END * 0.4
+             + CASE WHEN len(tk) > 0
+                    THEN 0.3 * CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                    ELSE 0.0 END
+             + 0.3 * (CASE WHEN length(text) > 0
+                      THEN 1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+                      ELSE 1.0 END) AS q
+      FROM toks t
+    )
+    SELECT d.doc_id, d.source,
+           regexp_replace(
+             regexp_replace(d.text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN]', 'g'),
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}\b', '[EMAIL]', 'g')
+             AS clean_text,
+           round(q.q, 6) AS quality
+    FROM documents d
+    JOIN quality q ON d.doc_id = q.doc_id
+    WHERE round(q.q, 6) >= 0.8
+      AND d.doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+    description="End-to-end training-corpus preparation in ONE plan: quality "
+    "gate (>= 0.8) -> near-dedup survivor filter (MinHash-LSH pair "
+    "evidence) -> PII scrub of the surviving text. The composition the "
+    "driver brief describes, oracle-checked as a whole.",
+    tags=("llm", "pipeline", "dedup", "quality", "pii"),
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.dedup import dedup_survivors
+
+    docs = td(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
+    scored = docs.select(
+        "doc_id", "source", "text", X.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= 0.8)
+    surviving = dedup_survivors(scored, pairs, id_col="doc_id")
+    # scrub only SSN + email here (the two patterns the oracle mirrors)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), X.PII_PATTERNS[0][1], "[SSN]"),
+        X.PII_PATTERNS[1][1],
+        "[EMAIL]",
+    )
+    return surviving.select(
+        "doc_id", "source", clean.alias("clean_text"), "quality"
+    )
