@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_lsh_cosine",
     "text_stats_docs",
     "token_count_bpe",
+    "corpus_prep_pipeline",
 ]
 
 
