@@ -162,7 +162,19 @@ def lsh_candidate_pairs(
     # Persist the signatures: both sides of the self-join read them, and the
     # shingle→hash→minhash pipeline is the expensive part — without a
     # materialization boundary Spark recomputes it per join side.
-    sigs = minhash_signatures_df(df, id_col, text_col, k, n, hash_mode).persist()
+    #
+    # Degenerate-bucket guard: docs with ZERO shingles (empty/short docs) get
+    # the sentinel signature (MOD) in every permutation, so they would all
+    # land in the SAME band bucket — on a real corpus with millions of tiny
+    # docs that one bucket becomes an n² candidate blow-up. A zero-shingle
+    # doc has Jaccard 0 (or undefined) against everything, so it can never be
+    # a near-dup candidate: exclude it from banding. (sig_0 < MOD whenever
+    # the doc has ≥1 shingle, since every permuted hash is taken mod MOD.)
+    sigs = (
+        minhash_signatures_df(df, id_col, text_col, k, n, hash_mode)
+        .filter(F.col("sig_0") != F.lit(MOD))
+        .persist()
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -283,11 +295,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     hash_mode: str = "portable",
+    max_df: int | None = 10_000,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
+    """Jaccard over shingle sets for pairs sharing ≥1 (non-hot) shingle.
 
     |A∩B| from the shared-shingle join group count; |A∪B| = |A|+|B|-|A∩B|.
     Shuffles on the shingle hash — documents sharing no shingle never meet.
+
+    ``max_df`` — the scale guard: a single stop-phrase shingle appearing in
+    m documents emits m² join rows before the threshold filter, and AQE
+    skew-splitting spreads the work but cannot shrink that pair space.
+    Shingles with document frequency > max_df are dropped from the index
+    BEFORE the self-join (one extra groupBy pass over the exploded shingles,
+    map-side combined; the hot set is tiny so it anti-joins as a broadcast).
+    Set sizes keep the FULL distinct-shingle count, so the reported jaccard
+    is a lower bound for docs containing hot shingles — hot shingles carry
+    no discriminative signal, so near-dup pairs still clear the threshold
+    through their non-hot overlap. ``max_df=None`` disables the cap (the
+    exact small-scale oracle form).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     hashes = (
@@ -299,6 +324,14 @@ def ngram_jaccard_pairs(
     )
     # Persisted: the exploded shingle set feeds both sides of the self-join.
     exploded = hashes.select(id_col, "set_size", F.explode("hs").alias("h")).persist()
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        exploded = exploded.join(F.broadcast(hot), "h", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pair_overlap = (
@@ -398,7 +431,13 @@ def simhash_near_pairs(
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
-    sigs = simhash_df(df, id_col, text_col, bits, hash_mode, out_col="sig")
+    # Degenerate-bucket guard: a doc with ZERO tokens has an all-zero vote
+    # struct, and the >=0 rule then sets EVERY bit — all empty docs share the
+    # all-ones signature and would pile into one band bucket (n² candidates
+    # at corpus scale). Token-free docs carry no content signal for SimHash;
+    # exclude them from candidate generation (exact dedup handles them).
+    non_empty = df.filter(F.size(tokens(F.col(text_col))) > 0)
+    sigs = simhash_df(non_empty, id_col, text_col, bits, hash_mode, out_col="sig")
     bands = []
     for b in range(n_bands):
         lo = b * width

@@ -211,7 +211,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events GROUP BY event_type

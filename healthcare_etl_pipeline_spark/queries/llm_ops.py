@@ -216,7 +216,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         'b1:' || sig_2 || ':' || sig_3,
         'b2:' || sig_4 || ':' || sig_5,
         'b3:' || sig_6 || ':' || sig_7]) AS bucket
-      FROM sigs
+      FROM sigs WHERE sig_0 <> {MOD}
     )
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM buckets l JOIN buckets r
@@ -238,11 +238,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_DUCK_SHINGLE_HASHES_CTE}
     , ex AS (
       SELECT doc_id, len(hs) AS set_size, unnest(hs) AS h FROM hs
+    ), hot AS (
+      SELECT h FROM ex GROUP BY h HAVING count(*) > 100
+    ), kept AS (
+      SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot)
     ), overlap AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
              count(*) AS n_shared
-      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, n_shared,
@@ -250,13 +254,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM overlap
     WHERE round(n_shared / (size_a + size_b - n_shared), 6) >= 0.02
     """,
-    description="Exact n-gram Jaccard for pairs sharing ≥1 shingle "
-    "(shared-shingle self-join; no O(n²) pair space).",
+    description="n-gram Jaccard for pairs sharing ≥1 non-hot shingle "
+    "(shared-shingle self-join; no O(n²) pair space; document-frequency "
+    "cap drops stop-phrase shingles whose m² join fanout AQE can spread "
+    "but never shrink).",
     tags=("dedup", "jaccard", "llm"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.02)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.02, max_df=100
+    )
 
 
 @query(
@@ -573,7 +581,7 @@ _DUCK_SIMHASH_CTE = f"""
                  (a, b) -> a + b) >= 0
           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
           (a, b) -> a + b) AS sig
-      FROM th
+      FROM th WHERE len(hashes) > 0
     )
 """
 
@@ -614,7 +622,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         'b1:' || sig_2 || ':' || sig_3,
         'b2:' || sig_4 || ':' || sig_5,
         'b3:' || sig_6 || ':' || sig_7]) AS bucket
-      FROM sigs
+      FROM sigs WHERE sig_0 <> {MOD}
     ), pairs AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM buckets l JOIN buckets r
@@ -763,7 +771,7 @@ def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         'b1:' || sig_2 || ':' || sig_3,
         'b2:' || sig_4 || ':' || sig_5,
         'b3:' || sig_6 || ':' || sig_7]) AS bucket
-      FROM sigs
+      FROM sigs WHERE sig_0 <> {MOD}
     ), pairs AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM buckets l JOIN buckets r
@@ -808,7 +816,7 @@ def dedup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         'b1:' || sig_2 || ':' || sig_3,
         'b2:' || sig_4 || ':' || sig_5,
         'b3:' || sig_6 || ':' || sig_7]) AS bucket
-      FROM sigs
+      FROM sigs WHERE sig_0 <> {MOD}
     ), pairs AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM buckets l JOIN buckets r

@@ -116,6 +116,55 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
     assert fast == brute
 
 
+def test_lsh_empty_docs_excluded_from_banding(spark):
+    """Zero-shingle docs all share the sentinel signature; banding them
+    would put every tiny/empty doc in ONE bucket (n² candidates at corpus
+    scale). They must produce no candidate pairs at all."""
+    rows = (
+        [(1, DOC_A), (2, DOC_A_NEAR)]
+        + [(i, "") for i in range(100, 120)]          # empty
+        + [(i, "one two") for i in range(200, 220)]   # < n tokens, no shingle
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs  # real near-dups still found
+    assert all(a < 100 and b < 100 for a, b in pairs)  # no sentinel bucket
+
+
+def test_simhash_empty_docs_excluded_from_pairs(spark):
+    """Token-free docs get the all-ones signature (zero votes → every bit
+    set); they must not bucket together as Hamming-0 'near-dups'."""
+    df = spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A), (3, ""), (4, ""), (5, "   ")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(
+            df, "doc_id", "text", bits=16, max_hamming=1
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_ngram_jaccard_df_cap_prunes_hot_shingles(spark):
+    """A stop phrase shared by all m docs yields m² join rows; the df cap
+    drops its shingles before the self-join, shrinking the pair space."""
+    stop = "call us now for more info"
+    rows = [(i, f"{stop} unique{i} token{i} word{i}") for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=None)
+    capped = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=10)
+    assert uncapped.count() == 20 * 19 // 2  # hot shingles pair everyone
+    assert capped.count() == 0  # non-discriminative shingles pruned
+    # cap that never binds (df cap >= corpus size) is a no-op
+    loose = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=25)
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
 def test_dedup_survivors_clique_and_chain(spark):
     from healthcare_etl_pipeline_spark.operators.dedup import dedup_survivors
 
