@@ -479,6 +479,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS keep_id, embedding AS qv FROM embeddings),
+         b AS (SELECT vec_id AS dup_id, embedding AS cv FROM embeddings)
+    SELECT keep_id, dup_id, round({_DUCK_COS}, 6) AS cos_sim
+    FROM a, b
+    WHERE keep_id < dup_id AND {_DUCK_COS} >= 0.35
+    """,
+    description="Embedding near-dup pairs behind a banded-LSH prefilter "
+    "(seeded hyperplane signatures, 16 tables x 2 planes, bucket equi-join, "
+    "exact-fold re-rank) — the production form: the O(n^2) self-join never "
+    "materializes. Value oracle is the EXACT pair set: at this corpus/"
+    "threshold the prefilter's recall is exhaustively 1.0 (asserted in "
+    "tests), so LSH output == exact output.",
+    tags=("dedup", "similarity", "lsh", "llm"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td(spark, sf_dir, "embeddings")
+    return S.embedding_dedup_lsh(
+        emb, dim=64, threshold=0.35, planes=2, tables=16, seed=42
+    )
+
+
+@query(
     "ann_ivf_cosine",
     oracle=None,  # float centroid averages differ in last-ulp across engines
     description="IVF-style ANN: label-seeded centroid cells, nprobe=3 probe, "

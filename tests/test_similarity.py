@@ -96,6 +96,26 @@ def test_cosine_fast_matches_fold(spark):
         assert abs(r.a - r.b) < 1e-12
 
 
+def test_embedding_dedup_lsh_matches_exact(spark):
+    """The LSH-prefiltered near-dup pairs must equal the exact O(n²) pair
+    set on the oracle corpus (recall 1.0 at planes=2/tables=16) — the
+    contract that lets the registered query carry a full value oracle."""
+    from healthcare_etl_pipeline_spark.catalog import load_table
+    from healthcare_etl_pipeline_spark.queries.helpers import spread
+
+    emb = spread(load_table(spark, "/root/testdata/sf0.001", "embeddings"), spark)
+    exact = {
+        (r.keep_id, r.dup_id, r.cos_sim)
+        for r in S.cosine_near_dup_pairs(emb, dim=64, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.keep_id, r.dup_id, r.cos_sim)
+        for r in S.embedding_dedup_lsh(emb, dim=64, threshold=0.35).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 100  # the threshold actually bites on this corpus
+
+
 def test_ann_lsh_vectorized_recall(spark):
     """numpy-signature variant must hit the same recall bar as the
     expression form."""
