@@ -151,14 +151,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        raw = spark.read.parquet(table_path(sf_dir, name))
-        return raw.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-        )
+        # The legacy conf is captured into the plan at read time, so it can
+        # be restored immediately — a later nanos-typed parquet read
+        # elsewhere in the session then still fails loudly instead of
+        # silently coming back as bigint.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            raw = spark.read.parquet(table_path(sf_dir, name))
+            return raw.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.read.parquet(table_path(sf_dir, name))
 
 

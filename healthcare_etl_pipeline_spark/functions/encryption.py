@@ -28,18 +28,35 @@ from pyspark.sql import types as T
 
 from cryptography.fernet import Fernet
 
-_ENV_KEY = "ETL_ENCRYPTION_KEY"
+# The reference reads PHI_ENCRYPTION_KEY (app/services/encryption.py:18-26);
+# accept it first so operators configured for the reference keep their data
+# recoverable, with ETL_ENCRYPTION_KEY as this engine's alias.
+_ENV_KEYS = ("PHI_ENCRYPTION_KEY", "ETL_ENCRYPTION_KEY")
 _ephemeral_key: bytes | None = None
+_warned_ephemeral = False
 
 
 def get_key() -> bytes:
-    """Key from env, else a process-lifetime ephemeral key (dev/test only)."""
-    global _ephemeral_key
-    env = os.environ.get(_ENV_KEY)
-    if env:
-        return env.encode()
+    """Key from env (PHI_ENCRYPTION_KEY, then ETL_ENCRYPTION_KEY), else a
+    process-lifetime ephemeral key — dev/test only: data encrypted under an
+    ephemeral key is UNRECOVERABLE after the process exits, so the fallback
+    warns loudly once."""
+    global _ephemeral_key, _warned_ephemeral
+    for name in _ENV_KEYS:
+        env = os.environ.get(name)
+        if env:
+            return env.encode()
     if _ephemeral_key is None:
         _ephemeral_key = Fernet.generate_key()
+    if not _warned_ephemeral:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "No %s set — using a process-lifetime EPHEMERAL encryption key; "
+            "encrypted data will be unrecoverable after this process exits",
+            " or ".join(_ENV_KEYS),
+        )
+        _warned_ephemeral = True
     return _ephemeral_key
 
 

@@ -129,16 +129,20 @@ def minhash_signatures_df(
     Two deliberate physical choices:
     - repartition to cores first: a single-file corpus otherwise lands in ONE
       partition and the (CPU-bound) shingle hashing runs on one core;
-    - materialize the shingle-hash array via persist before deriving the k
-      signature columns — higher-order functions are CodegenFallback and not
-      subexpression-eliminated, so without a boundary each sig column would
-      recompute the whole tokenize→shingle→hash pipeline (k× the work).
+    - materialize the shingle-hash array via localCheckpoint before deriving
+      the k signature columns — higher-order functions are CodegenFallback
+      and not subexpression-eliminated, so without a boundary each sig
+      column would recompute the whole tokenize→shingle→hash pipeline (k×
+      the work). localCheckpoint (lazy) instead of persist: its blocks are
+      freed by the ContextCleaner once the frame is unreferenced, so
+      long-lived sessions running many queries don't accumulate cache
+      entries that only explicit unpersist would release.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     hs_df = (
         df.repartition(par, id_col)
         .select(F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     return hs_df.select(F.col(id_col), *minhash_signature(F.col("hs"), k))
 
@@ -159,9 +163,10 @@ def lsh_candidate_pairs(
     join is an equi-join → shuffle on the bucket key, never O(n²).
     """
     rows_per_band = k // bands
-    # Persist the signatures: both sides of the self-join read them, and the
-    # shingle→hash→minhash pipeline is the expensive part — without a
-    # materialization boundary Spark recomputes it per join side.
+    # Checkpoint the signatures: both sides of the self-join read them, and
+    # the shingle→hash→minhash pipeline is the expensive part — without a
+    # materialization boundary Spark recomputes it per join side. (Lazy
+    # localCheckpoint, not persist: blocks are GC-freed with the frame.)
     #
     # Degenerate-bucket guard: docs with ZERO shingles (empty/short docs) get
     # the sentinel signature (MOD) in every permutation, so they would all
@@ -173,7 +178,7 @@ def lsh_candidate_pairs(
     sigs = (
         minhash_signatures_df(df, id_col, text_col, k, n, hash_mode)
         .filter(F.col("sig_0") != F.lit(MOD))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     band_cols = [
         F.struct(
@@ -315,15 +320,25 @@ def ngram_jaccard_pairs(
     exact small-scale oracle form).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    # The materialization boundary sits BEFORE size()/explode(): the shingle
+    # hash pipeline is a CodegenFallback higher-order expression, and a
+    # Generate (explode) whose child is that raw expression re-evaluates it
+    # per OUTPUT row (~10× the work measured at sf0.1); size() inlined by
+    # CollapseProject doubles it again. Checkpointing the (id, hs) arrays
+    # first makes every downstream consumer — set_size, explode, the hot-df
+    # pass, both self-join sides — read stored arrays. (Lazy localCheckpoint,
+    # not persist: blocks are GC-freed with the frame, no cache accumulation
+    # across queries in a long-lived session.)
     hashes = (
         df.repartition(par, id_col)
         .select(
             F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs")
         )
-        .withColumn("set_size", F.size("hs"))
+        .localCheckpoint(eager=False)
     )
-    # Persisted: the exploded shingle set feeds both sides of the self-join.
-    exploded = hashes.select(id_col, "set_size", F.explode("hs").alias("h")).persist()
+    exploded = hashes.select(
+        id_col, F.size("hs").alias("set_size"), F.explode("hs").alias("h")
+    )
     if max_df is not None:
         hot = (
             exploded.groupBy("h")
@@ -487,8 +502,9 @@ def simhash_df(
     """Per-doc SimHash with the vote fold evaluated exactly once.
 
     Same two physical choices as ``minhash_signatures_df``: repartition a
-    narrow scan to cores (CPU-bound fold), persist the per-bit vote struct
-    so the signature projection reads it instead of re-running the fold.
+    narrow scan to cores (CPU-bound fold), checkpoint the per-bit vote
+    struct so the signature projection reads it instead of re-running the
+    fold (lazy localCheckpoint — GC-freed, no cache accumulation).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     votes_df = (
@@ -497,7 +513,7 @@ def simhash_df(
             F.col(id_col),
             _simhash_votes(F.col(text_col), bits, hash_mode).alias("__votes"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     name = out_col or f"simhash{bits}"
     return votes_df.select(

@@ -35,24 +35,35 @@ def asof_join(
 
     Ties: a right row at exactly left_time sorts before the left row
     (side 0 < side 1), so inclusive semantics match DuckDB's ASOF JOIN.
+
+    All payload columns are packed into ONE struct and ``last(struct,
+    ignorenulls)`` is applied once — per-column last() would fill a NULL
+    payload field of the matched right row from an OLDER right row, mixing
+    columns from different right rows (ASOF semantics return the matched
+    row's values, NULLs included).
     """
+    from pyspark.sql import types as T
+
     # Side markers order tie-breaks within one timestamp: inclusive mode
     # puts right rows first (visible to a same-instant left row); strict
     # mode puts them after (invisible).
     left_side, right_side = (1, 0) if not strict else (0, 1)
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     l_tagged = left.select(
         F.col(key).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(left_side).alias("__side"),
         F.struct(*left.columns).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     r_tagged = right.select(
         F.col(key).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(right_side).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
-        *payload_cols,
+        F.struct(*payload_cols).alias("__payload"),
     )
     w = (
         Window.partitionBy("__key")
@@ -62,14 +73,11 @@ def asof_join(
     merged = l_tagged.unionByName(r_tagged).select(
         "__side",
         "__left",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     return (
         merged.filter(F.col("__side") == left_side)
-        .select("__left.*", *payload_cols)
+        .select("__left.*", "__payload.*")
     )
 
 
@@ -123,7 +131,17 @@ def salted_join(
     join), salting spreads each key over ``salt_buckets`` reducers. AQE's
     skewJoin handles moderate skew automatically; this operator is the
     explicit form for pathological keys or when AQE is off (streaming).
+
+    Only inner/left/left_semi are supported: the small side is REPLICATED
+    across salt buckets, so right/full-outer would emit ``salt_buckets``
+    phantom rows for every unmatched small-side key.
     """
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left','left_semi'); got {how!r} "
+            "(the replicated small side would duplicate unmatched rows under "
+            "right/full outer joins)"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

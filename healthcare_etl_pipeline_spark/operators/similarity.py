@@ -306,12 +306,13 @@ def embedding_dedup_lsh(
     corpora (smaller buckets).
     """
     sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)
-    # Persisted: the Arrow-batched signature matmul feeds BOTH sides of the
-    # self-join; the boundary also sidesteps self-join attribute ambiguity.
+    # Checkpointed: the Arrow-batched signature matmul feeds BOTH sides of
+    # the self-join; the boundary also sidesteps self-join attribute
+    # ambiguity. (Lazy localCheckpoint — blocks GC-freed with the frame.)
     sigs = df.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     l, r = sigs.alias("l"), sigs.alias("r")
     candidates = (
         l.join(
@@ -469,12 +470,18 @@ def ann_lsh_topk(
     runs once per candidate pair regardless of how many tables collide.
     """
     def sig(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
+        # Boundary BEFORE explode: the signature array is a CodegenFallback
+        # HOF fold, and Generate re-evaluates a raw generator child per
+        # OUTPUT row (tables× the work). Checkpoint the arrays first.
+        with_sigs = df.select(
             F.col(id_col).alias(name),
             F.col(vec_col).alias(f"{name}_vec"),
-            F.explode(
-                lsh_bucket_array(F.col(vec_col), planes=planes, tables=tables, dim=dim)
-            ).alias("sig"),
+            lsh_bucket_array(
+                F.col(vec_col), planes=planes, tables=tables, dim=dim
+            ).alias("sigs"),
+        ).localCheckpoint(eager=False)
+        return with_sigs.select(
+            name, f"{name}_vec", F.explode("sigs").alias("sig")
         ).select(name, f"{name}_vec", "sig.table", "sig.bucket")
 
     q = sig(queries, "q_id")

@@ -41,13 +41,28 @@ class Rule:
     """One validation rule over one column; compiles to (predicate, message).
 
     kind: required | const | enum | pattern | min_length | not_negative |
-          castable | custom
+          castable | custom | nested_required | array_item_required |
+          closed_world
+
+    Nested rules (for struct/array columns, e.g. FHIR Observation):
+    - ``nested_required`` — column is a dotted path ("code.coding"); fires
+      only when the PARENT struct is present but the field is null (JSON
+      Schema does not descend into absent objects).
+    - ``array_item_required`` — column is an array<struct> path, arg the
+      required item field; emits ONE message per violating item (matching
+      jsonschema's per-item iter_errors count).
+    - ``closed_world`` — column is a raw JSON string, arg the allowed
+      top-level keys (additionalProperties: false); one message per record
+      regardless of how many extras, like jsonschema.
     """
 
     column: str
     kind: str
     arg: object = None
     message: str | None = None
+
+    def _leaf(self) -> str:
+        return self.column.rsplit(".", 1)[-1]
 
     def error_message(self) -> str:
         if self.message:
@@ -57,6 +72,12 @@ class Rule:
         # backslashes, which would leak Python escaping into data values.
         if self.kind == "required":
             return f"'{self.column}' is a required property"
+        if self.kind == "nested_required":
+            return f"'{self._leaf()}' is a required property"
+        if self.kind == "array_item_required":
+            return f"'{arg}' is a required property"
+        if self.kind == "closed_world":
+            return "Additional properties are not allowed"
         if self.kind == "const":
             return f"'{self.column}' must be {arg!r}"
         if self.kind == "enum":
@@ -95,23 +116,50 @@ class Rule:
             return c.isNotNull() & (c < 0)
         if self.kind == "castable":
             return c.isNotNull() & c.cast(str(self.arg)).isNull()
+        if self.kind == "nested_required":
+            parent = F.col(self.column.rsplit(".", 1)[0])
+            return parent.isNotNull() & c.isNull()
+        if self.kind == "closed_world":
+            extras = F.array_except(
+                F.json_object_keys(c),
+                F.array(*[F.lit(k) for k in self.arg]),
+            )
+            return c.isNotNull() & extras.isNotNull() & (F.size(extras) > 0)
         if self.kind == "custom":
             # arg is a Column predicate that is true when VALID
             return F.coalesce(~self.arg, F.lit(False))
         raise ValueError(f"unknown rule kind {self.kind!r}")
 
+    def message_slot(self) -> Column:
+        """array<string> of raw message slots (nulls where not violated).
+
+        Scalar rules emit a 1-element array; ``array_item_required`` emits
+        one slot per array item (in item order), so a record whose array has
+        two violating items reports two messages — jsonschema count parity.
+        """
+        if self.kind == "array_item_required":
+            arr = F.col(self.column)
+            msg = F.lit(self.error_message())
+            per_item = F.transform(
+                arr, lambda it: F.when(it[str(self.arg)].isNull(), msg)
+            )
+            return F.when(arr.isNotNull(), per_item).otherwise(
+                F.expr("CAST(array() AS array<string>)")
+            )
+        return F.array(F.when(self.violation(), F.lit(self.error_message())))
+
 
 def compile_rules(rules: list[Rule]) -> Column:
     """Compile rules to one array<string> column of error messages.
 
-    Emits ``filter(array(when(violation, msg)...), x -> x is not null)`` —
-    a single Catalyst expression; error order follows rule order, matching
-    the deterministic iteration order of the reference validator.
+    Emits ``filter(concat(slot_arrays...), x -> x is not null)`` — a single
+    Catalyst expression; error order follows rule order (and item order
+    within per-item rules), matching the deterministic iteration order of
+    the reference validator.
     """
-    slots = [
-        F.when(r.violation(), F.lit(r.error_message())) for r in rules
-    ]
-    return F.filter(F.array(*slots), lambda x: x.isNotNull())
+    return F.filter(
+        F.concat(*[r.message_slot() for r in rules]), lambda x: x.isNotNull()
+    )
 
 
 class ValidationSplit(NamedTuple):
@@ -181,4 +229,33 @@ PATIENT_RULES: list[Rule] = [
     Rule("birthDate", "pattern", r"^\d{4}-\d{2}-\d{2}$"),
     Rule("gender", "enum", ("male", "female", "other", "unknown")),
     Rule("ssn", "pattern", r"^\d{3}-\d{2}-\d{4}$"),
+]
+
+
+# The reference's FHIR Observation contract (reference app/schemas/fhir.py:61-100)
+# over a typed nested frame parsed with OBSERVATION_DDL. Exercises the nested
+# rule kinds: struct-field required (code.coding), per-array-item required
+# (coding[].system/code), and top-level closed world (additionalProperties:
+# false, fhir.py:99) over the raw JSON payload. Scalar TYPE checks
+# (valueQuantity.value number, fhir.py:91-97) are enforced by the from_json
+# schema boundary itself — a non-number fails the typed parse, it never
+# reaches the rules.
+OBSERVATION_DDL = (
+    "resourceType string, status string, "
+    "code struct<coding: array<struct<system: string, code: string, display: string>>>, "
+    "valueQuantity struct<value: double, unit: string>"
+)
+
+OBSERVATION_ALLOWED_KEYS = ("resourceType", "status", "code", "valueQuantity")
+
+OBSERVATION_RULES: list[Rule] = [
+    Rule("resourceType", "required"),
+    Rule("resourceType", "const", "Observation"),
+    Rule("status", "required"),
+    Rule("status", "enum", ("registered", "preliminary", "final", "amended")),
+    Rule("code", "required"),
+    Rule("code.coding", "nested_required"),
+    Rule("code.coding", "array_item_required", "system"),
+    Rule("code.coding", "array_item_required", "code"),
+    Rule("payload", "closed_world", OBSERVATION_ALLOWED_KEYS),
 ]

@@ -95,6 +95,9 @@ class DAG:
 
     def run(self, initial_context: dict[str, Any] | None = None) -> dict[str, Any]:
         """Execute in topo order; returns the run summary dict."""
+        from datetime import datetime, timezone
+
+        run_started = datetime.now(timezone.utc)
         context: dict[str, Any] = dict(initial_context or {})
         order = self.topological_order()
         for name in order:
@@ -124,6 +127,10 @@ class DAG:
         return {
             "pipeline": self.name,
             "status": "success" if all_success else "failed",
+            # actual wall-clock run boundaries (reference routes.py:140-141
+            # records real start/end, not a single write-time stamp)
+            "started_at": run_started,
+            "completed_at": datetime.now(timezone.utc),
             "context": context,
             "tasks": {
                 n: {

@@ -135,6 +135,8 @@ def write_run_record(
         [
             T.StructField("pipeline_name", T.StringType()),
             T.StructField("status", T.StringType()),
+            T.StructField("started_at", T.TimestampType()),
+            T.StructField("completed_at", T.TimestampType()),
             T.StructField("input_record_count", T.LongType()),
             T.StructField("output_record_count", T.LongType()),
             T.StructField("errors", T.StringType()),
@@ -146,6 +148,10 @@ def write_run_record(
             {
                 "pipeline_name": dag.name,
                 "status": "completed" if summary["status"] == "success" else "failed",
+                # real run boundaries from dag.run (reference routes.py:140-141),
+                # not a double write-time current_timestamp()
+                "started_at": summary["started_at"],
+                "completed_at": summary["completed_at"],
                 "input_record_count": counts.get("extract_count"),
                 "output_record_count": counts.get("load_count"),
                 "errors": json.dumps(errors) if errors else None,
@@ -157,8 +163,8 @@ def write_run_record(
         F.expr("uuid()").alias("id"),
         "pipeline_name",
         "status",
-        F.current_timestamp().alias("started_at"),
-        F.current_timestamp().alias("completed_at"),
+        "started_at",
+        "completed_at",
         "input_record_count",
         "output_record_count",
         "errors",

@@ -161,6 +161,92 @@ def patients_ingest_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked
 
 
+# ---------------------------------------------------------------------------
+# Deterministic FHIR Observation synthesis (reference app/schemas/fhir.py:61-100)
+# Records are built as JSON payloads (faults seeded on c_custkey moduli), parsed
+# back through the typed OBSERVATION_DDL boundary, then rule-validated —
+# exercising nested struct required, per-array-item required, and closed-world.
+# ---------------------------------------------------------------------------
+
+_OBS_ITEM1 = (
+    "named_struct("
+    "'system', CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 'http://loinc.org' END, "
+    "'code', CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE 'C' || CAST(c_custkey AS STRING) END, "
+    "'display', 'obs')"
+)
+_OBS_ITEM2 = (
+    "named_struct("
+    "'system', 'http://snomed.info/sct', "
+    "'code', CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE 'S' || CAST(c_custkey AS STRING) END, "
+    "'display', CAST(NULL AS STRING))"
+)
+
+_OBS_PAYLOAD = (
+    "to_json(named_struct("
+    "'resourceType', CASE WHEN c_custkey % 101 = 0 THEN NULL "
+    "                     WHEN c_custkey % 97 = 0 THEN 'Patient' "
+    "                     ELSE 'Observation' END, "
+    "'status', CASE WHEN c_custkey % 89 = 0 THEN NULL "
+    "               ELSE element_at(array('final','amended','preliminary','registered','BOGUS'), "
+    "                               CAST(c_custkey % 5 AS INT) + 1) END, "
+    "'code', CASE WHEN c_custkey % 83 = 0 THEN NULL "
+    f"            ELSE named_struct('coding', CASE WHEN c_custkey % 79 = 0 THEN NULL "
+    f"                 WHEN c_custkey % 13 = 0 THEN array({_OBS_ITEM1}, {_OBS_ITEM2}) "
+    f"                 ELSE array({_OBS_ITEM1}) END) END, "
+    "'valueQuantity', CASE WHEN c_custkey % 3 = 0 THEN NULL "
+    "                 ELSE named_struct('value', CAST(c_custkey % 500 AS DOUBLE) / 10.0, 'unit', 'mg') END, "
+    "'extraProp', CASE WHEN c_custkey % 19 = 0 THEN 'surprise' ELSE NULL END"
+    ")) AS payload"
+)
+
+
+@query(
+    "observations_ingest_invalid",
+    oracle="""
+    WITH errs AS (
+      SELECT c_custkey, list_filter([
+        CASE WHEN c_custkey % 101 = 0 THEN '''resourceType'' is a required property' END,
+        CASE WHEN c_custkey % 101 <> 0 AND c_custkey % 97 = 0 THEN '''resourceType'' must be ''Observation''' END,
+        CASE WHEN c_custkey % 89 = 0 THEN '''status'' is a required property' END,
+        CASE WHEN c_custkey % 89 <> 0 AND c_custkey % 5 = 4 THEN '''status'' is not one of [''registered'', ''preliminary'', ''final'', ''amended'']' END,
+        CASE WHEN c_custkey % 83 = 0 THEN '''code'' is a required property' END,
+        CASE WHEN c_custkey % 83 <> 0 AND c_custkey % 79 = 0 THEN '''coding'' is a required property' END,
+        CASE WHEN c_custkey % 83 <> 0 AND c_custkey % 79 <> 0 AND c_custkey % 7 = 0 THEN '''system'' is a required property' END,
+        CASE WHEN c_custkey % 83 <> 0 AND c_custkey % 79 <> 0 AND c_custkey % 11 = 0 THEN '''code'' is a required property' END,
+        CASE WHEN c_custkey % 83 <> 0 AND c_custkey % 79 <> 0 AND c_custkey % 11 = 0 AND c_custkey % 13 = 0 THEN '''code'' is a required property' END,
+        CASE WHEN c_custkey % 19 = 0 THEN 'Additional properties are not allowed' END
+      ], x -> x IS NOT NULL) AS errors
+      FROM customer
+    )
+    SELECT c_custkey, array_to_string(errors, '; ') AS errors_str,
+           CAST(len(errors) AS BIGINT) AS n_errors
+    FROM errs WHERE len(errors) > 0
+    """,
+    description="FHIR Observation validation (reference app/schemas/fhir.py:"
+    "61-100): JSON payloads parsed through the typed nested schema, then the "
+    "compiled nested rules — const resourceType, status enum, required "
+    "code/coding, per-coding-item required system+code (one error PER "
+    "violating item), closed-world top level. Collect-ALL-errors contract.",
+    tags=("validation", "nested", "etl"),
+)
+def observations_ingest_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.validation import (
+        OBSERVATION_DDL,
+        OBSERVATION_RULES,
+    )
+
+    raw = td(spark, sf_dir, "customer").selectExpr("c_custkey", _OBS_PAYLOAD)
+    flat = raw.select(
+        "c_custkey", "payload", F.from_json("payload", OBSERVATION_DDL).alias("obs")
+    ).select("c_custkey", "payload", "obs.*")
+    _, invalid = validate_split(flat, OBSERVATION_RULES)
+    return invalid.select(
+        "c_custkey",
+        F.array_join("errors", "; ").alias("errors_str"),
+        F.size("errors").cast("long").alias("n_errors"),
+    )
+
+
 @query(
     "explode_consent_map",
     oracle="""

@@ -61,6 +61,37 @@ def test_asof_join_keeps_all_left_rows(spark):
     assert out.count() == trades.count()
 
 
+def test_asof_join_null_payload_from_matched_row(spark):
+    """The matched right row's NULLs must come through as NULLs — not be
+    back-filled per-column from an OLDER right row (which would mix columns
+    of different right rows and diverge from ASOF semantics)."""
+    trades = spark.createDataFrame([(1, 20, "t1")], ["key", "t", "trade"])
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0, 9.0), (1, 18, 102.0, None)],
+        ["key", "qt", "px", "sz"],
+    )
+    out = J.asof_join(
+        trades,
+        quotes.select("key", "qt", "px", "sz"),
+        key="key",
+        left_time="t",
+        right_time="qt",
+        payload_cols=["px", "sz"],
+    ).collect()[0]
+    # matched row is quote@18: px=102.0, sz=NULL — sz must NOT be 9.0
+    assert out.px == 102.0
+    assert out.sz is None
+
+
+def test_salted_join_rejects_outer_how(spark):
+    import pytest
+
+    big = spark.createDataFrame([(0, 1)], ["k", "v"])
+    small = spark.createDataFrame([(0, "a")], ["k", "name"])
+    with pytest.raises(ValueError, match="salted_join supports"):
+        J.salted_join(big, small, key="k", how="full_outer")
+
+
 def test_range_join_binned_matches_naive(spark):
     points = spark.createDataFrame(
         [(i, float(i)) for i in range(50)], ["pid", "x"]
@@ -91,6 +122,77 @@ def test_salted_join_matches_plain(spark):
     assert {(r.k, r.v, r.name) for r in salted.collect()} == {
         (r.k, r.v, r.name) for r in plain.collect()
     }
+
+
+def test_salted_join_spreads_skewed_key(spark):
+    """Skew evidence: one key carrying ~95% of a 2M-row big side. With AQE
+    and broadcast off (forcing a shuffled join), the plain join lands the
+    hot key on ONE reducer; salting spreads it across salt_buckets. Asserts
+    identical results, a strictly better max-partition spread, and that the
+    salted run isn't slower."""
+    import time
+
+    from healthcare_etl_pipeline_spark.operators.joins import salted_join
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 2_000_000
+        big = spark.range(n).select(
+            # 95% of rows on key 0, the rest spread over 31 keys
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise((F.col("id") % 31) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.createDataFrame(
+            [(i, f"name_{i}") for i in range(32)], ["k", "name"]
+        )
+
+        t0 = time.perf_counter()
+        plain = big.join(small, "k")
+        plain_cnt = plain.count()
+        t_plain = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        salted = salted_join(big, small, key="k", salt_buckets=8)
+        salted_cnt = salted.count()
+        t_salted = time.perf_counter() - t0
+
+        assert plain_cnt == salted_cnt == n
+        # aggregate equivalence (full row-set compare is the same join again;
+        # per-key counts + value sums pin the semantics)
+        agg = lambda df: sorted(
+            map(
+                tuple,
+                df.groupBy("k", "name").agg(
+                    F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+                ).collect(),
+            )
+        )
+        assert agg(plain) == agg(salted)
+
+        # mechanism: the hot key's rows no longer serialize on one reducer
+        # (ideal spread is salt_buckets×; salt→reducer hash collisions under
+        # the small local shuffle.partitions make ~2-3× the robust bound)
+        part_max = lambda df: (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert part_max(salted) < part_max(plain) / 2
+        # and the wall-clock should not regress (hot partition serializes
+        # the plain join; generous slack keeps the assertion robust)
+        assert t_salted < t_plain * 1.5
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def test_asof_join_random_sweep_vs_naive(spark):

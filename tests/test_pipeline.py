@@ -132,6 +132,30 @@ def test_run_record_written(spark, warehouse):
         "transform",
         "load",
     ]
+    # real run boundaries, not a double write-time stamp: the 5-stage run
+    # takes measurable wall-clock, so started_at must be strictly earlier
+    assert run.started_at < run.completed_at
+
+
+def test_run_record_timestamps_span_slow_stage(spark, warehouse):
+    """started_at/completed_at bracket the actual DAG execution."""
+    import time as _time
+    from datetime import datetime
+
+    from healthcare_etl_pipeline_spark.plans.dag import DAG
+    from healthcare_etl_pipeline_spark.plans.pipeline import write_run_record
+
+    dag = DAG("slow_pipeline")
+    dag.add_task("sleepy", lambda ctx: _time.sleep(0.3) or {"extract_count": 0})
+    before = datetime.utcnow()
+    summary = dag.run({})
+    write_run_record(warehouse, dag, summary)
+    after = datetime.utcnow()
+    run = [r for r in warehouse.read("pipeline_runs").collect()
+           if r.pipeline_name == "slow_pipeline"][0]
+    span = (run.completed_at - run.started_at).total_seconds()
+    assert span >= 0.3  # covers the slow stage, not a single write-time stamp
+    assert before <= run.started_at <= run.completed_at <= after
 
 
 def test_audit_rows_written(spark, warehouse):

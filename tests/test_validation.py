@@ -113,6 +113,147 @@ def test_parse_json_column_routes_corrupt(spark):
     assert got == {1: 5, 3: None, 4: None}
 
 
+def test_nested_rule_kinds(spark):
+    """nested_required / array_item_required / closed_world semantics."""
+    from healthcare_etl_pipeline_spark.operators.validation import (
+        OBSERVATION_DDL,
+        OBSERVATION_RULES,
+    )
+
+    payloads = [
+        # valid
+        '{"resourceType":"Observation","status":"final",'
+        '"code":{"coding":[{"system":"s","code":"c"}]}}',
+        # code present, coding missing -> nested_required
+        '{"resourceType":"Observation","status":"final","code":{}}',
+        # two items each missing code -> TWO per-item errors
+        '{"resourceType":"Observation","status":"final",'
+        '"code":{"coding":[{"system":"a"},{"system":"b"}]}}',
+        # extra top-level property -> closed_world
+        '{"resourceType":"Observation","status":"final",'
+        '"code":{"coding":[]},"oops":1}',
+        # code absent entirely -> required fires, nested/item rules stay quiet
+        '{"resourceType":"Observation","status":"final"}',
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], ["payload"])
+    flat = df.select(
+        "payload", F.from_json("payload", OBSERVATION_DDL).alias("o")
+    ).select("payload", "o.*")
+    rows = annotate_errors(flat.coalesce(1), OBSERVATION_RULES).collect()
+    assert rows[0].errors == []
+    assert rows[1].errors == ["'coding' is a required property"]
+    assert rows[2].errors == ["'code' is a required property"] * 2
+    assert rows[3].errors == ["Additional properties are not allowed"]
+    assert rows[4].errors == ["'code' is a required property"]
+
+
+def test_observation_rules_differential_vs_jsonschema(spark):
+    """OBSERVATION_RULES must agree with the reference validator
+    (jsonschema Draft-7 on the FHIR Observation contract,
+    reference app/schemas/fhir.py:61-100) on validity AND error count over
+    a seeded sweep of nested record space — including per-coding-item
+    errors and additionalProperties."""
+    import random
+
+    import jsonschema
+
+    from healthcare_etl_pipeline_spark.operators.validation import (
+        OBSERVATION_DDL,
+        OBSERVATION_RULES,
+    )
+
+    fhir_schema = {
+        "type": "object",
+        "required": ["resourceType", "status", "code"],
+        "properties": {
+            "resourceType": {"type": "string", "const": "Observation"},
+            "status": {
+                "type": "string",
+                "enum": ["registered", "preliminary", "final", "amended"],
+            },
+            "code": {
+                "type": "object",
+                "required": ["coding"],
+                "properties": {
+                    "coding": {
+                        "type": "array",
+                        "items": {
+                            "type": "object",
+                            "required": ["system", "code"],
+                            "properties": {
+                                "system": {"type": "string"},
+                                "code": {"type": "string"},
+                                "display": {"type": "string"},
+                            },
+                        },
+                    }
+                },
+            },
+            "valueQuantity": {
+                "type": "object",
+                "properties": {
+                    "value": {"type": "number"},
+                    "unit": {"type": "string"},
+                },
+            },
+        },
+        "additionalProperties": False,
+    }
+    validator = jsonschema.Draft7Validator(fhir_schema)
+    rng = random.Random(7)
+
+    def rand_record():
+        rec = {
+            "resourceType": rng.choice(["Observation", "Patient", None]),
+            "status": rng.choice(
+                ["final", "amended", "registered", "preliminary", "bogus", None]
+            ),
+        }
+        roll = rng.random()
+        if roll < 0.2:
+            rec["code"] = None
+        elif roll < 0.35:
+            rec["code"] = {"coding": None}
+        else:
+            rec["code"] = {
+                "coding": [
+                    {
+                        "system": rng.choice(["http://loinc.org", None]),
+                        "code": rng.choice(["8867-4", None]),
+                        "display": rng.choice(["HR", None]),
+                    }
+                    for _ in range(rng.randint(0, 3))
+                ]
+            }
+        rec["valueQuantity"] = rng.choice(
+            [None, {"value": 1.5, "unit": "mg"}, {"value": None, "unit": None}]
+        )
+        if rng.random() < 0.2:
+            rec["extraProp"] = "x"
+        return rec
+
+    def drop_nones(v):
+        if isinstance(v, dict):
+            return {k: drop_nones(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [drop_nones(x) for x in v]
+        return v
+
+    records = [drop_nones(rand_record()) for _ in range(300)]
+    payloads = [json.dumps(r) for r in records]
+    df = spark.createDataFrame([(p,) for p in payloads], ["payload"])
+    flat = df.select(
+        "payload", F.from_json("payload", OBSERVATION_DDL).alias("o")
+    ).select("payload", "o.*")
+    spark_errors = [
+        r.errors for r in annotate_errors(flat.coalesce(1), OBSERVATION_RULES).collect()
+    ]
+    for rec, errs in zip(records, spark_errors):
+        ref_errors = [e.message for e in validator.iter_errors(rec)]
+        assert (len(errs) == 0) == (len(ref_errors) == 0), (rec, errs, ref_errors)
+        assert len(errs) == len(ref_errors), (rec, errs, ref_errors)
+
+
 def test_rule_compiler_differential_vs_jsonschema(spark):
     """compile_rules(PATIENT_RULES) must agree with the reference's actual
     validator (jsonschema Draft-7 on the FHIR Patient contract) on validity
