@@ -142,6 +142,57 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_stateful",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, seq,
+             CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, seq
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE seq < (SELECT max(s2.seq) FROM sess s2 WHERE s2.user_id = sess.user_id)
+       OR session_end <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    description="Custom stateful sessionization (applyInPandasWithState + "
+    "EventTimeTimeout key retirement): closed sessions emit append-mode when "
+    "a later event proves the gap; open sessions emit via TIMEOUT when the "
+    "watermark passes session_end — availableNow's final no-data microbatch "
+    "advances the watermark to max(ts) - delay and fires the retirements. "
+    "Oracle: batch sessionization, except each user's final session emits "
+    "only if its end cleared the final watermark.",
+    tags=("streaming", "stateful", "sessionize", "pandas-udf"),
+)
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.streaming.stateful import (
+        stateful_session_windows,
+    )
+
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    sessions = stateful_session_windows(stream, gap="30 minutes")
+    settled = run_stream_to_memory(spark, sessions, output_mode="append")
+    return settled.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
     "stream_stream_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id

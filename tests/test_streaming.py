@@ -68,6 +68,63 @@ def test_stateful_user_totals_matches_batch(spark):
     assert got == want
 
 
+def test_stateful_sessions_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout retirement: a key with NO follow-up event must still
+    emit its open session once the watermark (advanced by OTHER keys'
+    events in later micro-batches) passes its session_end."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.streaming.stateful import (
+        stateful_session_windows,
+    )
+    from healthcare_etl_pipeline_spark.streaming.windows import run_stream_to_memory
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    # batch 1: user 1's only events (a 2-event session)
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1), (2, ts("2024-01-01 10:10:00"), 1)],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    # batch 2: user 2 far ahead — advances the watermark past user 1's
+    # session_end (10:40) once processed
+    spark.createDataFrame(
+        [(3, ts("2024-01-01 14:00:00"), 2)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    # batch 3: user 3 even later — the batch in which user 1's timeout fires
+    spark.createDataFrame(
+        [(4, ts("2024-01-01 18:00:00"), 3)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    sessions = stateful_session_windows(stream, gap="30 minutes")
+    out = run_stream_to_memory(spark, sessions, output_mode="append")
+    got = {r.user_id: r for r in out.collect()}
+    # user 1 emitted by TIMEOUT (no user-1 event ever closed the session)
+    assert 1 in got
+    assert got[1].n_events == 2
+    assert got[1].session_start == ts("2024-01-01 10:00:00")
+    assert got[1].session_end == ts("2024-01-01 10:40:00")
+    # user 2's session end (14:30) <= final watermark (17:50) → also retired;
+    # user 3's (18:30) > watermark → still open, not emitted
+    assert 2 in got
+    assert 3 not in got
+
+
 def test_streaming_patient_ingest_foreachbatch(spark, warehouse, tmp_path):
     """JSONL patient files → streaming 5-stage pipeline → warehouse tables."""
     import json
