@@ -4,10 +4,14 @@ Driver north-star surface (SURVEY.md §2.8): treat image/audio/video as
 ``binary`` columns with typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched Pandas functions over ``mapInPandas``.
 
-The image/audio codecs are NOT in this container, so the decode kernels are
-STUBBED (deterministic fakes clearly marked), but the Spark-side plumbing —
-schema, batch iteration, partition sizing, UDF signatures — is real and
-tested. Swapping in a real codec is a one-function change.
+Codec probe (re-run: ``python -c "import PIL"`` etc.): PIL, imageio, cv2,
+soundfile, librosa, av, skimage are ALL absent from this container, so the
+decode kernels fall back to deterministic fakes (clearly marked). The
+fallback is decided at runtime per executor: ``_probe_image_codec`` uses a
+real PIL decode whenever the library is importable, behind the SAME
+mapInPandas signature — the Spark-side plumbing (schema, batch iteration,
+partition sizing, UDF signatures) is identical either way and is what the
+tests pin down.
 
 Scale notes:
 - Binary payloads dominate row size → keep ``spark.sql.files.maxPartitionBytes``
@@ -58,12 +62,40 @@ def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
     )
 
 
+def _probe_image_codec():
+    """Return the PIL Image module when importable, else None.
+
+    Runs on the EXECUTOR (inside the kernel), so a heterogeneous cluster
+    degrades per-node rather than failing the job; the decode_status column
+    records which path produced each row.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_decode_features(image_mod, payload: bytes, dim: int) -> list[float]:
+    """Real decode path (used when a codec is importable): decode, grayscale,
+    downsample to a dim-length intensity profile in [0, 1]."""
+    import io
+
+    import numpy as np
+
+    img = image_mod.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    rows = np.array_split(arr.ravel(), dim)
+    return [float(r.mean()) if len(r) else 0.0 for r in rows]
+
+
 def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | None:
     """STUB decode: deterministic fake feature vector from payload bytes.
 
-    A real implementation would decode the image/audio and extract features;
-    codecs are unavailable in this environment (see module docstring). The
-    fake is deterministic (byte-sum seeded) so tests can assert exact values.
+    Used when no codec is importable (this container: none are — see module
+    docstring). Deterministic (byte-sum seeded) so tests can assert exact
+    values.
     """
     if payload is None:
         return None
@@ -80,23 +112,31 @@ def extract_features(df: DataFrame, *, dim: int = 8, batch_hint: int = 256) -> D
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _probe_image_codec()  # once per task, on the executor
+
+        def decode(p: bytes | None) -> tuple[list[float] | None, str]:
+            if p is None:
+                return None, "null_payload"
+            if image_mod is not None:
+                try:
+                    return _real_decode_features(image_mod, p, dim), "decoded"
+                except Exception:  # noqa: BLE001 — corrupt payload, not fatal
+                    return None, "decode_error"
+            return _fake_decode_features(p, dim), "stub_decoded"
+
         for pdf in batches:
-            out = pd.DataFrame(
+            pairs = pdf["payload"].map(decode)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else None
                     ),
-                    "feature": pdf["payload"].map(
-                        lambda p: _fake_decode_features(p, dim)
-                    ),
-                    "decode_status": pdf["payload"].map(
-                        lambda p: "stub_decoded" if p is not None else "null_payload"
-                    ),
+                    "feature": pairs.map(lambda t: t[0]),
+                    "decode_status": pairs.map(lambda t: t[1]),
                 }
             )
-            yield out
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
