@@ -147,39 +147,40 @@ def minhash_signatures_df(
     return hs_df.select(F.col(id_col), *minhash_signature(F.col("hs"), k))
 
 
-def lsh_candidate_pairs(
+def _banded_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 8,
-    bands: int = 4,
-    n: int = 3,
-    hash_mode: str = "portable",
+    k: int,
+    bands: int,
+    n: int,
+    hash_mode: str,
 ) -> DataFrame:
-    """Near-dup candidate pairs: docs agreeing on at least one LSH band.
+    """Checkpointed (id, sig_0..sig_{k-1}) signatures ready for banding.
 
-    Signature split into ``bands`` bands of k/bands rows each; docs hashing
-    to the same (band_id, band_value) bucket become candidates. The bucket
-    join is an equi-join → shuffle on the bucket key, never O(n²).
+    Checkpoint: both sides of the band self-join (and any estimate join)
+    read them, and the shingle→hash→minhash pipeline is the expensive part —
+    without a materialization boundary Spark recomputes it per consumer.
+    (Lazy localCheckpoint, not persist: blocks are GC-freed with the frame.)
+
+    Degenerate-bucket guard: docs with ZERO shingles (empty/short docs) get
+    the sentinel signature (MOD) in every permutation, so they would all
+    land in the SAME band bucket — on a real corpus with millions of tiny
+    docs that one bucket becomes an n² candidate blow-up. A zero-shingle
+    doc has Jaccard 0 (or undefined) against everything, so it can never be
+    a near-dup candidate: exclude it from banding. (sig_0 < MOD whenever
+    the doc has ≥1 shingle, since every permuted hash is taken mod MOD.)
     """
-    rows_per_band = k // bands
-    # Checkpoint the signatures: both sides of the self-join read them, and
-    # the shingle→hash→minhash pipeline is the expensive part — without a
-    # materialization boundary Spark recomputes it per join side. (Lazy
-    # localCheckpoint, not persist: blocks are GC-freed with the frame.)
-    #
-    # Degenerate-bucket guard: docs with ZERO shingles (empty/short docs) get
-    # the sentinel signature (MOD) in every permutation, so they would all
-    # land in the SAME band bucket — on a real corpus with millions of tiny
-    # docs that one bucket becomes an n² candidate blow-up. A zero-shingle
-    # doc has Jaccard 0 (or undefined) against everything, so it can never be
-    # a near-dup candidate: exclude it from banding. (sig_0 < MOD whenever
-    # the doc has ≥1 shingle, since every permuted hash is taken mod MOD.)
-    sigs = (
+    return (
         minhash_signatures_df(df, id_col, text_col, k, n, hash_mode)
         .filter(F.col("sig_0") != F.lit(MOD))
         .localCheckpoint(eager=False)
     )
+
+
+def _band_pairs(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """(id_a < id_b) pairs sharing ≥1 (band, band-signature) bucket."""
+    rows_per_band = k // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -205,6 +206,68 @@ def lsh_candidate_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on at least one LSH band.
+
+    Signature split into ``bands`` bands of k/bands rows each; docs hashing
+    to the same (band_id, band_value) bucket become candidates. The bucket
+    join is an equi-join → shuffle on the bucket key, never O(n²).
+    """
+    sigs = _banded_signatures(df, id_col, text_col, k, bands, n, hash_mode)
+    return _band_pairs(sigs, id_col, k, bands)
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Estimated Jaccard for every LSH candidate pair — verification WITHOUT
+    touching the documents again.
+
+    est = fraction of the k MinHash rows that agree; E[est] = true Jaccard
+    (the classic MinHash estimator). At 100 TB this is the cheap middle
+    tier: candidates come from the band join, the estimate joins only the
+    k-row signatures (8 longs/doc, not the shingle sets), and only pairs
+    passing the estimate threshold proceed to exact verification
+    (``ngram_jaccard_pairs``) if needed at all.
+
+    Output: id_a, id_b, est_jaccard (exact multiple of 1/k → deterministic).
+    """
+    sigs = _banded_signatures(df, id_col, text_col, k, bands, n, hash_mode)
+    pairs = _band_pairs(sigs, id_col, k, bands)
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"sig_{j}").alias(f"a{j}") for j in range(k)]
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"sig_{j}").alias(f"b{j}") for j in range(k)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
     )
 
 
@@ -370,6 +433,75 @@ def ngram_jaccard_pairs(
         pair_overlap.withColumn("jaccard", F.round(jaccard, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "portable",
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Asymmetric shingle containment: C(A→B) = |A∩B| / |A|.
+
+    Catches near-SUBSET duplication that Jaccard misses when sizes differ —
+    a short document quoted whole inside a long one has high containment of
+    the short side but low Jaccard (union dominated by the long side). The
+    standard complement to Jaccard in corpus dedup (quotes, boilerplate
+    wrappers, excerpt pages).
+
+    Same physical shape as ``ngram_jaccard_pairs`` (shared-shingle
+    equi-join, document-frequency cap); emits a pair when EITHER direction
+    clears ``threshold``, with both directions reported.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashes = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs")
+        )
+        .localCheckpoint(eager=False)
+    )
+    exploded = hashes.select(
+        id_col, F.size("hs").alias("set_size"), F.explode("hs").alias("h")
+    )
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        exploded = exploded.join(F.broadcast(hot), "h", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair_overlap = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    c_a = F.round(F.col("n_shared") / F.col("size_a"), 6)
+    c_b = F.round(F.col("n_shared") / F.col("size_b"), 6)
+    return (
+        pair_overlap.withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "n_shared", "containment_a", "containment_b")
     )
 
 

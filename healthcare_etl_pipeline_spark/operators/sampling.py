@@ -1,0 +1,88 @@
+"""Deterministic sampling & split assignment for corpus preparation.
+
+The production way to subset 100 TB reproducibly is NOT ``df.sample``
+(seeded per-partition RNG — results change with partitioning/ordering) but
+a pure function of a stable key: ``bucket = mix(id) % N``. Properties that
+matter at scale:
+
+- **No shuffle, no state**: a per-row projection; splits are stable across
+  reruns, cluster sizes, and engines (the same arithmetic runs in DuckDB
+  for the oracle).
+- **Disjoint + exhaustive**: bucket ranges partition the keyspace, so
+  train/val/test can never overlap or drop rows.
+- **Salt**: changing the salt yields an independent split family (for
+  cross-validation folds or re-rolling a contaminated split).
+
+The mixer is a multiplicative-hash mod a large prime, computed as
+``((id mod p) * (K mod p) + salt) mod p`` so intermediates stay below
+2^63 even for 64-bit ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.text import MOD
+
+# Knuth's multiplicative constant (golden-ratio based); any odd constant
+# works — it only needs to decorrelate consecutive ids.
+MIX_K = 2654435761
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, *, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, BUCKETS): ((id%p)*(K%p)+salt)%p % BUCKETS."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    mixed = (c.cast("long") % MOD) * (MIX_K % MOD) + F.lit(salt)
+    return (mixed % MOD % BUCKETS).cast("int")
+
+
+def hash_bucket_sql(expr: str, *, salt: int = 0) -> str:
+    """The identical arithmetic in portable SQL (DuckDB oracle)."""
+    return (
+        f"CAST((((CAST({expr} AS BIGINT) % {MOD}) * ({MIX_K % MOD}) + {salt})"
+        f" % {MOD}) % {BUCKETS} AS INTEGER)"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    fractions: dict[str, float] | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative bucket ranges.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split). Assignment is a pure projection:
+    zero shuffle, stable under reruns and repartitioning.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = hash_bucket(id_col, salt=salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * BUCKETS))
+        clause = bucket < F.lit(bound)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    last = F.lit(names[-1])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assigned)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, *, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows (bucket < fraction·BUCKETS).
+
+    Subsets are NESTED across fractions at the same salt: the 1% sample is
+    a subset of the 10% sample — exactly what you want for scaling-law
+    subcorpora.
+    """
+    bound = int(round(fraction * BUCKETS))
+    return df.filter(hash_bucket(id_col, salt=salt) < F.lit(bound))

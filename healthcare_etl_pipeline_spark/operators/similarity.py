@@ -276,6 +276,51 @@ def cosine_near_dup_pairs(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|/127,
+    q_i = round_half_up(v_i / scale) ∈ [-127, 127].
+
+    The storage/serving form for embedding corpora: 4× smaller than fp32,
+    reconstruction error ≤ scale/2 per component. Expression-only, zero
+    shuffle; rounding is pinned to floor(x + 0.5) so the arithmetic is
+    reproducible across engines (engine-native round() differs on .5 ties).
+
+    Output: (id, scale rounded 9dp, qvec array<int>, max_abs_err rounded
+    9dp) — max_abs_err = max_i |q_i·scale − v_i| certifies the bound.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    with_scale = df.select(
+        F.col(id_col), v.alias("__v"), scale.alias("__scale")
+    ).localCheckpoint(eager=False)  # boundary: scale feeds every element
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x / F.col("__scale") + F.lit(0.5)).cast("int"),
+    )
+    out = with_scale.select(
+        F.col(id_col), F.col("__scale"), q.alias("qvec"), F.col("__v")
+    ).localCheckpoint(eager=False)  # boundary: qvec read by the error fold
+    err = F.array_max(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("__v"),
+            lambda qi, vi: F.abs(qi.cast("double") * F.col("__scale") - vi),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.round("__scale", 9).alias("scale"),
+        "qvec",
+        F.round(err, 9).alias("max_abs_err"),
+    )
+
+
 def embedding_dedup_lsh(
     df: DataFrame,
     *,

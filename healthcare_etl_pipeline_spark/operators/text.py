@@ -63,6 +63,54 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def chunk_documents(
+    df: "DataFrame",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> "DataFrame":
+    """Split documents into overlapping token windows — the context-window
+    chunking step of a training/RAG corpus pipeline.
+
+    Output: (id, chunk_index, chunk_start, chunk_text, chunk_tokens), one
+    row per window; starts are 1, 1+stride, … while ≤ n_tokens (the last
+    chunk may be short); empty docs yield no chunks.
+
+    Plan shape (the scale-relevant part): the Generate explodes only the
+    cheap START-position sequence; the chunk text (slice + join over the
+    token array, per OUTPUT row by construction) is computed AFTER the
+    explode from the carried token array. Exploding a pre-built
+    chunk-text array instead would hand Generate a CodegenFallback
+    higher-order child, which it re-evaluates per output row. Zero shuffle
+    either way: chunking is a pure row-local projection.
+    """
+    toks = tokens(F.col(text_col))
+    with_toks = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    starts = F.when(
+        F.col("__n") > 0, F.sequence(F.lit(1), F.col("__n"), F.lit(stride))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    exploded = with_toks.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_index", "chunk_start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_start"), window)
+    return exploded.select(
+        id_col,
+        "chunk_index",
+        "chunk_start",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.least(F.lit(window), F.col("__n") - F.col("chunk_start") + 1)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("long")
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from healthcare_etl_pipeline_spark.operators import dedup as D
 from healthcare_etl_pipeline_spark.operators import similarity as S
 from healthcare_etl_pipeline_spark.operators import text as X
+from healthcare_etl_pipeline_spark.operators.sampling import hash_bucket_sql
 from healthcare_etl_pipeline_spark.queries.helpers import t, td
 from healthcare_etl_pipeline_spark.queries.registry import query
 
@@ -265,6 +266,154 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.02, max_df=100
     )
+
+
+def _duck_sig_eq_sum() -> str:
+    return " + ".join(
+        f"CASE WHEN l.sig_{j} = r.sig_{j} THEN 1 ELSE 0 END" for j in range(8)
+    )
+
+
+@query(
+    "minhash_jaccard_estimates",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD}
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(({_duck_sig_eq_sum()}) / 8.0, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sigs l ON l.doc_id = p.id_a
+    JOIN sigs r ON r.doc_id = p.id_b
+    """,
+    description="MinHash Jaccard ESTIMATE per LSH candidate pair (fraction "
+    "of agreeing signature rows; unbiased estimator). The cheap middle "
+    "verification tier at scale: joins 8-long signatures, never re-touches "
+    "shingle sets or documents.",
+    tags=("dedup", "minhash", "estimate", "llm"),
+)
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    return D.minhash_jaccard_estimates(docs, "doc_id", "text", k=8, bands=4, n=3)
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , ex AS (
+      SELECT doc_id, len(hs) AS set_size, unnest(hs) AS h FROM hs
+    ), hot AS (
+      SELECT h FROM ex GROUP BY h HAVING count(*) > 100
+    ), kept AS (
+      SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot)
+    ), overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+             count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / size_a, 6) AS containment_a,
+           round(n_shared / size_b, 6) AS containment_b
+    FROM overlap
+    WHERE round(n_shared / size_a, 6) >= 0.05
+       OR round(n_shared / size_b, 6) >= 0.05
+    """,
+    description="Asymmetric shingle containment |A∩B|/|A|: catches "
+    "near-SUBSET duplication (quotes, boilerplate wrappers, excerpts) that "
+    "Jaccard misses when document sizes differ. Same shared-shingle "
+    "equi-join shape and df cap as the Jaccard pass.",
+    tags=("dedup", "containment", "llm"),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_df=100
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS n FROM tk GROUP BY token
+    ), ranked AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+      FROM counts
+    )
+    SELECT token, n, rank FROM ranked WHERE rank <= 50
+    """,
+    description="Corpus heavy hitters: top-50 tokens by frequency. "
+    "Map-side-combined groupBy then TakeOrderedAndProject (distributed "
+    "top-k — no single-task full-vocab sort); ties broken by token for "
+    "determinism.",
+    tags=("text", "frequency", "llm"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = td(spark, sf_dir, "documents")
+    # explode over plain split (codegen) then filter — never explode over a
+    # higher-order filter() child (Generate re-evaluates it per output row)
+    toks = docs.select(F.explode(F.split("text", r"\s+")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(50)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+      FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM v)
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(CAST(floor(v[i] / scale + 0.5) AS INTEGER) * scale - v[i]))), 9)
+             AS max_abs_err
+    FROM s
+    """,
+    description="Symmetric per-vector int8 quantization (scale = max|v|/127, "
+    "round-half-up pinned to floor(x+0.5) for cross-engine determinism) "
+    "with a certified reconstruction-error column. The 4x storage form for "
+    "embedding corpora; expression-only, zero shuffle.",
+    tags=("similarity", "quantization", "llm"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)
 
 
 @query(
@@ -778,6 +927,74 @@ def contamination_check_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.alias("matched_probes"),
         (F.size(matched) > 0).alias("is_contaminated"),
     )
+
+
+@query(
+    "hash_split_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN {hash_bucket_sql("doc_id")} < 9800 THEN 'train'
+                WHEN {hash_bucket_sql("doc_id")} < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    description="Deterministic train/val/test split assignment: bucket = "
+    "multiplicative-hash(doc_id) mod 10k, cumulative ranges 98/1/1. Pure "
+    "projection — zero shuffle, reproducible across reruns/cluster sizes/"
+    "engines; df.sample's per-partition RNG is NOT stable like this.",
+    tags=("sampling", "split", "llm"),
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import hash_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_split(docs, "doc_id")
+
+
+@query(
+    "hash_sample_docs",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {hash_bucket_sql("doc_id", salt=7)} < 1000
+    """,
+    description="Deterministic 10% corpus sample (bucket < 1000): nested "
+    "across fractions at the same salt (the 1% sample ⊂ the 10% sample) — "
+    "the reproducible scaling-law subcorpus primitive.",
+    tags=("sampling", "llm"),
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import hash_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return hash_sample(docs, "doc_id", fraction=0.10, salt=7)
+
+
+@query(
+    "chunk_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, tk, len(tk) AS n, unnest(range(1, len(tk) + 1, 48)) AS s
+      FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INTEGER) AS chunk_index,
+           CAST(s AS INTEGER) AS chunk_start,
+           array_to_string(list_slice(tk, s, s + 63), ' ') AS chunk_text,
+           CAST(least(64, n - s + 1) AS BIGINT) AS chunk_tokens
+    FROM ex
+    """,
+    description="Context-window chunking: overlapping 64-token windows at "
+    "stride 48. Generate explodes only the cheap start positions; slice+"
+    "join runs per OUTPUT row after the explode (never hand Generate a "
+    "CodegenFallback HOF child). Zero shuffle.",
+    tags=("text", "chunking", "llm"),
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, window=64, stride=48)
 
 
 @query(

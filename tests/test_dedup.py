@@ -165,6 +165,45 @@ def test_ngram_jaccard_df_cap_prunes_hot_shingles(spark):
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, uncapped.collect()))
 
 
+def test_minhash_jaccard_estimate_tracks_exact(spark):
+    """est_jaccard must be exact-1.0 for identical docs, high for near-dups,
+    and an exact multiple of 1/k."""
+    ests = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_jaccard_estimates(
+            _docs(spark), "doc_id", "text", k=8, bands=4
+        ).collect()
+    }
+    assert ests[(1, 4)] == 1.0  # identical docs agree on every row
+    assert ests[(1, 2)] >= 0.5  # near dup: most rows agree
+    for v in ests.values():
+        assert abs(v * 8 - round(v * 8)) < 1e-9  # multiples of 1/8
+
+
+def test_ngram_containment_detects_subset(spark):
+    """A quoted excerpt has containment ≈ 1 of the short side but low
+    Jaccard — the case this operator exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "intro words here then the quote begins "
+        + short
+        + " and then a very long tail "
+        + " ".join(f"filler{i}" for i in range(40))
+    )
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    out = D.ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.containment_a == 1.0  # every short-doc shingle is in the long doc
+    assert r.containment_b < 0.2   # but the long doc is mostly other content
+    # Jaccard would have rejected this pair at any near-dup threshold
+    jac = {
+        (j.id_a, j.id_b): j.jaccard
+        for j in D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.2
+
+
 def test_dedup_survivors_clique_and_chain(spark):
     from healthcare_etl_pipeline_spark.operators.dedup import dedup_survivors
 

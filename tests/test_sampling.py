@@ -1,0 +1,89 @@
+"""Deterministic sampling/split + chunking operator tests."""
+
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+from healthcare_etl_pipeline_spark.operators.text import chunk_documents
+
+
+def _ids(spark, n=5000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    df = _ids(spark)
+    out = hash_split(df, "doc_id")
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(counts.values()) == 5000  # exhaustive, nothing dropped
+    # ~98/1/1 with hash noise
+    assert counts["train"] > 4700
+    assert 10 <= counts.get("val", 0) <= 150
+    assert 10 <= counts.get("test", 0) <= 150
+
+
+def test_hash_split_stable_under_repartition(spark):
+    df = _ids(spark, 1000)
+    a = {(r.doc_id, r.split) for r in hash_split(df, "doc_id").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b  # pure function of the id — partitioning-independent
+
+
+def test_hash_sample_nested_fractions(spark):
+    df = _ids(spark)
+    s10 = {r.doc_id for r in hash_sample(df, "doc_id", fraction=0.10).collect()}
+    s01 = {r.doc_id for r in hash_sample(df, "doc_id", fraction=0.01).collect()}
+    assert s01 <= s10  # nested: the 1% sample is inside the 10% sample
+    assert 350 <= len(s10) <= 650
+    # different salt → different (independent) subset
+    alt = {r.doc_id for r in hash_sample(df, "doc_id", fraction=0.10, salt=99).collect()}
+    assert alt != s10
+
+
+def test_hash_bucket_range(spark):
+    rows = _ids(spark, 200).select(hash_bucket("doc_id").alias("b")).collect()
+    assert all(0 <= r.b < 10_000 for r in rows)
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b"),                                 # shorter than window
+            (3, ""),                                    # empty → no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, window=4, stride=3)
+    rows = sorted(
+        ((r.doc_id, r.chunk_index, r.chunk_start, r.chunk_text, r.chunk_tokens)
+         for r in out.collect())
+    )
+    # doc 1: starts 1,4,7,10 → windows of 4 tokens (last two truncated)
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 1, "w0 w1 w2 w3", 4),
+        (1, 1, 4, "w3 w4 w5 w6", 4),
+        (1, 2, 7, "w6 w7 w8 w9", 4),
+        (1, 3, 10, "w9", 1),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 1, "a b", 2)]
+    assert not [r for r in rows if r[0] == 3]
+
+
+def test_chunks_cover_all_tokens(spark):
+    """Every token position is covered by at least one chunk when
+    stride <= window."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(257)))], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, window=64, stride=48).collect()
+    covered = set()
+    for r in out:
+        covered.update(range(r.chunk_start, r.chunk_start + r.chunk_tokens))
+    assert covered == set(range(1, 258))

@@ -96,6 +96,30 @@ def test_cosine_fast_matches_fold(spark):
         assert abs(r.a - r.b) < 1e-12
 
 
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """qvec ∈ [-127,127]; reconstruction error ≤ scale/2; zero vector safe."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector → scale fallback 1.0
+        (3, [-0.001, 0.0005, 0.00025, 0.0]),  # tiny magnitudes
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    out = {r.vec_id: r for r in S.quantize_int8(spark.createDataFrame(rows, schema)).collect()}
+    for vid, r in out.items():
+        assert all(-127 <= q <= 127 for q in r.qvec), (vid, r.qvec)
+        assert r.max_abs_err <= r.scale / 2 + 1e-9, (vid, r)
+    assert out[2].scale == 1.0
+    assert out[2].qvec == [0, 0, 0, 0]
+    assert out[1].qvec[3] == 127  # the max component hits full range
+
+
 def test_embedding_dedup_lsh_matches_exact(spark):
     """The LSH-prefiltered near-dup pairs must equal the exact O(n²) pair
     set on the oracle corpus (recall 1.0 at planes=2/tables=16) — the
