@@ -121,6 +121,54 @@ def type_token_ratio(col: Column | str) -> Column:
     return F.when(n > 0, distinct_token_count(col) / n).otherwise(F.lit(0.0))
 
 
+# Explicit codepoint ranges (not engine regex script classes) so the SAME
+# pattern strings run in Spark (Java regex) and DuckDB (RE2) with identical
+# semantics — script classes are spelled differently across engines.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "a-zA-Z",
+    "cyrillic": "Ѐ-ӿ",
+    "han": "一-鿿",
+    "arabic": "؀-ۿ",
+}
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts (length after deleting non-script chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.length(F.regexp_replace(c, f"[^{rng}]", "")).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(col: Column | str) -> Column:
+    """Argmax script by character count; fixed precedence order breaks ties
+    (latin > cyrillic > han > arabic); 'und' when no script chars at all."""
+    counts = script_counts(col)
+    names = list(SCRIPT_RANGES)
+    best = counts[names[0]]
+    expr = F.lit(names[0])
+    for name in names[1:]:
+        expr = F.when(counts[name] > best, F.lit(name)).otherwise(expr)
+        best = F.greatest(best, counts[name])
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """array<string> of URLs in the text (same regex runs in DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def url_domain(url_col: Column | str) -> Column:
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_extract(c, DOMAIN_PATTERN, 1)
+
+
 STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
     "de": ("der", "die", "das", "und", "ist", "ein"),

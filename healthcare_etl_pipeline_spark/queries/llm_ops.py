@@ -998,6 +998,103 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "script_detect_docs",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 13 = 0 THEN ' привет мир как дела'
+                          WHEN doc_id % 17 = 0 THEN ' 你好世界测试文本'
+                          ELSE '' END AS text
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_latin,
+             length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_han,
+             length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) AS n_arabic
+      FROM seeded
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+           CASE WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic) = 0 THEN 'und'
+                WHEN n_arabic > greatest(n_latin, n_cyrillic, n_han) THEN 'arabic'
+                WHEN n_han > greatest(n_latin, n_cyrillic) THEN 'han'
+                WHEN n_cyrillic > n_latin THEN 'cyrillic'
+                ELSE 'latin' END AS script
+    FROM counts
+    """,
+    description="Unicode script profiling: per-script character counts over "
+    "explicit codepoint ranges (identical pattern semantics in Java regex "
+    "and RE2) + dominant-script argmax with fixed tie precedence. "
+    "Deterministic Cyrillic/Han seeds exercise the non-Latin counters.",
+    tags=("text", "script", "llm"),
+)
+def script_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" привет мир как дела"))
+            .when(F.col("doc_id") % 17 == 0, F.lit(" 你好世界测试文本"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = X.script_counts("text")
+    return seeded.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name in X.SCRIPT_RANGES],
+        X.dominant_script("text").alias("script"),
+    )
+
+
+@query(
+    "url_domains_docs",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' see https://example.org/a/b and http://data.example.com/x?q=1 now'
+               ELSE '' END AS text
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+      FROM seeded
+    )
+    SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+    FROM urls GROUP BY domain
+    """,
+    description="URL extraction + per-domain stats (the provenance/"
+    "source-mix census of a web corpus): regexp_extract_all -> explode -> "
+    "domain groupBy. Deterministic URL seeds on doc_id % 7 exercise real "
+    "extractions.",
+    tags=("text", "url", "llm"),
+)
+def url_domains_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(
+                    " see https://example.org/a/b and http://data.example.com/x?q=1 now"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = seeded.select(
+        "doc_id", F.explode(X.extract_urls("text")).alias("url")
+    )
+    return urls.groupBy(X.url_domain("url").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
     "dedup_components_docs",
     oracle=f"""
     WITH RECURSIVE {_DUCK_TOKENS_CTE.strip()}

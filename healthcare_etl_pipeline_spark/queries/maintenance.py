@@ -1,0 +1,140 @@
+"""Warehouse-maintenance queries: SCD2 history merge, latest-wins upsert.
+
+Extends the reference's uniqueness-checked sink semantics
+(app/etl/load.py conflict handling) to versioned targets — the table
+maintenance a production deployment of these pipelines runs nightly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.merge import scd2_merge, upsert_latest
+from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.registry import query
+
+_HIST_COLS = (
+    "c_custkey",
+    "c_acctbal",
+    "c_mktsegment",
+    "effective_from",
+    "effective_to",
+    "is_current",
+)
+
+
+def _synth_history(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic SCD2 fixture from `customer` (mirrored in the oracle):
+    v1 open rows for every customer, a pre-closed older version for
+    c_custkey%7==0, and an update batch where %3==0 changes acctbal (+100)
+    and %5==0 (not %3) redelivers identical values (idempotence probe)."""
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    open_v1 = base.selectExpr(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "TIMESTAMP '2024-01-01' AS effective_from",
+        "CAST(NULL AS TIMESTAMP) AS effective_to",
+        "TRUE AS is_current",
+    )
+    closed_old = base.filter("c_custkey % 7 = 0").selectExpr(
+        "c_custkey",
+        "c_acctbal - 50 AS c_acctbal",
+        "c_mktsegment",
+        "TIMESTAMP '2023-01-01' AS effective_from",
+        "TIMESTAMP '2024-01-01' AS effective_to",
+        "FALSE AS is_current",
+    )
+    history = closed_old.unionByName(open_v1)
+    updates = (
+        base.filter("c_custkey % 3 = 0")
+        .selectExpr("c_custkey", "c_acctbal + 100 AS c_acctbal", "c_mktsegment")
+        .unionByName(
+            base.filter("c_custkey % 5 = 0 AND c_custkey % 3 <> 0").select(
+                "c_custkey", "c_acctbal", "c_mktsegment"
+            )
+        )
+    )
+    return history, updates
+
+
+@query(
+    "scd2_merge_customers",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+    SELECT c_custkey, c_acctbal - 50 AS c_acctbal, c_mktsegment,
+           TIMESTAMP '2023-01-01' AS effective_from,
+           TIMESTAMP '2024-01-01' AS effective_to,
+           FALSE AS is_current
+    FROM base WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '2024-01-01',
+           CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2024-06-01' END,
+           c_custkey % 3 <> 0
+    FROM base
+    UNION ALL
+    SELECT c_custkey, c_acctbal + 100, c_mktsegment,
+           TIMESTAMP '2024-06-01', NULL, TRUE
+    FROM base WHERE c_custkey % 3 = 0
+    """,
+    description="SCD Type-2 merge: versioned customer history + update "
+    "batch → closed-out changed versions, appended new versions, untouched "
+    "closed history, idempotent no-op redeliveries. One null-safe equi-join "
+    "on the business key; change detection is an expression (<=>), no "
+    "windows over history. Oracle recomputes the post-merge table.",
+    tags=("merge", "scd2", "maintenance"),
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    history, updates = _synth_history(spark, sf_dir)
+    merged = scd2_merge(
+        history,
+        updates,
+        key_cols=["c_custkey"],
+        compare_cols=["c_acctbal", "c_mktsegment"],
+        batch_ts=F.lit("2024-06-01").cast("timestamp"),
+    )
+    return merged.select(*_HIST_COLS)
+
+
+@query(
+    "upsert_latest_customers",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             TIMESTAMP '2024-01-01' AS updated_at, 0 AS src
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100, c_mktsegment,
+             TIMESTAMP '2024-06-01', 1
+      FROM customer WHERE c_custkey % 3 = 0
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY updated_at DESC, src DESC) AS rn
+      FROM tagged
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment, updated_at
+    FROM ranked WHERE rn = 1
+    """,
+    description="Latest-wins upsert: one CURRENT row per key, newest "
+    "timestamp wins (ties: the update). One shuffle on the key.",
+    tags=("merge", "upsert", "maintenance"),
+)
+def upsert_latest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    current = base.selectExpr(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        "TIMESTAMP '2024-01-01' AS updated_at",
+    )
+    updates = base.filter("c_custkey % 3 = 0").selectExpr(
+        "c_custkey", "c_acctbal + 100 AS c_acctbal", "c_mktsegment",
+        "TIMESTAMP '2024-06-01' AS updated_at",
+    )
+    return upsert_latest(
+        current, updates, key_cols=["c_custkey"], ts_col="updated_at"
+    )

@@ -78,6 +78,7 @@ def _load_all() -> None:
         etl_parity,
         join_ops,
         llm_ops,
+        maintenance,
         streaming_ops,
         tpch,
         tpch_extended,

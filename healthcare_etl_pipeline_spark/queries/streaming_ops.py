@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from healthcare_etl_pipeline_spark.operators.text import portable_char_hash_sql
 from healthcare_etl_pipeline_spark.queries.registry import query
 from healthcare_etl_pipeline_spark.streaming.windows import (
     run_stream_to_memory,
@@ -139,6 +140,45 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
     )
+
+
+_DUCK_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "stream_dedup_by_fingerprint",
+    oracle=f"SELECT DISTINCT {portable_char_hash_sql(_DUCK_NORM_TEXT)} AS fp FROM documents",
+    description="Streaming CONTENT dedup: per-microbatch document "
+    "fingerprints (normalized rolling hash) deduplicated in-stream — the "
+    "streaming form of exact corpus dedup, emitting each distinct content "
+    "digest once. Documents carry no event time, so this uses unbounded "
+    "dropDuplicates state; a deployment keyed on ingest time would use "
+    "dropDuplicatesWithinWatermark (see stream_dedup_events).",
+    tags=("streaming", "dedup", "fingerprint", "llm"),
+)
+def stream_dedup_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.operators import text as X
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    fp = stream.select(X.fingerprint("text").alias("fp"))
+    deduped = fp.dropDuplicates(["fp"])
+    return run_stream_to_memory(spark, deduped, output_mode="append")
 
 
 @query(

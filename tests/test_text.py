@@ -156,3 +156,51 @@ def test_redact_pii_and_counts(spark):
     assert out[2].red == "clean text, no identifiers at all"
     # a YYYY-MM-DD date is not an SSN (4-2-2 digits ≠ 3-2-4)
     assert "1980-04-12" in out[3].red
+
+
+def test_dominant_script_flips_and_und(spark):
+    from healthcare_etl_pipeline_spark.operators.text import dominant_script
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world plain latin"),
+            (2, "привет мир это кириллица"),        # cyrillic dominant
+            (3, "你好世界这是中文测试文本内容"),        # han dominant
+            (4, "مرحبا بالعالم هذا نص عربي طويل"),   # arabic dominant
+            (5, "hi привет"),                        # cyrillic 6 > latin 2
+            (6, "12345 !!! ..."),                    # no script chars
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.s for r in df.select("doc_id", dominant_script("text").alias("s")).collect()}
+    assert got == {1: "latin", 2: "cyrillic", 3: "han", 4: "arabic", 5: "cyrillic", 6: "und"}
+
+
+def test_url_extraction_and_domains(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.operators.text import extract_urls, url_domain
+
+    df = spark.createDataFrame(
+        [(1, "go to https://a.example.org/x and http://b.net no-url text")],
+        ["doc_id", "text"],
+    )
+    urls = df.select(F.explode(extract_urls("text")).alias("url"))
+    got = [(r.url, d.domain) for r, d in zip(
+        urls.collect(), urls.select(url_domain("url").alias("domain")).collect()
+    )]
+    assert got == [
+        ("https://a.example.org/x", "a.example.org"),
+        ("http://b.net", "b.net"),
+    ]
+
+
+def test_chunking_registered_query_consistency(spark):
+    """chunk boundaries reconstruct the document when stride == window."""
+    from healthcare_etl_pipeline_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_documents(df, window=32, stride=32).collect()
+    rebuilt = " ".join(r.chunk_text for r in sorted(out, key=lambda r: r.chunk_index))
+    assert rebuilt == text
