@@ -1,0 +1,132 @@
+"""BPE merge-table training as an iterative Spark job.
+
+Classic byte-pair-encoding vocabulary learning (the tokenizer-training step
+of an LLM data pipeline): start from characters (+ an end-of-word marker),
+repeatedly count adjacent symbol pairs across the corpus weighted by word
+frequency, and merge the most frequent pair.
+
+Spark shape — what makes this scale:
+- The corpus is touched ONCE: ``explode(tokens) → groupBy word`` collapses
+  100 TB of text to a |vocab|-sized frequency table, and every merge round
+  runs on that table only (classic BPE trainers do exactly this collapse).
+- Each round is one shuffle (pair groupBy) + one Arrow-batched merge pass;
+  the running vocabulary is ``localCheckpoint``-ed eagerly per round so
+  lineage stays flat across iterations (same pattern as
+  ``connected_components``).
+- The only driver traffic per round is the single winning pair (collect of
+  one row) — no corpus data ever reaches the driver.
+
+Determinism: ties broken by (pair count desc, left, right), so the merge
+sequence is reproducible — the unit test checks it against a pure-Python
+reference implementation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_pipeline_spark.operators.text import tokens
+
+END_MARK = "</w>"
+
+
+def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, syms): corpus collapsed to word frequencies, each word
+    split into characters + end marker."""
+    words = docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    syms = F.concat(
+        F.filter(F.split(F.col("word"), ""), lambda x: x != ""),
+        F.array(F.lit(END_MARK)),
+    )
+    return freq.withColumn("syms", syms)
+
+
+def _make_merge_udf(left: str, right: str):
+    merged = left + right
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _merge(s: pd.Series) -> pd.Series:
+        def run(syms):
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return s.map(run)
+
+    return _merge
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, pair_count)]
+    in merge order. Stops early when the best pair drops below
+    ``min_pair_count``."""
+    vocab = _word_vocab(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((left, right, n))
+        vocab = vocab.withColumn(
+            "syms", _make_merge_udf(left, right)(F.col("syms"))
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_merges_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, left, right, pair_count)."""
+    merges = bpe_train(
+        docs, text_col, n_merges=n_merges, min_pair_count=min_pair_count
+    )
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("left", T.StringType()),
+            T.StructField("right", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
+    return docs.sparkSession.createDataFrame(rows, schema)

@@ -86,3 +86,28 @@ def hash_sample(
     """
     bound = int(round(fraction * BUCKETS))
     return df.filter(hash_bucket(id_col, salt=salt) < F.lit(bound))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    fraction (corpus re-balancing — e.g. downsample the dominant language).
+
+    Same zero-shuffle bucket mechanism as ``hash_sample``; per-stratum
+    subsets stay nested across fraction changes at the same salt, so
+    rebalancing is reproducible and monotone.
+    """
+    bucket = hash_bucket(id_col, salt=salt)
+    bound: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for value, frac in fractions.items():
+        bound = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(bound)
+    return df.filter(bucket < bound)

@@ -998,6 +998,25 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_merges_docs",
+    oracle=None,  # iterative algorithm — rows-only check; determinism is
+    # pinned by tie-breaks and verified against a pure-Python reference
+    # implementation in tests/test_bpe.py
+    description="BPE tokenizer training (10 merges): corpus collapsed ONCE "
+    "to a word-frequency table, then each round = one pair-count shuffle + "
+    "one Arrow-batched merge pass, vocabulary localCheckpoint-ed per round "
+    "(flat lineage, connected-components pattern). Only the single winning "
+    "pair reaches the driver per round.",
+    tags=("text", "bpe", "iterative", "llm"),
+)
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.bpe import bpe_merges_df
+
+    docs = td(spark, sf_dir, "documents")
+    return bpe_merges_df(docs, n_merges=10)
+
+
+@query(
     "script_detect_docs",
     oracle="""
     WITH seeded AS (

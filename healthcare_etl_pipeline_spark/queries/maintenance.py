@@ -11,6 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_etl_pipeline_spark.operators.merge import scd2_merge, upsert_latest
+from healthcare_etl_pipeline_spark.operators.profile import profile_table
+from healthcare_etl_pipeline_spark.operators.sampling import (
+    hash_bucket_sql,
+    stratified_hash_sample,
+)
 from healthcare_etl_pipeline_spark.queries.helpers import t
 from healthcare_etl_pipeline_spark.queries.registry import query
 
@@ -137,4 +142,59 @@ def upsert_latest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return upsert_latest(
         current, updates, key_cols=["c_custkey"], ts_col="updated_at"
+    )
+
+
+_PROFILE_NUMERIC = ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STRING = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUMERIC:
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, count(DISTINCT {c}) AS n_distinct, "
+            f"round(CAST(min({c}) AS DOUBLE), 6) AS min_value, "
+            f"round(CAST(max({c}) AS DOUBLE), 6) AS max_value FROM lineitem"
+        )
+    for c in _PROFILE_STRING:
+        parts.append(
+            f"SELECT '{c}', count(*), count(*) - count({c}), count(DISTINCT {c}), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "profile_lineitem",
+    oracle=_profile_oracle(),
+    description="One-pass per-column statistics census (the ANALYZE-TABLE "
+    "counterpart for data-quality monitoring): null counts, exact distinct "
+    "counts, numeric min/max — one agg over one scan, stack-unpivoted to a "
+    "row per column. exact_distinct=False swaps in HLL for 100 TB.",
+    tags=("profile", "maintenance"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return profile_table(li, list(_PROFILE_NUMERIC), list(_PROFILE_STRING))
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {hash_bucket_sql("doc_id", salt=3)} <
+          CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END
+    """,
+    description="Deterministic per-stratum sampling for corpus re-balancing "
+    "(keep 50% of dominant-language docs, 10% of the rest): zero-shuffle "
+    "bucket filter, nested subsets across fraction changes.",
+    tags=("sampling", "stratified", "llm"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang",
+        fractions={"en": 0.50}, default_fraction=0.10, salt=3,
     )
