@@ -3,7 +3,7 @@ multimodal plumbing (driver north-star, SURVEY.md §2.8) — each a `queries()`
 entry with a DuckDB oracle wherever cross-engine determinism is achievable.
 
 Oracle strategy: the dedup/fingerprint/minhash/simhash queries use the
-PORTABLE polynomial hash (operators/text.py) whose fold is bit-identical in
+PORTABLE md5-derived hash (operators/text.py) that is bit-identical in
 DuckDB SQL, so even MinHash signatures carry full value oracles. The
 LSH-bucketed ANN and mapInPandas feature extraction are engine-specific →
 rows-only checks (documented in their specs).
@@ -27,7 +27,7 @@ MOD = X.MOD
 # Shared DuckDB CTE fragments (mirror operators/text.py exactly)
 # ---------------------------------------------------------------------------
 
-# char-code polynomial fold over expression `E` (same order as Spark aggregate)
+# portable md5-derived hash of expression `E` (same bits as the Spark side)
 def _duck_hash(expr: str) -> str:
     return X.portable_char_hash_sql(expr)
 
