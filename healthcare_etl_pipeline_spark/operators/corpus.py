@@ -1,0 +1,306 @@
+"""Corpus-level statistical operators for LLM training-data preparation:
+repetition quality rules, unigram language-model scoring, sequence packing,
+TF-IDF salient terms, and a bounded inverted index.
+
+These complement operators/text.py (per-document, expression-only metrics)
+with the operators that need CORPUS context — aggregations over exploded
+tokens/n-grams — and are the standard second tier of a data-quality
+pipeline (Gopher/C4-style repetition filters, KenLM-style perplexity
+proxies, GPT-style sequence packing).
+
+Scale posture shared by all five:
+- One explode of the token stream per operator, aggregated with map-side
+  combine (groupBy on (doc, gram) or (token) keys) — no per-doc windows
+  over the whole corpus, no driver collects.
+- Per-doc gram arrays are derived from a localCheckpoint'd token-array
+  frame: higher-order expressions are CodegenFallback and not
+  subexpression-eliminated, so each consumer must read STORED arrays, not
+  re-run the tokenizer (lazy checkpoint — blocks are GC-freed, nothing
+  accumulates in the executor cache across queries).
+- Every fraction is rounded to 6 dp so DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.sampling import hash_bucket
+from healthcare_etl_pipeline_spark.operators.text import tokens
+from healthcare_etl_pipeline_spark.queries.helpers import spread
+
+
+def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tk): tokenized docs, spread to cores and checkpointed so every
+    downstream gram derivation reads stored arrays."""
+    return (
+        spread(df, df.sparkSession)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _grams(tk: Column, n: int) -> Column:
+    """Non-distinct n-gram strings (space-joined) from a token array."""
+    if n == 1:
+        return tk
+    idx = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document.
+
+    - ``top_unigram_frac``: count of the most frequent token / n_tokens —
+      high values mean one token dominates (boilerplate, keyword stuffing).
+    - ``top_bigram_frac``: same for 2-grams.
+    - ``dup_trigram_frac``: fraction of 3-gram OCCURRENCES whose 3-gram
+      appears more than once in the doc — phrase-level self-repetition.
+
+    The Gopher paper's repetition filters (Rae et al. 2021, table A1) use
+    exactly these shapes (fraction-of-characters variants) with thresholds
+    like 0.2/0.18; ``keep`` applies illustrative thresholds (documented in
+    the query spec) so the operator is usable as a gate directly.
+
+    Shape: one explode per gram order over checkpointed token arrays, each
+    aggregated by (doc, gram) with map-side combine, then a per-doc agg —
+    the max/sum never sees more than one doc's grams per key. Docs too
+    short for a gram order get 0.0 (no repetition evidence).
+    """
+    tk = _token_arrays(df, id_col, text_col)
+
+    def gram_metrics(n: int, top_name: str, dup: bool = False) -> DataFrame:
+        g = tk.select(
+            F.col(id_col), F.explode(_grams(F.col("tk"), n)).alias("g")
+        )
+        per_gram = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+        aggs = [
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("tot"),
+        ]
+        if dup:
+            aggs.append(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                    "dup_cnt"
+                )
+            )
+        per_doc = per_gram.groupBy(id_col).agg(*aggs)
+        frac = (
+            F.round(F.col("dup_cnt") / F.col("tot"), 6)
+            if dup
+            else F.round(F.col("max_cnt") / F.col("tot"), 6)
+        )
+        return per_doc.select(F.col(id_col), frac.alias(top_name))
+
+    uni = gram_metrics(1, "top_unigram_frac")
+    bi = gram_metrics(2, "top_bigram_frac")
+    tri = gram_metrics(3, "dup_trigram_frac", dup=True)
+    base = tk.select(F.col(id_col), F.size("tk").alias("n_tokens"))
+    out = (
+        base.join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+    keep = (
+        (F.col("top_unigram_frac") <= 0.20)
+        & (F.col("top_bigram_frac") <= 0.18)
+        & (F.col("dup_trigram_frac") <= 0.30)
+    )
+    return out.withColumn("keep", keep)
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the CORPUS unigram
+    distribution — the cheapest member of the KenLM-perplexity family of
+    quality scores (a doc of globally-rare tokens scores low; natural
+    prose scores near the corpus mode).
+
+    Two aggregations over one exploded token stream: (1) the corpus
+    vocabulary with counts (shuffle on token, map-side combined), (2) the
+    per-doc mean of ``ln(count/total)`` after re-joining tokens to the
+    vocabulary. The vocabulary is orders of magnitude smaller than the
+    corpus; the join shuffles on the token key. ``total`` is attached as a
+    broadcast scalar, never collected to Python.
+    """
+    tk = _token_arrays(df, id_col, text_col)
+    tok = tk.select(F.col(id_col), F.explode("tk").alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    scored = (
+        tok.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_token_logprob"),
+        )
+    )
+    return scored
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    context: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing assignment.
+
+    Training batches are built by concatenating documents in a
+    deterministic order and cutting fixed-``context``-token sequences; this
+    operator computes, WITHOUT materializing any concatenation, where each
+    document lands: its shard, the global token offset within the shard's
+    stream, the first pack (sequence) index it touches, and how many packs
+    it spans (documents crossing a boundary are split across sequences, as
+    in standard GPT packing).
+
+    Scale: a single global running sum would be one giant window partition.
+    Instead docs are deterministically sharded (portable multiplicative
+    hash of the id), and the running sum is per-shard — shards are
+    independent, so the sort parallelizes across the cluster and the
+    assignment stays reproducible on any cluster size. Pack ids are
+    namespaced per shard (``shard * 2^40 + local_pack``).
+    """
+    tk = _token_arrays(df, id_col, text_col)
+    base = tk.select(
+        F.col(id_col),
+        F.size("tk").alias("n_tokens"),
+        (hash_bucket(F.col(id_col)) % shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    out = base.withColumn("start_offset", start)
+    first_pack = F.floor(F.col("start_offset") / context)
+    last_pack = F.floor(
+        (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / context
+    )
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        (F.col("shard").cast("long") * F.lit(1 << 40) + first_pack).alias(
+            "pack_id"
+        ),
+        (F.col("start_offset") % context).alias("offset_in_pack"),
+        (last_pack - first_pack + 1).cast("int").alias("n_packs_spanned"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` salient terms per document by TF-IDF (idf = ln(N/df), no
+    smoothing — every token present in the corpus has df ≥ 1).
+
+    Shape: term frequencies by (doc, token) with map-side combine; document
+    frequencies are a second aggregation OF THE TF TABLE (already one row
+    per (doc, token) — no second corpus scan); N is a broadcast scalar.
+    The final top-k is a per-doc window over the scored TF table (each
+    partition holds one doc's distinct terms, bounded by doc length).
+    Ties break by token string so results are deterministic.
+    """
+    tk = _token_arrays(df, id_col, text_col)
+    tf = (
+        tk.select(F.col(id_col), F.explode("tk").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tk.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "tf", "df", "tfidf")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_df: int = 5,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Bounded inverted index: for each token with document frequency ≥
+    ``min_df``, the total df and the first ``max_postings`` posting ids
+    (smallest doc ids — deterministic sample of the posting list).
+
+    The bound is enforced BEFORE any list is built: distinct (token, doc)
+    pairs get a per-token ``row_number`` ordered by doc id, rows beyond
+    ``max_postings`` are dropped, and only then does ``collect_list`` run —
+    so no aggregation state ever exceeds ``max_postings`` entries per
+    token, no matter how hot the token (an unbounded ``collect_set`` on a
+    stop-word would hold the whole corpus's doc ids in one task). df is
+    counted in the same window pass (count over the token partition), and
+    both window functions share one shuffle on the token key.
+    """
+    tk = _token_arrays(df, id_col, text_col)
+    pairs = (
+        tk.select(F.col(id_col), F.explode("tk").alias("tok"))
+        .select("tok", id_col)
+        .distinct()
+    )
+    wtok = Window.partitionBy("tok")
+    worder = wtok.orderBy(id_col)
+    ranked = pairs.select(
+        "tok",
+        F.col(id_col),
+        F.row_number().over(worder).alias("rn"),
+        F.count(F.lit(1)).over(wtok).alias("df"),
+    )
+    return (
+        ranked.filter((F.col("df") >= min_df) & (F.col("rn") <= max_postings))
+        .groupBy("tok", "df")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+        .select("tok", "df", "postings")
+    )

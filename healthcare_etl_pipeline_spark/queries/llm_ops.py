@@ -1224,3 +1224,198 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surviving.select(
         "doc_id", "source", clean.alias("clean_text"), "quality"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level statistics (operators/corpus.py): repetition rules, unigram
+# LM scoring, sequence packing, TF-IDF, inverted index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_stats_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    uni AS (
+      SELECT doc_id, g, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY doc_id, g
+    ),
+    unid AS (
+      SELECT doc_id, round(max(cnt) / sum(cnt), 6) AS top_unigram_frac
+      FROM uni GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, g, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+        FROM toks
+      ) GROUP BY doc_id, g
+    ),
+    bid AS (
+      SELECT doc_id, round(max(cnt) / sum(cnt), 6) AS top_bigram_frac
+      FROM bi GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id, g, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        FROM toks
+      ) GROUP BY doc_id, g
+    ),
+    trid AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / sum(cnt), 6)
+               AS dup_trigram_frac
+      FROM tri GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS INTEGER) AS n_tokens,
+           coalesce(u.top_unigram_frac, 0.0) AS top_unigram_frac,
+           coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(d.dup_trigram_frac, 0.0) AS dup_trigram_frac,
+           (coalesce(u.top_unigram_frac, 0.0) <= 0.20
+            AND coalesce(b.top_bigram_frac, 0.0) <= 0.18
+            AND coalesce(d.dup_trigram_frac, 0.0) <= 0.30) AS keep
+    FROM toks t
+    LEFT JOIN unid u USING (doc_id)
+    LEFT JOIN bid b USING (doc_id)
+    LEFT JOIN trid d USING (doc_id)
+    """,
+    description="Gopher-style repetition quality rules per document: top "
+    "unigram/bigram occupancy and duplicated-trigram occurrence fraction, "
+    "with a keep gate at the (0.20, 0.18, 0.30) thresholds. One explode per "
+    "gram order over checkpointed token arrays, map-side combined.",
+    tags=("text", "quality", "repetition", "llm"),
+)
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "unigram_logprob_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(cnt / total)), 6) AS avg_token_logprob
+    FROM tok JOIN vocab USING (tok), tot
+    GROUP BY doc_id
+    """,
+    description="Per-document mean unigram log-probability under the corpus "
+    "unigram distribution — the cheapest KenLM-style perplexity proxy for "
+    "quality scoring. Vocabulary built in one map-side-combined pass; total "
+    "attached as a broadcast scalar.",
+    tags=("text", "quality", "logprob", "llm"),
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pack_sequences_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    base AS (
+      SELECT doc_id,
+             CAST(len(tk) AS INTEGER) AS n_tokens,
+             ({hash_bucket_sql("doc_id")} % 8) AS shard
+      FROM toks
+    ),
+    cum AS (
+      SELECT *,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM base
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(shard AS BIGINT) * 1099511627776 + (start_offset // 512) AS pack_id,
+           start_offset % 512 AS offset_in_pack,
+           CAST(((start_offset + greatest(n_tokens, 1) - 1) // 512)
+                - (start_offset // 512) + 1 AS INTEGER) AS n_packs_spanned
+    FROM cum
+    """,
+    description="GPT-style concat-then-chunk sequence packing assignment "
+    "(context=512): each document's shard, token offset in the shard "
+    "stream, pack id and span — computed with a PER-SHARD running sum "
+    "(deterministic multiplicative-hash sharding), so no global window "
+    "partition exists at 100 TB.",
+    tags=("llm", "packing", "window"),
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        t(spark, sf_dir, "documents"), context=512, shards=8
+    )
+
+
+@query(
+    "tfidf_top_terms_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) AS n_docs FROM toks),
+    scored AS (
+      SELECT doc_id, tok, tf, df,
+             round(tf * ln(n_docs / df), 6) AS tfidf
+      FROM tf JOIN dfq USING (tok), nd
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df, tfidf
+    FROM r WHERE rank <= 3
+    """,
+    description="Top-3 salient terms per document by TF-IDF (idf = "
+    "ln(N/df)): document frequencies aggregated FROM the tf table (no "
+    "second corpus scan), N broadcast, per-doc top-k via a window whose "
+    "partitions are bounded by doc length. Ties broken by token string.",
+    tags=("text", "tfidf", "llm"),
+)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "inverted_index_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    pairs AS (
+      SELECT DISTINCT tok, doc_id
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+    ),
+    g AS (
+      SELECT tok, count(*) AS df, list_sort(list(doc_id)) AS all_postings
+      FROM pairs GROUP BY tok
+    )
+    SELECT tok, df, all_postings[1:20] AS postings
+    FROM g WHERE df >= 5
+    """,
+    description="Bounded inverted index: tokens with df >= 5 mapped to "
+    "their df and first-20 posting ids. The cap is enforced BEFORE any "
+    "list aggregation (window row_number then collect), so per-token "
+    "aggregation state never exceeds 20 entries even for stop-words.",
+    tags=("text", "index", "llm"),
+)
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import inverted_index
+
+    return inverted_index(
+        t(spark, sf_dir, "documents"), min_df=5, max_postings=20
+    )

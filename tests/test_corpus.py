@@ -1,0 +1,100 @@
+"""Edge-case tests for operators/corpus.py (the sf corpora are uniform
+word-salad, so degenerate shapes — empty docs, hot tokens, repetition —
+need synthetic fixtures)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.corpus import (
+    inverted_index,
+    pack_sequences,
+    repetition_stats,
+    tfidf_top_terms,
+    unigram_logprob,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_flags_spam_and_tolerates_empty(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "buy buy buy buy buy buy buy buy buy buy"),  # one token dominates
+            (2, "the quick brown fox jumps over a lazy dog tonight"),
+            (3, ""),  # empty: no grams at all
+            (4, "ab"),  # single token: no bigrams/trigrams
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_unigram_frac == 1.0 and not out[1].keep
+    assert out[2].top_unigram_frac == 0.1 and out[2].keep
+    # gram orders that don't exist contribute 0.0 (no repetition evidence)
+    for d in (3, 4):
+        assert out[d].top_bigram_frac == 0.0
+        assert out[d].dup_trigram_frac == 0.0
+    # empty doc: no unigrams either -> passes the gate
+    assert out[3].top_unigram_frac == 0.0 and out[3].keep
+    # single-token doc: its one unigram occupies 100% -> gated out
+    assert out[4].top_unigram_frac == 1.0 and not out[4].keep
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: a a a b  -> p(a)=3/4, p(b)=1/4
+    df = _docs(spark, [(1, "a a a"), (2, "b")])
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].avg_token_logprob == pytest.approx(round(math.log(0.75), 6))
+    assert out[2].avg_token_logprob == pytest.approx(round(math.log(0.25), 6))
+    assert out[1].n_tokens == 3
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    df = _docs(spark, [(i, " ".join(["w"] * 100)) for i in range(40)])
+    out = pack_sequences(df, context=256, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) and all(0 <= s < 4 for s in by_shard)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # offsets are the running sum of preceding docs in the shard stream
+        expect = 0
+        for r in rows:
+            assert r.start_offset == expect
+            assert r.offset_in_pack == expect % 256
+            assert r.pack_id == r.shard * (1 << 40) + expect // 256
+            # 100 tokens, 256 context: spans 1 or 2 packs
+            assert r.n_packs_spanned == (expect + 99) // 256 - expect // 256 + 1
+            expect += r.n_tokens
+
+
+def test_tfidf_rare_term_wins_and_ties_break_by_token(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common rare common common"),
+            (2, "common common zeta alpha"),
+            (3, "common filler filler"),
+        ],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    top1 = {r.doc_id: r.tok for r in out if r.rank == 1}
+    # 'common' appears in every doc -> idf=0 -> never outranks a rare term
+    assert top1[1] == "rare"
+    assert top1[3] == "filler"
+    # doc 2: alpha and zeta tie on tfidf (tf=1, df=1) -> token order breaks it
+    doc2 = sorted((r.rank, r.tok) for r in out if r.doc_id == 2)
+    assert doc2 == [(1, "alpha"), (2, "zeta")]
+
+
+def test_inverted_index_caps_hot_token_postings(spark):
+    rows = [(i, "hot unique%d" % i) for i in range(50)]
+    df = _docs(spark, rows)
+    out = {r.tok: r for r in inverted_index(df, min_df=5, max_postings=10).collect()}
+    assert list(out) == ["hot"]  # unique tokens have df=1 < 5
+    assert out["hot"].df == 50  # df counts ALL docs...
+    assert out["hot"].postings == list(range(10))  # ...postings capped at 10 smallest
