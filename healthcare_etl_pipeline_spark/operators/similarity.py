@@ -545,3 +545,86 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed random projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+_RP_MOD = 1_000_000_007
+_RP_MIX = 2654435761
+
+
+def random_projection_signs(
+    out_dim: int, in_dim: int, salt: int = 7
+) -> list[list[int]]:
+    """Deterministic ±1 projection matrix, derived arithmetically from
+    (row, col) — no stored model, no RNG state, identical on every
+    executor, every engine, every rerun.
+
+    Rademacher entries (±1 with equal probability) satisfy the JL lemma
+    like Gaussian entries do (Achlioptas 2001) and cost one multiply-add
+    per term. The matrix is generated at PLAN-BUILD time and inlined as
+    literal coefficients, so the projection compiles into whole-stage
+    codegen (a pure arithmetic expression per output dimension) and the
+    DuckDB oracle inlines the very same constants.
+    """
+    return [
+        [
+            1 if ((i * in_dim + j) * _RP_MIX + salt) % _RP_MOD % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: int = 7,
+) -> DataFrame:
+    """Project ``in_dim``-d embeddings to ``out_dim`` dims: p_i = (1/√in_dim)
+    · Σ_j sign(i,j)·v_j, rounded to 6 dp.
+
+    Distances are preserved within (1±ε) per Johnson-Lindenstrauss — the
+    standard pre-step before clustering / ANN when 100 TB of 1k-d vectors
+    won't fit the downstream index. Per-row projection, zero shuffle,
+    whole-stage codegen (the ±1 matrix is inlined literal arithmetic —
+    left-to-right addition, bit-identical to the oracle's + chain).
+    """
+    signs = random_projection_signs(out_dim, in_dim, salt)
+    scale = float(in_dim) ** 0.5
+    v = F.col(vec_col)
+    cols = []
+    for i in range(out_dim):
+        term = None
+        for j in range(in_dim):
+            e = F.element_at(v, j + 1).cast("double")
+            t = e if signs[i][j] == 1 else -e
+            term = t if term is None else term + t
+        cols.append(F.round(term / F.lit(scale), 6).alias(f"p{i}"))
+    return df.select(F.col(id_col), *cols)
+
+
+def random_projection_oracle_sql(
+    out_dim: int = 16, in_dim: int = 64, salt: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB SQL computing the identical projection (same inlined signs,
+    same left-to-right addition, same rounding)."""
+    signs = random_projection_signs(out_dim, in_dim, salt)
+    scale = float(in_dim) ** 0.5
+    outs = []
+    for i in range(out_dim):
+        terms = " + ".join(
+            ("" if signs[i][j] == 1 else "-")
+            + f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
+            for j in range(in_dim)
+        )
+        outs.append(f"round(({terms}) / {scale!r}, 6) AS p{i}")
+    return f"SELECT {id_col}, " + ", ".join(outs) + f" FROM {table}"

@@ -1,0 +1,77 @@
+"""Time-series regularization: resample an irregular event stream onto a
+fixed grid with gap-filling — the hypertable `time_bucket_gapfill` /
+Pandas `resample().ffill()` counterpart, expressed as DataFrame ops.
+
+Shape (all per-key, nothing global):
+1. bucket events to the grid step (`date_trunc`) and aggregate per
+   (key, bucket) — one map-side-combined shuffle;
+2. explode each key's `sequence(min_bucket, max_bucket, step)` — the dense
+   grid, generated key-locally (no cross-key range, no driver loop);
+3. left-join observed buckets onto the grid (same key+bucket partitioning
+   the aggregate just produced);
+4. forward-fill carried metrics with `last(ignorenulls)` over a per-key
+   ordered window (running frame — Spark evaluates it in one pass per
+   partition, no re-sort: the join output is already hash-partitioned by
+   key, and the window sorts within partitions only).
+
+At 100 TB the grid explode multiplies rows by (span/step) per key — the
+caller bounds the key set or the time range, exactly like a production
+gap-fill (a dense grid over every key × all history is not a query, it's
+a data-generation job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Regularize ``df`` to one row per (key, bucket) on a dense per-key
+    grid from the key's first to last observed bucket.
+
+    Output: key, bucket, n_events (0 on gaps), value_sum (0.0 on gaps),
+    last_value_avg (per-bucket mean of ``value_col``, forward-filled
+    across gaps — the classic last-observation-carried-forward metric).
+    """
+    bucket = F.date_trunc(trunc_unit, F.col(ts_col))
+    observed = (
+        df.select(F.col(key_col), bucket.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("value_sum"),
+            F.round(F.avg(value_col), 6).alias("value_avg"),
+        )
+    )
+    grid = (
+        observed.groupBy(key_col)
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(observed, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        F.last("value_avg", ignorenulls=True).over(w).alias("last_value_avg"),
+    )

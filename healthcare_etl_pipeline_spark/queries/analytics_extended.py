@@ -434,3 +434,45 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "resample_gapfill_events",
+    oracle="""
+    WITH observed AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events,
+             round(sum(value), 6) AS value_sum,
+             round(avg(value), 6) AS value_avg
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM observed GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           coalesce(o.n_events, 0) AS n_events,
+           coalesce(o.value_sum, 0.0) AS value_sum,
+           last_value(o.value_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value_avg
+    FROM grid g LEFT JOIN observed o
+      ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+    description="Hypertable-style resample + gap-fill (time_bucket_gapfill): "
+    "hourly buckets per user, dense per-key grid via key-local sequence "
+    "explode, zeros on gaps, forward-filled mean via last(ignorenulls) over "
+    "a running per-key frame. Key set bounded (user_id < 20) — a dense grid "
+    "over all keys x all history is a data-generation job, not a query.",
+    tags=("timeseries", "gapfill", "window", "events"),
+)
+def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.timeseries import resample_ffill
+
+    events = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return resample_ffill(events, "user_id", "ts", "value", step="1 hour")

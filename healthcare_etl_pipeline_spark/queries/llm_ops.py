@@ -1419,3 +1419,37 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(
         t(spark, sf_dir, "documents"), min_df=5, max_postings=20
     )
+
+
+@query(
+    "random_projection_embeddings",
+    oracle=S.random_projection_oracle_sql(out_dim=16, in_dim=64),
+    description="Johnson-Lindenstrauss signed random projection 64d -> 16d: "
+    "the ±1 matrix is derived arithmetically from (row, col) at plan-build "
+    "time and inlined as literal coefficients — per-row projection, zero "
+    "shuffle, whole-stage codegen, no stored model; the oracle inlines the "
+    "identical constants.",
+    tags=("similarity", "projection", "llm"),
+)
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, out_dim=16, in_dim=64)
+
+
+@query(
+    "kmeans_embeddings",
+    oracle=None,  # iterative float algorithm — assignments pinned by a
+    # NumPy differential test (tests/test_clustering.py); rows-only here
+    description="Lloyd's k-means over embeddings (k=8, 5 rounds, "
+    "deterministic seed = smallest ids): per round ONE corpus scan + one "
+    "map-side-combined per-cluster average; only the k centroids visit the "
+    "driver and return as inlined literal arithmetic, so assignment is "
+    "whole-stage codegen — no UDF, no shuffle on the assignment side. The "
+    "corpus-clustering step of cluster-balanced sampling / SemDeDup.",
+    tags=("similarity", "clustering", "iterative", "llm"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.clustering import kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, dim=64, iters=5)

@@ -281,3 +281,54 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("purchase_id", "event_id")
     return run_stream_to_memory(spark, joined, output_mode="append")
+
+
+@query(
+    "stream_incremental_mv",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    description="Incremental materialized-view maintenance: the events "
+    "stream is re-staged as 8 files consumed 2-per-micro-batch "
+    "(maxFilesPerTrigger), each batch reduced to partial (count, sum) "
+    "aggregates and MERGEd into the running view by key (full-outer "
+    "coalesce-sum — the DataFrame form of Delta MERGE INTO), state "
+    "checkpointed per batch so lineage stays flat. End state equals the "
+    "batch recomputation.",
+    tags=("streaming", "incremental", "agg"),
+)
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.streaming.incremental import (
+        IncrementalAggView,
+        maintain_incremental_view,
+    )
+
+    # Re-stage the single events file as 8 files so availableNow +
+    # maxFilesPerTrigger=2 yields 4 real micro-batches (a one-file source
+    # would collapse to a single batch and demonstrate nothing).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"mv_src_{tag}")
+    if not os.path.isdir(src) or not any(
+        f.endswith(".parquet") for f in os.listdir(src)
+    ):
+        t(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    view = IncrementalAggView(["event_type"], "value")
+    with tempfile.TemporaryDirectory() as ckpt:
+        maintain_incremental_view(stream, view, checkpoint_dir=ckpt)
+    assert view.n_batches > 1, "expected multiple micro-batches"
+    return view.result().select(
+        "event_type", "n", F.round("value_sum", 2).alias("value_sum")
+    )

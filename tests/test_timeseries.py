@@ -1,0 +1,49 @@
+"""Gap-fill resample + incremental view edge cases on synthetic fixtures."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.timeseries import resample_ffill
+from healthcare_etl_pipeline_spark.streaming.incremental import IncrementalAggView
+
+
+def test_resample_fills_interior_gap_and_carries_value(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 0, 50), 30.0),
+        # hours 1 and 2 are silent
+        (1, datetime(2024, 1, 1, 3, 5), 7.0),
+        (2, datetime(2024, 1, 1, 5, 0), 1.0),  # single-hour key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r.user_id, r.bucket.hour): r for r in resample_ffill(
+        df, "user_id", "ts", "value").collect()}
+
+    # dense grid: user 1 has hours 0..3, user 2 only hour 5
+    assert sorted(k for k in out if k[0] == 1) == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    assert sorted(k for k in out if k[0] == 2) == [(2, 5)]
+    # observed hour aggregates
+    assert out[(1, 0)].n_events == 2 and out[(1, 0)].value_sum == 40.0
+    # gap hours: zeros + forward-filled mean from hour 0
+    for h in (1, 2):
+        assert out[(1, h)].n_events == 0
+        assert out[(1, h)].value_sum == 0.0
+        assert out[(1, h)].last_value_avg == 20.0
+    # hour 3 overwrites the carried value with its own mean
+    assert out[(1, 3)].last_value_avg == 7.0
+
+
+def test_incremental_view_merge_equals_batch(spark):
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, value double"
+    )
+    b2 = spark.createDataFrame(
+        [("b", 1.0), ("c", 4.0)], "k string, value double"
+    )
+    view = IncrementalAggView(["k"], "value")
+    view.merge_batch(b1, 0)
+    view.merge_batch(b2, 1)
+    out = {r.k: (r.n, r.value_sum) for r in view.result().collect()}
+    assert out == {"a": (2, 3.0), "b": (2, 6.0), "c": (1, 4.0)}
+    assert view.n_batches == 2
