@@ -60,3 +60,60 @@ def profile_table(
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
     return stacked
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    bin_width: float,
+    n_bins: int,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``value_col`` over FIXED equal-width bins (last bin
+    open-ended) — the standard production drift monitor for a feature or
+    metric column (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    action).
+
+    Fixed edges (not quantiles) keep the operator deterministic, mirrorable
+    in SQL, and comparable across runs. Each side is ONE map-side-combined
+    aggregation to ``n_bins`` partial counts; the join of the two n_bins-row
+    frames is a broadcast. Scale cost = two scans, no wide shuffle.
+
+    Output: one row per bin with both proportions and the PSI contribution
+    (probabilities floored at ``eps`` so empty bins contribute a finite,
+    large term instead of ±inf).
+    """
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.floor(F.col(value_col) / bin_width), F.lit(n_bins - 1)
+        ).cast("int")
+        out = df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(f"n_{name}")
+        )
+        total = out.agg(F.sum(f"n_{name}").alias(f"tot_{name}"))
+        return out.crossJoin(F.broadcast(total)).select(
+            "bin",
+            F.col(f"n_{name}"),
+            (F.col(f"n_{name}") / F.col(f"tot_{name}")).alias(f"p_{name}"),
+        )
+
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    pr = F.greatest(F.coalesce("p_ref", F.lit(0.0)), F.lit(eps))
+    pc = F.greatest(F.coalesce("p_cur", F.lit(0.0)), F.lit(eps))
+    return (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.round(pr, 6).alias("p_ref"),
+            F.round(pc, 6).alias("p_cur"),
+            F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

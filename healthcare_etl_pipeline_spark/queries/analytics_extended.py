@@ -476,3 +476,66 @@ def resample_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     return resample_ffill(events, "user_id", "ts", "value", step="1 hour")
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )""",
+        "e AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT dst AS node, sum(rank / outdeg) AS mass
+      FROM r{i - 1} r JOIN e ON r.node = e.src JOIN outdeg USING (src)
+      GROUP BY dst
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.node, (1 - {d}) / n + {d} * coalesce(mass, 0.0) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+@query(
+    "pagerank_order_graph",
+    oracle=_pagerank_oracle(iters=3),
+    description="PageRank (3 synchronous rounds, d=0.85) over the "
+    "bidirectional customer↔supplier order graph: per round one join of "
+    "ranks to the checkpointed edge list + one map-side-combined mass "
+    "aggregation; ranks eagerly checkpointed (flat lineage). Oracle is the "
+    "exactly-unrolled recurrence.",
+    tags=("graph", "pagerank", "iterative", "join"),
+)
+def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -198,3 +198,54 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang",
         fractions={"en": 0.50}, default_fraction=0.10, salt=3,
     )
+
+
+_PSI_DUCK_SIDE = """
+  {name}b AS (
+    SELECT least(CAST(floor(o_totalprice / 50000) AS INTEGER), 6) AS bin,
+           count(*) AS n_{name}
+    FROM orders WHERE year(o_orderdate) = {year}
+    GROUP BY 1
+  ),
+  {name}t AS (SELECT sum(n_{name}) AS t_{name} FROM {name}b),
+  {name}p AS (
+    SELECT bin, n_{name}, n_{name} / t_{name} AS p_{name}
+    FROM {name}b, {name}t
+  )
+"""
+
+
+@query(
+    "drift_psi_orders",
+    oracle=(
+        "WITH "
+        + _PSI_DUCK_SIDE.format(name="ref", year=1995).strip()
+        + ", "
+        + _PSI_DUCK_SIDE.format(name="cur", year=1997).strip()
+        + """
+    SELECT coalesce(r.bin, c.bin) AS bin,
+           coalesce(r.n_ref, 0) AS n_ref,
+           coalesce(c.n_cur, 0) AS n_cur,
+           round(greatest(coalesce(r.p_ref, 0.0), 1e-6), 6) AS p_ref,
+           round(greatest(coalesce(c.p_cur, 0.0), 1e-6), 6) AS p_cur,
+           round((greatest(coalesce(c.p_cur, 0.0), 1e-6)
+                  - greatest(coalesce(r.p_ref, 0.0), 1e-6))
+                 * ln(greatest(coalesce(c.p_cur, 0.0), 1e-6)
+                      / greatest(coalesce(r.p_ref, 0.0), 1e-6)), 6) AS psi_term
+    FROM refp r FULL OUTER JOIN curp c ON r.bin = c.bin
+    """
+    ),
+    description="Population Stability Index drift monitor: o_totalprice "
+    "distribution of 1995 orders (reference) vs 1997 orders (current) over "
+    "fixed 50k-wide bins (last open-ended). Two map-side-combined "
+    "aggregations to 7 partial counts each, broadcast-joined; probabilities "
+    "floored at 1e-6 so empty bins stay finite. PSI > 0.25 = action.",
+    tags=("profile", "drift", "maintenance"),
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.profile import psi_drift
+
+    orders = t(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") == 1995)
+    cur = orders.filter(F.year("o_orderdate") == 1997)
+    return psi_drift(ref, cur, "o_totalprice", bin_width=50_000, n_bins=7)

@@ -1,0 +1,46 @@
+"""Hand-computable fixtures for pagerank and psi_drift."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.graph import pagerank
+from healthcare_etl_pipeline_spark.operators.profile import psi_drift
+
+
+def test_pagerank_star_hand_computed(spark):
+    # a(1) <-> b(2), a <-> c(3): outdeg a=2, b=c=1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1)], "src long, dst long"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iters=1).collect()}
+    # r1(a) = 0.15/3 + 0.85*(1/3 + 1/3); r1(b) = r1(c) = 0.15/3 + 0.85*(1/6)
+    assert out[1] == pytest.approx(0.05 + 0.85 * (2 / 3))
+    assert out[2] == pytest.approx(0.05 + 0.85 / 6)
+    assert out[2] == out[3]
+    # rank mass is conserved on a closed graph
+    assert sum(out.values()) == pytest.approx(1.0)
+
+
+def test_psi_drift_hand_computed(spark):
+    ref = spark.createDataFrame(
+        [(5.0,)] * 50 + [(15.0,)] * 50, "v double"
+    )
+    cur = spark.createDataFrame(
+        [(5.0,)] * 90 + [(15.0,)] * 10, "v double"
+    )
+    out = psi_drift(ref, cur, "v", bin_width=10, n_bins=2).collect()
+    total = sum(r.psi_term for r in out)
+    expect = (0.9 - 0.5) * math.log(0.9 / 0.5) + (0.1 - 0.5) * math.log(0.1 / 0.5)
+    assert total == pytest.approx(expect, abs=1e-5)
+    assert {r.bin for r in out} == {0, 1}
+    assert all(r.n_ref == 50 for r in out)
+
+
+def test_psi_drift_empty_bin_is_finite(spark):
+    ref = spark.createDataFrame([(5.0,)] * 10 + [(15.0,)] * 10, "v double")
+    cur = spark.createDataFrame([(5.0,)] * 10, "v double")  # bin 1 empty
+    out = {r.bin: r for r in psi_drift(ref, cur, "v", bin_width=10, n_bins=2).collect()}
+    assert out[1].n_cur == 0
+    assert math.isfinite(out[1].psi_term) and out[1].psi_term > 0
