@@ -539,3 +539,50 @@ def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     ranks = pagerank(edges, iters=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "mad_outlier_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.event_id,
+           round(d.value, 6) AS value,
+           round((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+    """,
+    description="Robust outlier detection by median absolute deviation "
+    "(the z-score variant that survives the outliers it hunts): per-type "
+    "exact median, MAD of deviations, flag |robust z| > 3.5. Two "
+    "aggregations + two broadcast joins of 5-row stats frames — the scans "
+    "dominate, as they should.",
+    tags=("anomaly", "mad", "agg"),
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(rz) > 3.5)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )

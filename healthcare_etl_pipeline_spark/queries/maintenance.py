@@ -249,3 +249,43 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = orders.filter(F.year("o_orderdate") == 1995)
     cur = orders.filter(F.year("o_orderdate") == 1997)
     return psi_drift(ref, cur, "o_totalprice", bin_width=50_000, n_bins=7)
+
+
+from healthcare_etl_pipeline_spark.operators.layout import zvalue_sql as _zsql
+
+_Z_Y = "(CAST(floor(epoch(ts) / 60) AS BIGINT) & 65535)"
+_Z_ORACLE = f"""
+    WITH zed AS (
+      SELECT (user_id & 65535) AS x,
+             {_Z_Y} AS y,
+             ({_zsql("(user_id & 65535)", _Z_Y)} >> 22) AS zbucket
+      FROM events
+    )
+    SELECT zbucket, count(*) AS n,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM zed GROUP BY zbucket
+"""
+
+
+@query(
+    "zorder_layout_events",
+    oracle=_Z_ORACLE,
+    description="Z-order (Morton) layout assignment for two-column data "
+    "skipping: interleave the low 16 bits of user_id and minute-of-epoch "
+    "into a z-value (pure 32-term codegen expression), bucket by the high "
+    "bits (the file assignment an OPTIMIZE ZORDER re-layout would use), "
+    "and report per-bucket min/max of BOTH dimensions — the footer stats "
+    "that make scans filtered on either column skip most buckets.",
+    tags=("maintenance", "layout", "zorder"),
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.layout import zorder_bucket_stats
+
+    events = t(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(65535)
+    # ts is TIMESTAMP_NTZ (no direct cast to long); with the session pinned
+    # to UTC the TIMESTAMP reinterpretation is the same wall-clock instant
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    y = F.floor(epoch_s / 60).cast("long").bitwiseAND(65535)
+    return zorder_bucket_stats(events, x, y, bits=16, bucket_shift=22)
