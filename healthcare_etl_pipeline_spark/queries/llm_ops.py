@@ -1453,3 +1453,93 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, dim=64, iters=5)
+
+
+def _cms_coords_sql(expr: str, depth: int = 4, width: int = 512) -> str:
+    from healthcare_etl_pipeline_spark.operators.sketch import row_hash_sql
+
+    return " UNION ALL ".join(
+        f"SELECT {r} AS r, {row_hash_sql(expr, r, width)} AS bucket, {expr} AS tok FROM tok"
+        for r in range(depth)
+    )
+
+
+@query(
+    "cms_sketch_tokens",
+    oracle=None,  # installed below from the shared coordinate SQL
+    description="Count-Min sketch grid (d=4, w=512) over the corpus token "
+    "stream: one explode to d (row, bucket) coordinates per occurrence, "
+    "one map-side-combined groupBy — the shuffle carries at most d*w rows "
+    "per map partition regardless of corpus size, and two partial sketches "
+    "merge by cell-wise addition (the mergeable-sketch contract that "
+    "replaces exact counting at 100 TB). Portable md5 row hashes -> full "
+    "value oracle.",
+    tags=("sketch", "cms", "approx", "llm"),
+)
+def cms_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import cms_build
+
+    docs = td(spark, sf_dir, "documents")
+    items = docs.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    return cms_build(items, "tok", depth=4, width=512)
+
+
+@query(
+    "cms_estimate_heavy_tokens",
+    oracle=None,  # installed below
+    description="Count-Min point estimates vs exact counts for every token "
+    "with true frequency >= 100: estimate = min over the d sketch cells "
+    "(always >= truth; tight for heavy hitters). The d*w-row sketch "
+    "broadcasts to the lookup join.",
+    tags=("sketch", "cms", "approx", "frequency", "llm"),
+)
+def cms_estimate_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = td(spark, sf_dir, "documents")
+    items = docs.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    sketch = cms_build(items, "tok", depth=4, width=512)
+    heavy = (
+        items.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .filter(F.col("true_cnt") >= 100)
+    )
+    est = cms_estimate(sketch, heavy.select("tok"), "tok", depth=4, width=512)
+    return heavy.join(est, "tok").select("tok", "true_cnt", "cms_est")
+
+
+def _install_cms_oracles() -> None:
+    from healthcare_etl_pipeline_spark.queries import registry
+
+    coords = _cms_coords_sql("tok")
+    base = f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    tok AS (SELECT unnest(tk) AS tok FROM toks),
+    coords AS ({coords}),
+    sketch AS (SELECT r, bucket, count(*) AS cnt FROM coords GROUP BY r, bucket)
+    """
+    grid_sql = base + "SELECT r, bucket, cnt FROM sketch"
+    est_sql = base + """
+    , true_cnt AS (
+      SELECT tok, count(*) AS true_cnt FROM tok GROUP BY tok HAVING count(*) >= 100
+    )
+    SELECT t.tok, t.true_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+    FROM true_cnt t
+    JOIN coords c ON c.tok = t.tok
+    LEFT JOIN sketch s ON s.r = c.r AND s.bucket = c.bucket
+    GROUP BY t.tok, t.true_cnt
+    """
+    for name, sql in (
+        ("cms_sketch_tokens", grid_sql),
+        ("cms_estimate_heavy_tokens", est_sql),
+    ):
+        spec = registry._REGISTRY[name]
+        registry._REGISTRY[name] = spec.__class__(
+            spec.name, spec.fn, sql, spec.description, spec.tags
+        )
+
+
+_install_cms_oracles()
