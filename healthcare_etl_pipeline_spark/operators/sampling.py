@@ -111,3 +111,39 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * BUCKETS)))
         ).otherwise(bound)
     return df.filter(bucket < bound)
+
+
+def balance_strata(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic downsample-only rebalancing to a UNIFORM stratum mix
+    (the data-mixing step of corpus preparation: stop one dominant source/
+    language from swamping the training distribution).
+
+    Every stratum is thinned toward the size of the SMALLEST stratum:
+    rate_s = min_count / n_s, applied as the usual zero-shuffle hash-bucket
+    filter (kept counts are hash-proportional ≈ min_count per stratum, and
+    the kept subset is stable across reruns/partitionings/engines).
+
+    Everything is computed IN the plan — stratum counts (one map-side
+    combined agg), the min (a 1-row broadcast), the per-stratum rates (a
+    broadcast join back onto the data) — so no driver round-trip and no
+    precomputed model; the same plan runs unchanged at any scale.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        strata_col,
+        # same operation ORDER as the oracle SQL (min_n * B / n): floor at
+        # an exact integer boundary must see the identical double
+        F.floor(F.col("__min_n") * BUCKETS / F.col("__n")).alias("__bound"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(id_col, salt=salt) < F.col("__bound"))
+        .drop("__bound")
+    )

@@ -1455,18 +1455,27 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=8, dim=64, iters=5)
 
 
-def _cms_coords_sql(expr: str, depth: int = 4, width: int = 512) -> str:
-    from healthcare_etl_pipeline_spark.operators.sketch import row_hash_sql
+from healthcare_etl_pipeline_spark.operators.sketch import row_hash_sql as _cms_rh
 
+
+def _cms_coords_sql(expr: str, depth: int = 4, width: int = 512) -> str:
     return " UNION ALL ".join(
-        f"SELECT {r} AS r, {row_hash_sql(expr, r, width)} AS bucket, {expr} AS tok FROM tok"
+        f"SELECT {r} AS r, {_cms_rh(expr, r, width)} AS bucket, {expr} AS tok FROM tok"
         for r in range(depth)
     )
 
 
+_CMS_BASE_SQL = f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    tok AS (SELECT unnest(tk) AS tok FROM toks),
+    coords AS ({_cms_coords_sql("tok")}),
+    sketch AS (SELECT r, bucket, count(*) AS cnt FROM coords GROUP BY r, bucket)
+    """
+
+
 @query(
     "cms_sketch_tokens",
-    oracle=None,  # installed below from the shared coordinate SQL
+    oracle=_CMS_BASE_SQL + "SELECT r, bucket, cnt FROM sketch",
     description="Count-Min sketch grid (d=4, w=512) over the corpus token "
     "stream: one explode to d (row, bucket) coordinates per occurrence, "
     "one map-side-combined groupBy — the shuffle carries at most d*w rows "
@@ -1486,7 +1495,17 @@ def cms_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cms_estimate_heavy_tokens",
-    oracle=None,  # installed below
+    oracle=_CMS_BASE_SQL
+    + """
+    , true_cnt AS (
+      SELECT tok, count(*) AS true_cnt FROM tok GROUP BY tok HAVING count(*) >= 100
+    )
+    SELECT t.tok, t.true_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+    FROM true_cnt t
+    JOIN coords c ON c.tok = t.tok
+    LEFT JOIN sketch s ON s.r = c.r AND s.bucket = c.bucket
+    GROUP BY t.tok, t.true_cnt
+    """,
     description="Count-Min point estimates vs exact counts for every token "
     "with true frequency >= 100: estimate = min over the d sketch cells "
     "(always >= truth; tight for heavy hitters). The d*w-row sketch "
@@ -1511,35 +1530,30 @@ def cms_estimate_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy.join(est, "tok").select("tok", "true_cnt", "cms_est")
 
 
-def _install_cms_oracles() -> None:
-    from healthcare_etl_pipeline_spark.queries import registry
-
-    coords = _cms_coords_sql("tok")
-    base = f"""
-    WITH {_DUCK_TOKENS_CTE.strip()},
-    tok AS (SELECT unnest(tk) AS tok FROM toks),
-    coords AS ({coords}),
-    sketch AS (SELECT r, bucket, count(*) AS cnt FROM coords GROUP BY r, bucket)
-    """
-    grid_sql = base + "SELECT r, bucket, cnt FROM sketch"
-    est_sql = base + """
-    , true_cnt AS (
-      SELECT tok, count(*) AS true_cnt FROM tok GROUP BY tok HAVING count(*) >= 100
+@query(
+    "balance_sources_docs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    floor_n AS (SELECT min(n) AS min_n FROM counts),
+    rates AS (
+      SELECT source, CAST(floor(min_n * {10_000} / n) AS BIGINT) AS bound
+      FROM counts CROSS JOIN floor_n
     )
-    SELECT t.tok, t.true_cnt, min(coalesce(s.cnt, 0)) AS cms_est
-    FROM true_cnt t
-    JOIN coords c ON c.tok = t.tok
-    LEFT JOIN sketch s ON s.r = c.r AND s.bucket = c.bucket
-    GROUP BY t.tok, t.true_cnt
-    """
-    for name, sql in (
-        ("cms_sketch_tokens", grid_sql),
-        ("cms_estimate_heavy_tokens", est_sql),
-    ):
-        spec = registry._REGISTRY[name]
-        registry._REGISTRY[name] = spec.__class__(
-            spec.name, spec.fn, sql, spec.description, spec.tags
-        )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {hash_bucket_sql("d.doc_id", salt=9)} < r.bound
+    """,
+    description="Corpus mixing: downsample every source toward the smallest "
+    "source's size (uniform mix, no upsampling) — stratum counts, the "
+    "minimum, and per-stratum keep-rates all computed IN the plan (one agg "
+    "+ two broadcasts), applied as the zero-shuffle deterministic "
+    "hash-bucket filter. No driver round-trip; same plan at any scale.",
+    tags=("sampling", "mixing", "llm"),
+)
+def balance_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import balance_strata
 
-
-_install_cms_oracles()
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return balance_strata(docs, "doc_id", "source", salt=9)
