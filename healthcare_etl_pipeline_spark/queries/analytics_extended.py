@@ -586,3 +586,56 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 6).alias("robust_z"),
         )
     )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n_events) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY rn) AS seq_50
+    FROM ranked WHERE rn <= 50
+    GROUP BY user_id
+    """,
+    description="Behavioral-sequence assembly for sequence-model training "
+    "data: each user's first 50 events in (ts, event_id) order joined into "
+    "an ordered action string. Bounded state: the cap is applied by "
+    "windowed row_number BEFORE any list is built (never an unbounded "
+    "collect per key), and the total count rides the same window shuffle.",
+    tags=("window", "sequence", "events", "llm"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n_events"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq_50"),
+        )
+    )
