@@ -639,3 +639,68 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq_50"),
         )
     )
+
+
+@query(
+    "quantile_normalize_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="Quantile normalization of a feature column (the rank-based "
+    "scaling step of ML feature prep): percent_rank, cume_dist and decile "
+    "of o_totalprice within each order priority — the remaining "
+    "distribution window functions. Deterministic total order via the "
+    "(value, key) tie-break; one shuffle on the partition key.",
+    tags=("window", "percentile", "normalize"),
+)
+def quantile_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal,
+           CAST(NULL AS VARCHAR) AS loyalty_tier
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    description="Schema-drift tolerant ingestion: an old-schema batch (no "
+    "acctbal, no loyalty_tier) unioned with a new-schema batch via "
+    "unionByName(allowMissingColumns) — missing columns NULL-padded by "
+    "NAME, not position. The mergeSchema read-side counterpart for "
+    "long-lived datasets whose producers evolve independently.",
+    tags=("etl", "schema-evolution", "setops"),
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    old_batch = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    new_batch = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double"),
+        F.when(F.col("c_acctbal") >= 5000, F.lit("gold"))
+        .otherwise(F.lit("std"))
+        .alias("loyalty_tier"),
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)
