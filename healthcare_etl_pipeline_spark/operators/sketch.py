@@ -1,5 +1,11 @@
-"""Count–Min sketch: the mergeable frequency sketch for streams and
-shuffles too big for exact counting.
+"""Mergeable sketches: Count–Min (frequency), HyperLogLog (distinct),
+and a Bloom-filter join prefilter.
+
+All three share the same 100 TB contract: executor-local partial state of
+FIXED size, merged by a tiny aggregation — never a shuffle of the raw key
+space — and all hash with the portable md5 hash (operators/text.py), so
+every register/cell/bit is bit-identical in DuckDB and carries an exact
+value oracle.
 
 A CMS is a d × w counter grid; item x increments cell (r, h_r(x) mod w)
 for each of the d row hashes, and its frequency estimate is the MIN over
@@ -99,3 +105,170 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+#
+# Register layout for precision p: bucket = 16 md5 bits (hex chars 1-4)
+# mod 2**p, and rho = 1 + leading-zeros of a DISJOINT 60-bit chunk (hex
+# chars 5-19), computed exactly on the integer path as 61 - bitlength(v)
+# via length(bin(v)) — no floating log anywhere near the registers.
+# Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm" (AofA 2007).
+
+HLL_P = 10
+HLL_M = 1 << HLL_P
+
+
+def _hll_coords(item: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one item; exact integer expressions only."""
+    h = F.md5(item)
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % HLL_M
+    v = F.conv(F.substring(h, 5, 15), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(61)).otherwise(61 - F.length(F.bin(v)))
+    return bucket, rho
+
+
+def hll_coords_sql(expr: str) -> tuple[str, str]:
+    """The identical (bucket, rho) expressions in DuckDB SQL."""
+    bucket = f"(CAST(('0x' || substr(md5({expr}), 1, 4)) AS BIGINT) % {HLL_M})"
+    v = f"CAST(('0x' || substr(md5({expr}), 5, 15)) AS BIGINT)"
+    rho = f"(CASE WHEN {v} = 0 THEN 61 ELSE 61 - length(bin({v})) END)"
+    return bucket, rho
+
+
+def hll_build(items: DataFrame, item_col: str, group_cols: list[str]) -> DataFrame:
+    """One HLL register set per group: (group..., bucket, rho).
+
+    rho is max'd per bucket, so the shuffle after the map-side combine
+    carries at most 2**p rows per group per map partition — fixed size
+    regardless of input cardinality. Registers never observed stay
+    absent (they read as rho 0 at estimate time).
+    """
+    bucket, rho = _hll_coords(F.col(item_col).cast("string"))
+    return (
+        items.select(*group_cols, bucket.alias("bucket"), rho.alias("rho_i"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho_i").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register sets and max per (group..., bucket) — the HLL merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality per group from its registers.
+
+    Raw estimate alpha_m * m^2 / sum_j 2^-M_j with absent registers
+    contributing 2^0 each; small-range (linear counting) correction
+    m*ln(m/V) when E <= 2.5m and some register is zero. The rounding to
+    BIGINT keeps the oracle comparison off the float path's last ulp.
+    """
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    )
+    zeros = m - F.col("present")
+    raw = F.lit(alpha * m * m) / (F.col("s") + zeros.cast("double"))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("hll_est")
+    )
+
+
+def hll_estimate_sql(registers_cte: str, group_cols: str) -> str:
+    """DuckDB estimate over a registers CTE (same formula, same rounding)."""
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+    SELECT {group_cols},
+           CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                           THEN {m}.0 * ln({m}.0 / zeros)
+                           ELSE raw END) AS BIGINT) AS hll_est
+    FROM (
+      SELECT {group_cols}, {m} - count(*) AS zeros,
+             CAST({alpha!r} AS DOUBLE) * {m} * {m}
+               / (sum(pow(2.0, -rho)) + {m} - count(*)) AS raw
+      FROM ({registers_cte})
+      GROUP BY {group_cols}
+    )
+    """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join prefilter
+# --------------------------------------------------------------------------
+#
+# An explicit, engine-portable runtime filter (sideways information
+# passing): hash the build side's keys into k bit positions, ship only the
+# SET positions (small), and drop probe rows whose k positions are not all
+# set BEFORE the real join pays its shuffle. No false negatives by
+# construction, so prefilter + join == plain join exactly; false positives
+# are eliminated by the join itself. Spark's AQE injects the same shape as
+# InSubqueryExec/bloom runtime filters when statistics allow; this form is
+# deterministic and oracle-checkable.
+
+def bloom_build(
+    build: DataFrame, key_col: str, *, bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Distinct set bit positions of the build side: (pos)."""
+    key = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            (portable_char_hash(F.concat(key, F.lit(f"#{i}"))) % bits).alias(
+                f"p{i}"
+            )
+            for i in range(k)
+        ]
+    )
+    return build.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key_col: str,
+    bloom_bits: DataFrame,
+    *,
+    bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Keep probe rows whose k positions are ALL set in the filter.
+
+    The bit table is at most `bits` rows → broadcast; the all-k test is
+    an explode → broadcast semi-shape join → HAVING count = k, then a
+    semi join back to the probe rows on the key. Probe columns pass
+    through untouched. The membership test runs over DISTINCT probe keys
+    (a key occurring r times would otherwise explode to r*k rows and
+    fail the count-of-k test).
+    """
+    key = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            portable_char_hash(F.concat(key, F.lit(f"#{i}"))) % bits
+            for i in range(k)
+        ]
+    )
+    probed = (
+        probe.select(key_col)
+        .distinct()
+        .select(F.col(key_col), F.explode(pos).alias("pos"))
+    )
+    hits = (
+        probed.join(F.broadcast(bloom_bits), "pos")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .where(F.col("nhit") == k)
+        .select(key_col)
+    )
+    return probe.join(F.broadcast(hits), key_col, "left_semi")

@@ -151,3 +151,47 @@ def salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "bloom_prefilter_join_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(*) AS order_cnt,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    description="Bloom-prefiltered join (explicit runtime filter / sideways "
+    "information passing): the BUILDING-segment customers' keys hash into "
+    "a 2^16-bit, k=3 Bloom set whose SET positions broadcast to the orders "
+    "scan; orders failing any of their 3 bit probes drop BEFORE the join "
+    "shuffle. No false negatives by construction and the join removes "
+    "false positives, so the result equals the plain join exactly (the "
+    "oracle). The pattern pays off when the build side is too large to "
+    "broadcast as rows but its fixed-size bit set is not — at 100 TB the "
+    "probe-side scan shrinks by the build side's selectivity before any "
+    "wide exchange. Spark's AQE injects the same shape when stats allow; "
+    "this form is deterministic and engine-portable (portable md5 bits).",
+    tags=("join", "bloom", "sketch", "runtime-filter"),
+)
+def bloom_prefilter_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    bits = bloom_build(cust, "c_custkey")
+    lean = bloom_prefilter(orders, "c_custkey", bits)
+    return lean.join(cust, "c_custkey").groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )

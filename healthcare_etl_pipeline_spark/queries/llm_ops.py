@@ -1557,3 +1557,107 @@ def balance_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     return balance_strata(docs, "doc_id", "source", salt=9)
+
+
+from healthcare_etl_pipeline_spark.operators.sketch import (  # noqa: E402
+    hll_coords_sql as _hll_coords_sql,
+    hll_estimate_sql as _hll_est_sql,
+)
+
+_HLL_B, _HLL_R = _hll_coords_sql("CAST(l_orderkey AS VARCHAR)")
+_HLL_REG_SQL = f"""
+    SELECT l_returnflag, {_HLL_B} AS bucket, max({_HLL_R}) AS rho
+    FROM lineitem GROUP BY l_returnflag, bucket
+"""
+
+
+@query(
+    "hll_registers_orderkeys",
+    oracle=_HLL_REG_SQL,
+    description="HyperLogLog register sets (p=10, 1024 registers) for "
+    "distinct l_orderkey per l_returnflag: bucket = 16 md5 bits, rho = "
+    "1 + leading zeros of a disjoint 60-bit md5 chunk computed on the "
+    "exact integer path (61 - bitlength via bin()). Map-side max means "
+    "the shuffle carries <= 2^p rows per group per partition whatever "
+    "the input cardinality; two register sets merge by bucket-wise max "
+    "(tests/test_sketch.py). Portable hash -> exact value oracle on the "
+    "full register table.",
+    tags=("sketch", "hll", "approx", "llm"),
+)
+def hll_registers_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import hll_build
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return hll_build(li, "l_orderkey", ["l_returnflag"])
+
+
+@query(
+    "hll_distinct_orderkeys",
+    oracle=f"""
+    WITH est AS ({_hll_est_sql(_HLL_REG_SQL, "l_returnflag")}),
+    exact AS (
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_cnt
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, hll_est, exact_cnt FROM est JOIN exact USING (l_returnflag)
+    """,
+    description="HLL cardinality estimates vs exact distinct counts per "
+    "l_returnflag (raw harmonic-mean regime at this scale; the "
+    "linear-counting small-range branch is exercised by "
+    "hll_distinct_users). At 100 TB the exact side is a full shuffle of "
+    "the key space while the HLL side moves <= 1024 longs per group — "
+    "this query IS the accuracy audit you run once at small scale before "
+    "trusting the sketch at large.",
+    tags=("sketch", "hll", "approx", "llm"),
+)
+def hll_distinct_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    est = hll_estimate(hll_build(li, "l_orderkey", ["l_returnflag"]), ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_cnt")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "hll_est", "exact_cnt"
+    )
+
+
+_HLL_UB, _HLL_UR = _hll_coords_sql("CAST(user_id AS VARCHAR)")
+_HLL_UREG_SQL = f"""
+    SELECT event_type, {_HLL_UB} AS bucket, max({_HLL_UR}) AS rho
+    FROM events GROUP BY event_type, bucket
+"""
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH est AS ({_hll_est_sql(_HLL_UREG_SQL, "event_type")}),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_cnt
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, hll_est, exact_cnt FROM est JOIN exact USING (event_type)
+    """,
+    description="HLL distinct users per event type — cardinality is far "
+    "below 2.5m here, so this takes the small-range linear-counting "
+    "branch (m*ln(m/V) over empty-register count V): together with "
+    "hll_distinct_orderkeys both estimator regimes are value-oracled.",
+    tags=("sketch", "hll", "approx", "llm"),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_estimate(hll_build(ev, "user_id", ["event_type"]), ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_cnt")
+    )
+    return est.join(exact, "event_type").select("event_type", "hll_est", "exact_cnt")

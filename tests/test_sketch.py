@@ -41,3 +41,60 @@ def test_cms_merges_by_cellwise_addition(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hll_merge_equals_union_build(spark):
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    a = _items(spark, [f"u{i}" for i in range(0, 400)]).withColumn(
+        "g", F.lit("g1")
+    )
+    b = _items(spark, [f"u{i}" for i in range(200, 700)]).withColumn(
+        "g", F.lit("g1")
+    )
+    merged = hll_merge(
+        hll_build(a, "tok", ["g"]), hll_build(b, "tok", ["g"])
+    )
+    direct = hll_build(a.unionByName(b), "tok", ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # estimate from the merged registers tracks |A ∪ B| = 700
+    est = hll_estimate(merged, ["g"]).collect()[0].hll_est
+    assert abs(est - 700) / 700 < 0.15
+
+
+def test_hll_rho_handles_degenerate_buckets(spark):
+    from healthcare_etl_pipeline_spark.operators.sketch import hll_build
+
+    one = _items(spark, ["solo"]).withColumn("g", F.lit("g"))
+    rows = hll_build(one, "tok", ["g"]).collect()
+    assert len(rows) == 1
+    assert 1 <= rows[0].rho <= 61
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark):
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    build = _items(spark, [f"k{i}" for i in range(50)])
+    # probe: every build key twice (duplicate-key regression) + 1000 misses
+    probe = _items(
+        spark,
+        [f"k{i}" for i in range(50)] * 2 + [f"m{i}" for i in range(1000)],
+    )
+    bits = bloom_build(build, "tok", bits=1 << 12, k=3)
+    kept = bloom_prefilter(probe, "tok", bits, bits=1 << 12, k=3)
+    kept_toks = [r.tok for r in kept.collect()]
+    # every true member survives, with its original multiplicity
+    for i in range(50):
+        assert kept_toks.count(f"k{i}") == 2
+    # false-positive rate for 50 keys in 4096 bits, k=3 is well under 5%
+    fp = len([x for x in kept_toks if x.startswith("m")])
+    assert fp < 50
