@@ -304,3 +304,92 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
         .select("tok", "df", "postings")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query by BM25 (Lucene idf
+    form: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Robertson & Walker's Okapi BM25 — the ranked-retrieval baseline every
+    search stack starts from. Scale shape: the corpus token stream is cut
+    to the query's terms BEFORE the (doc, term) aggregation (an IN filter
+    over a literal list, pushed into the scan projection), so the tf table
+    is |docs matching any term| × |query| at most, never corpus-sized;
+    df and N are one tiny agg + broadcast each; the final top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort). Scores
+    round to 6 dp so the DuckDB oracle compares on identical values.
+    """
+    tk = _token_arrays(df, id_col, text_col)
+    lens = tk.select(F.col(id_col), F.size("tk").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tk.select(F.col(id_col), F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(query_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(idf * norm), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("terms_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 256,
+) -> DataFrame:
+    """Hashing-trick features (Weinberger et al., ICML 2009): each token
+    maps to bucket h(tok) mod ``dim`` with sign ±1 from an independent
+    hash bit; a document's feature vector is the signed token-count sum
+    per bucket, emitted sparse as (id, idx, val) rows (val may be 0 when
+    signs cancel — kept, so the output is exactly the groupBy image).
+
+    The fixed-dimension projection needs NO vocabulary build — no global
+    dictionary shuffle, new tokens at 100 TB hash to the same space, and
+    the signed sum keeps E[x·y] equal to the exact inner product. One
+    explode + one map-side-combined groupBy; portable md5 hashes give the
+    exact DuckDB oracle.
+    """
+    from healthcare_etl_pipeline_spark.operators.text import (
+        portable_char_hash,
+    )
+
+    toks = _token_arrays(df, id_col, text_col).select(
+        F.col(id_col), F.explode("tk").alias("tok")
+    )
+    idx = portable_char_hash(F.col("tok")) % dim
+    sign = (portable_char_hash(F.concat(F.col("tok"), F.lit("#s"))) % 2) * 2 - 1
+    return (
+        toks.select(F.col(id_col), idx.alias("idx"), sign.alias("sign"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("sign").alias("val"))
+    )

@@ -1661,3 +1661,75 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_cnt")
     )
     return est.join(exact, "event_type").select("event_type", "hll_est", "exact_cnt")
+
+
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           round(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25,
+           count(*) AS terms_matched
+    FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+    description="BM25 ranked retrieval (Okapi, Lucene idf) for a "
+    "bag-of-words query over the corpus: token stream cut to the query's "
+    "terms BEFORE any aggregation, df/N as broadcast scalars, top-10 via "
+    "TakeOrderedAndProject — per-partition heads, no global sort. The "
+    "lexical half of every retrieval/RAG stack; deterministic doc_id "
+    "tiebreak makes the LIMIT oracle-stable.",
+    tags=("retrieval", "bm25", "text", "llm"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import bm25_topk
+
+    docs = td(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, k=10
+    )
+
+
+@query(
+    "hashed_features_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    tks AS (SELECT doc_id, unnest(tk) AS tok FROM toks)
+    SELECT doc_id,
+           ({_duck_hash("tok")} % 256) AS idx,
+           sum(({_duck_hash("(tok || '#s')")} % 2) * 2 - 1) AS val
+    FROM tks
+    GROUP BY doc_id, idx
+    """,
+    description="Hashing-trick feature vectors (signed token counts into "
+    "256 buckets, Weinberger et al. 2009), sparse (doc, idx, val) rows: "
+    "fixed-dimension text features with NO vocabulary build — no global "
+    "dictionary shuffle, unseen tokens at scale hash into the same space. "
+    "One explode + one map-side-combined groupBy; portable hashes -> "
+    "exact value oracle.",
+    tags=("features", "hashing", "text", "llm"),
+)
+def hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import hashed_features
+
+    docs = td(spark, sf_dir, "documents")
+    return hashed_features(docs, dim=256)

@@ -98,3 +98,36 @@ def test_inverted_index_caps_hot_token_postings(spark):
     assert list(out) == ["hot"]  # unique tokens have df=1 < 5
     assert out["hot"].df == 50  # df counts ALL docs...
     assert out["hot"].postings == list(range(10))  # ...postings capped at 10 smallest
+
+
+def test_bm25_ranks_term_dense_doc_first_and_caps_k(spark):
+    from healthcare_etl_pipeline_spark.operators.corpus import bm25_topk
+
+    docs = _docs(
+        spark,
+        [(1, "alpha beta alpha beta alpha"), (2, "alpha gamma delta"),
+         (3, "gamma delta epsilon zeta"), (4, "beta beta beta beta")]
+        + [(10 + i, "filler words only here") for i in range(6)],
+    )
+    out = bm25_topk(docs, ["alpha", "beta"], k=3).collect()
+    assert len(out) == 3
+    assert out[0].doc_id == 1          # densest in query terms
+    assert out[0].terms_matched == 2
+    ids = {r.doc_id for r in out}
+    assert 3 not in ids and 10 not in ids  # no-match docs never score
+
+
+def test_hashed_features_preserve_signed_counts(spark):
+    from healthcare_etl_pipeline_spark.operators.corpus import hashed_features
+
+    docs = _docs(spark, [(1, "x x x y"), (2, "x y")])
+    out = hashed_features(docs, dim=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.idx] = r.val
+    # same tokens -> same buckets across docs; |val| bounded by token count
+    assert set(by_doc[2]).issubset(set(by_doc[1]))
+    assert sum(abs(v) for v in by_doc[1].values()) <= 4
+    # doc 1 has 3 'x' and 1 'y': bucket magnitudes are 3 and 1 (or 2 if
+    # x and y collide with opposite signs); total L1 >= 2 regardless
+    assert sum(abs(v) for v in by_doc[1].values()) >= 2
