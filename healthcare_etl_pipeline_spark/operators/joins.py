@@ -149,3 +149,50 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted_big.join(salted_small, [key, "__salt"], how).drop("__salt")
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    name_col: str,
+    *,
+    block: Column,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct names whose edit
+    distance is <= ``max_dist``, restricted to names sharing a blocking
+    key (the classic blocking-then-matching ER pipeline — Fellegi-Sunter
+    shape with a deterministic edit-distance matcher).
+
+    Scale shape: matching runs on DISTINCT names with an occurrence
+    count, never on rows — a name seen a million times costs one
+    comparison, and the quadratic self-join is confined to each block
+    (pairs ~ sum_b |block_b|^2, not n^2). Levenshtein stays JVM-side
+    (built-in expression). The a < b ordering emits each pair once.
+
+    Output: block, name_a, name_b, dist, n_a, n_b.
+    """
+    names = (
+        df.select(
+            F.trim(F.lower(F.col(name_col))).alias("name"),
+        )
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("block", block)
+    )
+    a = names.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = names.select(
+        "block",
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("block", "name_a", "name_b", "dist", "n_a", "n_b")
+    )

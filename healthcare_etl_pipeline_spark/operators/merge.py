@@ -115,3 +115,47 @@ def scd2_merge(
     return closed_hist.unionByName(keep_open).unionByName(closed_now).unionByName(
         inserted.select(*history.columns)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC by snapshot comparison: classify every key as insert / delete /
+    update between two table versions (unchanged rows are dropped — the
+    change feed, not the table).
+
+    Output: keys..., change_type, old_<c>/new_<c> for each compared
+    column. ONE full-outer equi-join on the key — the same single-shuffle
+    shape a lakehouse table-diff (Delta CDF backfill, Iceberg
+    changelog-scan) materializes; change detection is a null-safe <=>
+    expression, so NULL-to-value edits classify as updates, not noise.
+    """
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, keys, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .drop("__in_old", "__in_new")
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

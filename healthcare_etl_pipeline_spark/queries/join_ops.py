@@ -195,3 +195,37 @@ def bloom_prefilter_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_cnt"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
     )
+
+
+@query(
+    "fuzzy_match_part_names",
+    oracle="""
+    WITH names AS (
+      SELECT trim(lower(p_name)) AS name, count(*) AS n
+      FROM part GROUP BY 1
+    ), blocked AS (
+      SELECT name, n, (string_split(name, ' '))[-1] AS block FROM names
+    )
+    SELECT a.block, a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    description="Entity-resolution fuzzy join (blocking + matching): "
+    "distinct normalized part names, blocked on their head noun (last "
+    "token), candidate pairs only WITHIN a block, matched by edit "
+    "distance <= 3. Matching runs on distinct names carrying occurrence "
+    "counts — a name seen a million times costs one comparison — and the "
+    "quadratic pair space is sum of squared block sizes, not n^2. "
+    "Levenshtein is a JVM built-in on both engines -> exact value oracle.",
+    tags=("join", "fuzzy", "entity-resolution", "custom"),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").select("p_name")
+    return J.fuzzy_blocked_pairs(
+        part,
+        "p_name",
+        block=F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=3,
+    )

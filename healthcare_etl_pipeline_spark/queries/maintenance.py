@@ -289,3 +289,54 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_s = F.col("ts").cast("timestamp").cast("long")
     y = F.floor(epoch_s / 60).cast("long").bitwiseAND(65535)
     return zorder_bucket_stats(events, x, y, bits=16, bucket_shift=22)
+
+
+@query(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 11 <> 0
+    ), new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+    FROM old o FULL OUTER JOIN new n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+    """,
+    description="CDC by snapshot comparison: classify every key as "
+    "insert / delete / update between two table versions (old = all but "
+    "keys %11=0, new = all but %13=0 with %5=0 balances bumped — "
+    "versions derived in-plan for determinism). ONE full-outer equi-join "
+    "on the key with null-safe <=> change detection — the single-shuffle "
+    "shape a lakehouse changelog scan (Delta CDF, Iceberg "
+    "changelog-scan) materializes; unchanged rows never leave the join.",
+    tags=("merge", "cdc", "diff", "maintenance"),
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.merge import snapshot_diff
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    old = base.filter("c_custkey % 11 <> 0")
+    new = base.filter("c_custkey % 13 <> 0").selectExpr(
+        "c_custkey",
+        "CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 "
+        "ELSE c_acctbal END AS c_acctbal",
+        "c_mktsegment",
+    )
+    return snapshot_diff(
+        old, new, keys=["c_custkey"], compare_cols=["c_acctbal"]
+    ).select(
+        "c_custkey", "change_type", "old_c_acctbal", "new_c_acctbal"
+    )

@@ -248,3 +248,27 @@ def test_asof_join_random_sweep_vs_naive(spark):
         )
         want = {(r.tag, r.px) for r in naive.collect()}
         assert got == want, (trial, sorted(got), sorted(want))
+
+
+def test_fuzzy_blocked_pairs_respects_blocks_and_threshold(spark):
+    from healthcare_etl_pipeline_spark.operators.joins import (
+        fuzzy_blocked_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("red widget",), ("Red  widget",), ("ted widget",),
+         ("red gadget",), ("red widget",)],
+        "p_name string",
+    )
+    out = fuzzy_blocked_pairs(
+        df,
+        "p_name",
+        block=F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=3,
+    ).collect()
+    pairs = {(r.name_a, r.name_b): (r.dist, r.n_a, r.n_b) for r in out}
+    # same block ('widget'), dist 1 — matched; counts aggregate dup rows
+    assert pairs[("red widget", "ted widget")][0] == 1
+    assert pairs[("red widget", "ted widget")][1] == 2  # 'red widget' twice
+    # 'red gadget' blocks under 'gadget' — never compared despite dist 2
+    assert not any("gadget" in a or "gadget" in b for a, b in pairs)

@@ -84,3 +84,24 @@ def test_upsert_latest_tie_prefers_update(spark):
     updates = spark.createDataFrame([(1, "new", T0), (3, "ins", T0)], schema)
     out = {r.k: r.val for r in upsert_latest(current, updates, key_cols=["k"], ts_col="ts").collect()}
     assert out == {1: "new", 2: "keep", 3: "ins"}  # tie at T0 → update wins
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from healthcare_etl_pipeline_spark.operators.merge import snapshot_diff
+
+    schema = "k long, v string"
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "same")], schema
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "same"), (5, "e")], schema
+    )
+    out = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert out[1] == ("delete", "a", None)
+    assert out[2] == ("update", "b", "B")
+    assert out[3] == ("update", None, "c")  # NULL -> value is an update
+    assert out[5] == ("insert", None, "e")
+    assert 4 not in out  # unchanged rows never appear
