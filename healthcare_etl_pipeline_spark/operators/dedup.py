@@ -651,3 +651,97 @@ def simhash_df(
     return votes_df.select(
         F.col(id_col), _sig_from_votes(F.col("__votes"), bits).alias(name)
     )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """EXACT Jaccard pairs at ``threshold`` via prefix filtering (PPJoin
+    family — Chaudhuri et al. SSJoin 2006, Xiao et al. WWW 2008).
+
+    Order every document's shingles by a GLOBAL canonical rarity rank
+    (document frequency asc, hash asc); if J(A,B) >= t the intersection
+    has >= ceil(t*|A|) elements, so A and B must each expose a shared
+    shingle inside their first |s| - ceil(t*|s|) + 1 rarest shingles —
+    the candidate join touches ONLY those prefixes. Unlike the max_df cap
+    in ngram_jaccard_pairs (a lower-bound heuristic), this is lossless:
+    hot shingles land at the END of the rarity order and simply never
+    enter prefixes, so the stop-phrase m² fanout disappears while the
+    result stays the exact thresholded pair set — verification re-ranks
+    candidates on the full stored arrays (array_intersect, JVM-side).
+
+    Cost: one extra df aggregation + one per-doc window (partitions are
+    single documents' shingle sets, bounded by doc length) versus a
+    candidate join shrunk from every shared shingle to shared RARE
+    prefixes; at high thresholds the candidate set approaches the true
+    pair set.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # Checkpoint BEFORE the emptiness filter: a filter on the raw
+    # higher-order shingle expression re-evaluates the whole (interpreted,
+    # non-CSE'd) hash pipeline per consumer — measured 11× at sf0.1.
+    # Filtering the STORED arrays is a cheap size() probe.
+    hashes = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            shingle_hashes(F.col(text_col), n, hash_mode).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
+        .filter(F.size("hs") > 0)
+    )
+    exploded = hashes.select(
+        id_col, F.size("hs").alias("set_size"), F.explode("hs").alias("h")
+    )
+    dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("h"))
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        + 1
+    )
+    prefixes = (
+        exploded.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(id_col, "h")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hashes.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    verified = (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_shared"),
+            F.size("hs_a").alias("size_a"),
+            F.size("hs_b").alias("size_b"),
+        )
+    )
+    jaccard = F.col("n_shared") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    )
+    return (
+        verified.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )

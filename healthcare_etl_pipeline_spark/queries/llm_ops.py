@@ -1733,3 +1733,40 @@ def hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = td(spark, sf_dir, "documents")
     return hashed_features(docs, dim=256)
+
+
+@query(
+    "ngram_jaccard_prefix_pairs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , ex AS (
+      SELECT doc_id, len(hs) AS set_size, unnest(hs) AS h FROM hs
+      WHERE len(hs) > 0
+    ), overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+             count(*) AS n_shared
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / (size_a + size_b - n_shared), 6) AS jaccard
+    FROM overlap
+    WHERE round(n_shared / (size_a + size_b - n_shared), 6) >= 0.5
+    """,
+    description="EXACT thresholded Jaccard pairs via PPJoin-style prefix "
+    "filtering: shingles globally ranked by rarity (df asc), candidates "
+    "join only on each doc's first |s|-ceil(t|s|)+1 rarest shingles — "
+    "lossless (unlike the max_df lower-bound cap), hot stop-phrase "
+    "shingles never enter prefixes, and verification re-ranks candidates "
+    "on the stored arrays JVM-side. The oracle is the uncapped "
+    "all-shared-shingle form at the same threshold: identical rows "
+    "proves candidate completeness.",
+    tags=("dedup", "jaccard", "prefix-filter", "llm"),
+)
+def ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    return D.ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )

@@ -236,3 +236,29 @@ def test_connected_components_chain_and_clique(spark):
         5: 5, 6: 5, 7: 5,
         10: 10, 11: 10, 12: 10, 13: 10,
     }
+
+
+def test_prefix_filter_matches_exact_pairs_despite_hot_shingle(spark):
+    # 30 docs sharing one hot phrase + two true near-dup pairs: the
+    # prefix join must find exactly the pairs the exhaustive form finds
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{hot} unique{i} marker{i} token{i}") for i in range(30)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, max_df=None
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in D.ngram_jaccard_prefix_pairs(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pref == exact
+    assert (100, 101) in pref  # the true near-dup survives
