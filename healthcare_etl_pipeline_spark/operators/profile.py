@@ -15,7 +15,7 @@ are the oracle-checkable form used here; at 100 TB switch
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,4 +116,59 @@ def psi_drift(
             F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_term"),
         )
         .orderBy("bin")
+    )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group over FIXED
+    equal-width bins: D = max over bin edges of |CDF_ref - CDF_cur|.
+
+    The binned form is the 100 TB shape: each side reduces to n_bins
+    partial counts with map-side combine (a raw-value KS needs a global
+    sort of the pooled samples — one ordered partition, unusable at
+    scale), and the CDF window runs over n_bins rows per group, not over
+    the data. Binning makes D a lower bound of the exact statistic with
+    resolution bin_width — the same trade PSI makes; fixed edges keep it
+    deterministic, SQL-mirrorable, and comparable across runs.
+
+    Output: group_cols..., n_ref, n_cur, ks_stat (rounded 6 dp).
+    """
+    b = F.least(F.floor(F.col(value_col) / bin_width), F.lit(n_bins - 1)).cast(
+        "int"
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(*group_cols, b.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+
+    both = binned(ref, "ref").join(
+        binned(cur, "cur"), [*group_cols, "bin"], "full_outer"
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_r = F.sum(F.coalesce("n_ref", F.lit(0))).over(w)
+    cum_c = F.sum(F.coalesce("n_cur", F.lit(0))).over(w)
+    wg = Window.partitionBy(*group_cols)
+    tot_r = F.sum(F.coalesce("n_ref", F.lit(0))).over(wg)
+    tot_c = F.sum(F.coalesce("n_cur", F.lit(0))).over(wg)
+    gap = F.abs(cum_r / tot_r - cum_c / tot_c)
+    return (
+        both.select(*group_cols, tot_r.alias("n_ref"), tot_c.alias("n_cur"),
+                    gap.alias("gap"))
+        .groupBy(*group_cols, "n_ref", "n_cur")
+        .agg(F.round(F.max("gap"), 6).alias("ks_stat"))
     )

@@ -75,3 +75,70 @@ def resample_ffill(
         F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
         F.last("value_avg", ignorenulls=True).over(w).alias("last_value_avg"),
     )
+
+
+def time_decay_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    date_col: str,
+    *,
+    as_of: str,
+    half_life_days: float,
+) -> DataFrame:
+    """Exponentially time-decayed sum per key: sum of value * 2^(-age/h)
+    where age is days before ``as_of`` and h the half-life.
+
+    The recency weighting every feature store applies to behavioral
+    aggregates ("spend, but recent spend matters more"). Pure expression
+    + ONE map-side-combined aggregation — no window, no order
+    sensitivity (each row's weight depends only on its own date), so it
+    scales exactly like a plain sum. ``as_of`` is an explicit literal:
+    deterministic, re-runnable, oracle-mirrorable (never now()).
+
+    Output: key_cols..., n, total, decayed_total (rounded 4 dp).
+    """
+    age = F.datediff(F.lit(as_of).cast("date"), F.col(date_col))
+    weight = F.pow(F.lit(2.0), -age.cast("double") / half_life_days)
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 2).alias("total"),
+        F.round(F.sum(F.col(value_col) * weight), 4).alias("decayed_total"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over each
+    key's ordered state sequence (lead over the per-key window; the last
+    state of a sequence has no successor and emits nothing).
+
+    One shuffle on the key; the window partitions are per-key sequences.
+    The |S|² output is the behavioral-model summary (next-event
+    prediction, anomaly scoring) whose size is vocabulary-, not
+    data-bound. Ties in ``order_cols`` must be broken by a unique column
+    for determinism — pass one explicitly.
+
+    Output: from_state, to_state, cnt, prob (rounded 6 dp).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wtot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wtot), 6).alias("prob"),
+    )

@@ -731,3 +731,68 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("k_sum"),
         F.count("k").alias("k_present"),
     )
+
+
+@query(
+    "time_decay_spend_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(sum(o_totalprice
+                     * pow(2.0, -date_diff('day', o_orderdate, DATE '2002-01-01')
+                                 / 365.0)), 4) AS decayed_total
+    FROM orders GROUP BY o_custkey
+    """,
+    description="Exponentially time-decayed spend per customer (1-year "
+    "half-life, explicit as-of date — never now()): the recency "
+    "weighting feature stores apply to behavioral aggregates. Each "
+    "row's weight depends only on its own date, so this is a pure "
+    "expression + one map-side-combined aggregation — scales exactly "
+    "like a plain sum, no window, no order sensitivity.",
+    tags=("timeseries", "decay", "features", "agg"),
+)
+def time_decay_spend_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.timeseries import (
+        time_decay_agg,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    return time_decay_agg(
+        orders, ["o_custkey"], "o_totalprice", "o_orderdate",
+        as_of="2002-01-01", half_life_days=365.0,
+    )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+    ), cnts AS (
+      SELECT from_state, to_state, count(*) AS cnt
+      FROM seq WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, cnt,
+           round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY from_state), 6) AS prob
+    FROM cnts
+    """,
+    description="First-order Markov transition matrix over each user's "
+    "time-ordered event sequence (lead over the per-user window, "
+    "event_id tiebreak for determinism): the |S|^2-row behavioral model "
+    "behind next-event prediction and anomaly scoring. One shuffle on "
+    "the user key; output size is vocabulary-bound, not data-bound.",
+    tags=("timeseries", "markov", "events", "window"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    events = t(spark, sf_dir, "events")
+    return transition_matrix(
+        events, "user_id", [F.col("ts"), F.col("event_id")], "event_type"
+    )

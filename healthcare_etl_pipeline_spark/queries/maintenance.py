@@ -340,3 +340,59 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey", "change_type", "old_c_acctbal", "new_c_acctbal"
     )
+
+
+@query(
+    "drift_ks_orders",
+    oracle="""
+    WITH ref AS (
+      SELECT o_orderpriority,
+             least(CAST(floor(o_totalprice / 25000.0) AS INT), 19) AS bin,
+             count(*) AS n_ref
+      FROM orders WHERE year(o_orderdate) < 1998
+      GROUP BY 1, 2
+    ), cur AS (
+      SELECT o_orderpriority,
+             least(CAST(floor(o_totalprice / 25000.0) AS INT), 19) AS bin,
+             count(*) AS n_cur
+      FROM orders WHERE year(o_orderdate) >= 1998
+      GROUP BY 1, 2
+    ), both_sides AS (
+      SELECT coalesce(r.o_orderpriority, c.o_orderpriority) AS o_orderpriority,
+             coalesce(r.bin, c.bin) AS bin,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM ref r FULL OUTER JOIN cur c
+        ON r.o_orderpriority = c.o_orderpriority AND r.bin = c.bin
+    ), cdf AS (
+      SELECT o_orderpriority,
+             sum(n_ref) OVER w * 1.0 / sum(n_ref) OVER wp AS cdf_ref,
+             sum(n_cur) OVER w * 1.0 / sum(n_cur) OVER wp AS cdf_cur,
+             sum(n_ref) OVER wp AS n_ref, sum(n_cur) OVER wp AS n_cur
+      FROM both_sides
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING),
+             wp AS (PARTITION BY o_orderpriority)
+    )
+    SELECT o_orderpriority, n_ref, n_cur,
+           round(max(abs(cdf_ref - cdf_cur)), 6) AS ks_stat
+    FROM cdf GROUP BY o_orderpriority, n_ref, n_cur
+    """,
+    description="Two-sample Kolmogorov-Smirnov drift per order priority "
+    "(pre-1998 vs 1998+ total-price distributions) over 20 fixed "
+    "equal-width bins: each side reduces to n_bins partial counts "
+    "map-side (an exact raw-value KS needs a global sort of the pooled "
+    "samples — one ordered partition, unusable at 100 TB); the CDF "
+    "window runs over bins, not data. Complements PSI: KS reads the "
+    "worst single point of divergence, PSI the total.",
+    tags=("drift", "ks", "profile", "maintenance"),
+)
+def drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.profile import ks_drift
+
+    orders = t(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") < 1998)
+    cur = orders.filter(F.year("o_orderdate") >= 1998)
+    return ks_drift(
+        ref, cur, "o_totalprice", ["o_orderpriority"],
+        bin_width=25_000.0, n_bins=20,
+    )

@@ -44,3 +44,20 @@ def test_psi_drift_empty_bin_is_finite(spark):
     out = {r.bin: r for r in psi_drift(ref, cur, "v", bin_width=10, n_bins=2).collect()}
     assert out[1].n_cur == 0
     assert math.isfinite(out[1].psi_term) and out[1].psi_term > 0
+
+
+def test_ks_drift_detects_shift_and_identical_is_zero(spark):
+    from healthcare_etl_pipeline_spark.operators.profile import ks_drift
+
+    ref = spark.createDataFrame(
+        [("g", float(v)) for v in range(100)], "g string, v double"
+    )
+    shifted = spark.createDataFrame(
+        [("g", float(v + 50)) for v in range(100)], "g string, v double"
+    )
+    d = ks_drift(ref, shifted, "v", ["g"], bin_width=10.0, n_bins=20).collect()[0]
+    # mass moved up by 50 = 5 bins of 10% each -> D = 0.5
+    assert abs(d.ks_stat - 0.5) < 1e-6
+    assert d.n_ref == 100 and d.n_cur == 100
+    same = ks_drift(ref, ref, "v", ["g"], bin_width=10.0, n_bins=20).collect()[0]
+    assert same.ks_stat == 0.0

@@ -47,3 +47,40 @@ def test_incremental_view_merge_equals_batch(spark):
     out = {r.k: (r.n, r.value_sum) for r in view.result().collect()}
     assert out == {"a": (2, 3.0), "b": (2, 6.0), "c": (1, 4.0)}
     assert view.n_batches == 2
+
+
+def test_time_decay_halves_per_half_life(spark):
+    from healthcare_etl_pipeline_spark.operators.timeseries import (
+        time_decay_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100.0, "2023-01-01"), (1, 100.0, "2022-01-01")],
+        "k long, v double, d string",
+    ).withColumn("d", F.col("d").cast("date"))
+    out = time_decay_agg(
+        df, ["k"], "v", "d", as_of="2023-01-01", half_life_days=365.0
+    ).collect()[0]
+    # today's 100 at weight 1.0; the 365-day-old 100 at exactly 0.5
+    assert out.total == 200.0
+    assert abs(out.decayed_total - 150.0) < 1e-6
+
+
+def test_transition_matrix_counts_and_rowwise_probs(spark):
+    from healthcare_etl_pipeline_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+        (2, 1, "a"), (2, 2, "b"),                 # a->b
+        (3, 1, "c"),                              # lone state: no pair
+    ]
+    df = spark.createDataFrame(rows, "u long, seq long, s string")
+    out = {
+        (r.from_state, r.to_state): (r.cnt, r.prob)
+        for r in transition_matrix(df, "u", [F.col("seq")], "s").collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")] == (1, 1.0)
+    assert not any(f == "c" for f, _ in out)
