@@ -172,3 +172,68 @@ def ks_drift(
         .groupBy(*group_cols, "n_ref", "n_cur")
         .agg(F.round(F.max("gap"), 6).alias("ks_stat"))
     )
+
+
+def dq_checks(
+    df: DataFrame,
+    predicate_checks: list[tuple[str, "F.Column"]],
+    *,
+    unique_checks: list[tuple[str, list[str]]] = (),
+    fk_checks: list[tuple[str, list[str], DataFrame, list[str]]] = (),
+) -> DataFrame:
+    """Data-quality expectations audit (the Deequ/Great-Expectations
+    operator class, extending the reference's collect-ALL-errors
+    validation tier from rows to datasets).
+
+    - ``predicate_checks``: (name, violation_condition) pairs — ALL
+      evaluated in ONE conditional-aggregation pass over the data.
+    - ``unique_checks``: (name, cols) — violations = rows beyond the
+      first per duplicated key (count - distinct count; one agg each).
+    - ``fk_checks``: (name, keys, parent_df, parent_keys) — orphan rows
+      via a left-anti join (broadcastable when the parent's key set is
+      dimension-sized).
+
+    Every check reports over the same snapshot: name, n_rows,
+    n_violations, passed. The union of per-check one-row frames is
+    driver-free plan glue — each branch is its own aggregate job, the
+    scan-heavy predicate branch runs exactly once.
+    """
+    spark_sum = F.sum
+    total = F.count(F.lit(1))
+    aggs = [total.alias("n_rows")] + [
+        spark_sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"v{i}")
+        for i, (_, cond) in enumerate(predicate_checks)
+    ]
+    base = df.agg(*aggs)
+    frames = []
+    for i, (name, _) in enumerate(predicate_checks):
+        frames.append(
+            base.select(
+                F.lit(name).alias("check_name"),
+                F.col("n_rows"),
+                F.col(f"v{i}").alias("n_violations"),
+            )
+        )
+    for name, cols in unique_checks:
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+                .cast("long")
+                .alias("n_violations"),
+            ).select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
+        )
+    for name, keys, parent, parent_keys in fk_checks:
+        pk = parent.select(
+            *[F.col(pc).alias(k) for k, pc in zip(keys, parent_keys)]
+        ).distinct()
+        orphans = df.select(*keys).join(F.broadcast(pk), keys, "left_anti")
+        frames.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_violations")))
+            .select(F.lit(name).alias("check_name"), "n_rows", "n_violations")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.withColumn("passed", F.col("n_violations") == 0)

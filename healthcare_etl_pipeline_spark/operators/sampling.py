@@ -147,3 +147,48 @@ def balance_strata(
         .filter(hash_bucket(id_col, salt=salt) < F.col("__bound"))
         .drop("__bound")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows via
+    exponential sort (Efraimidis & Spirakis A-ES, 2006): each row draws
+    key = -ln(u)/w with u uniform in (0,1], and the k SMALLEST keys win —
+    inclusion probability proportional to weight, single pass, no
+    sequential reservoir.
+
+    u derives from the portable hash of the id (+salt), so the "draw" is
+    deterministic, re-runnable, and identical in the SQL oracle — the
+    reproducible-sampling contract every eval/train split here follows.
+    The top-k is TakeOrderedAndProject: per-partition heads of k, no
+    global sort. Weights must be > 0; rows with NULL or non-positive
+    weight are excluded (they can never be sampled).
+
+    Output: the sampled rows' id, weight, and sample_key (rounded 9 dp).
+    """
+    from healthcare_etl_pipeline_spark.operators.text import (
+        MOD,
+        portable_char_hash,
+    )
+
+    c = F.col(id_col).cast("string")
+    u = (
+        portable_char_hash(F.concat(c, F.lit(f"|ws{salt}"))) + 1
+    ).cast("double") / float(MOD)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(key, 9).alias("sample_key"),
+        )
+        .orderBy(F.asc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

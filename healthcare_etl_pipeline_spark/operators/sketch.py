@@ -272,3 +272,26 @@ def bloom_prefilter(
         .select(key_col)
     )
     return probe.join(F.broadcast(hits), key_col, "left_semi")
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Join-size estimate from two CMS grids over the SAME (depth, width):
+    min over rows r of sum_b cntA[r,b]*cntB[r,b] (AMS/CMS inner product,
+    Cormode & Muthukrishnan 2005). Estimates |A JOIN B on k| = sum_k
+    n_A(k)*n_B(k) without executing the join — the planner's
+    "will this blow up" probe; always an over-estimate (collision cross
+    terms only add), error <= (e/width)*N_A*N_B per row.
+
+    Cost: a (r,bucket) equi-join of two <= d*w-row grids + a d-row min —
+    nothing touches the raw tables.
+    """
+    a = sketch_a.select("r", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("r", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("join_size_est"))

@@ -1770,3 +1770,93 @@ def ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_prefix_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     )
+
+
+def _cms_coords_expr(expr: str, depth: int, width: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_rh(expr, r, width)} AS bucket FROM items"
+        for r in range(depth)
+    )
+
+
+@query(
+    "cms_join_size_lineitem",
+    oracle=f"""
+    WITH items AS (SELECT CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+    coords AS ({_cms_coords_expr("item", 4, 8192)}),
+    sketch AS (SELECT r, bucket, count(*) AS cnt FROM coords GROUP BY r, bucket),
+    est AS (
+      SELECT min(ip) AS join_size_est FROM (
+        SELECT r, sum(cnt * cnt) AS ip FROM sketch GROUP BY r
+      )
+    ),
+    truth AS (
+      SELECT sum(n * n) AS true_join_size FROM (
+        SELECT count(*) AS n FROM lineitem GROUP BY l_partkey
+      )
+    )
+    SELECT CAST(join_size_est AS BIGINT) AS join_size_est,
+           CAST(true_join_size AS BIGINT) AS true_join_size
+    FROM est CROSS JOIN truth
+    """,
+    description="Join-size estimation WITHOUT executing the join (AMS/CMS "
+    "inner product, Cormode & Muthukrishnan 2005): the lineitem self-join "
+    "cardinality on l_partkey — sum over keys of n(k)^2 — estimated as "
+    "min over sketch rows of the bucket-wise inner product of two CMS "
+    "grids (d=4, w=8192). The planner's 'will this join blow up' probe: "
+    "cost is a <= d*w-row grid join + a d-row min, never touching the "
+    "pair space; always an over-estimate (collision cross terms only "
+    "add). True size computed alongside as the accuracy audit.",
+    tags=("sketch", "cms", "join", "approx", "llm"),
+)
+def cms_join_size_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    items = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("item")
+    )
+    sketch = cms_build(items, "item", depth=4, width=8192).localCheckpoint(
+        eager=False
+    )
+    est = cms_inner_product(sketch, sketch)
+    truth = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("true_join_size"))
+    )
+    return est.crossJoin(truth).select(
+        F.col("join_size_est").cast("long").alias("join_size_est"),
+        F.col("true_join_size").cast("long").alias("true_join_size"),
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(-ln(({_duck_hash("(CAST(doc_id AS VARCHAR) || '|ws7')")} + 1)
+                     / 1000000007.0) / n_chars, 9) AS sample_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY sample_key ASC, doc_id ASC
+    LIMIT 50
+    """,
+    description="Weighted sample without replacement (Efraimidis-Spirakis "
+    "exponential sort): 50 documents with probability proportional to "
+    "n_chars — key = -ln(u)/w, k smallest win; u derives from the "
+    "portable id hash, so the draw is deterministic, re-runnable, and "
+    "identical in the oracle. Top-k is TakeOrderedAndProject "
+    "(per-partition heads, no global sort); the length-biased sampling "
+    "used for corpus audits and loss-weighted data selection.",
+    tags=("sampling", "weighted", "llm"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50, salt=7)

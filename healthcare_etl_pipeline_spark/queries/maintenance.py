@@ -396,3 +396,63 @@ def drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref, cur, "o_totalprice", ["o_orderpriority"],
         bin_width=25_000.0, n_bins=20,
     )
+
+
+@query(
+    "dq_checks_orders",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT 'custkey_not_null' AS check_name, n_rows,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+    FROM n
+    UNION ALL
+    SELECT 'price_positive', n_rows,
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0) = 0 FROM n
+    UNION ALL
+    SELECT 'price_under_300k', n_rows,
+           (SELECT count(*) FROM orders WHERE o_totalprice > 300000),
+           (SELECT count(*) FROM orders WHERE o_totalprice > 300000) = 0 FROM n
+    UNION ALL
+    SELECT 'status_in_enum', n_rows,
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')),
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')) = 0 FROM n
+    UNION ALL
+    SELECT 'orderkey_unique', n_rows,
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0 FROM n
+    UNION ALL
+    SELECT 'custkey_fk_customer', n_rows,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0 FROM n
+    """,
+    description="Data-quality expectations audit over orders (the "
+    "Deequ/Great-Expectations operator class, dataset-level sibling of "
+    "the row-level collect-ALL-errors validator): four predicate checks "
+    "folded into ONE conditional-aggregation scan, PK uniqueness as "
+    "count-minus-distinct, FK integrity to customer as a broadcast "
+    "anti-join. price_under_300k is deliberately violated — the audit "
+    "REPORTS, rows are never dropped. One row per check.",
+    tags=("dq", "audit", "maintenance"),
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.profile import dq_checks
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return dq_checks(
+        orders,
+        [
+            ("custkey_not_null", F.col("o_custkey").isNull()),
+            ("price_positive", F.col("o_totalprice") <= 0),
+            ("price_under_300k", F.col("o_totalprice") > 300_000),
+            ("status_in_enum", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ],
+        unique_checks=[("orderkey_unique", ["o_orderkey"])],
+        fk_checks=[
+            ("custkey_fk_customer", ["o_custkey"], customer, ["c_custkey"])
+        ],
+    )

@@ -87,3 +87,29 @@ def test_chunks_cover_all_tokens(spark):
     for r in out:
         covered.update(range(r.chunk_start, r.chunk_start + r.chunk_tokens))
     assert covered == set(range(1, 258))
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    import math
+
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from healthcare_etl_pipeline_spark.operators.text import MOD
+
+    rows = [(i, 1.0 if i < 90 else 1000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", k=10, salt=3)
+    ids = [r.id for r in got.collect()]
+    assert len(ids) == 10
+    # recompute the exponential-sort keys in Python: same hash, same order
+    import hashlib
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}|ws3".encode()).hexdigest()[:15], 16) % MOD
+        return -math.log((h + 1) / MOD) / w
+
+    expect = sorted(range(100), key=lambda i: (key(i, rows[i][1]), i))[:10]
+    assert ids == expect
+    # the 10 heavy rows (1000x weight) dominate the sample
+    assert sum(1 for i in ids if i >= 90) >= 8

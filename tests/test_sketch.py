@@ -98,3 +98,18 @@ def test_bloom_prefilter_no_false_negatives_and_selective(spark):
     # false-positive rate for 50 keys in 4096 bits, k=3 is well under 5%
     fp = len([x for x in kept_toks if x.startswith("m")])
     assert fp < 50
+
+
+def test_cms_inner_product_overestimates_join_size(spark):
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    rows = ["a"] * 50 + ["b"] * 20 + [f"r{i}" for i in range(30)]
+    items = _items(spark, rows)
+    sketch = cms_build(items, "tok", depth=4, width=256)
+    est = cms_inner_product(sketch, sketch).collect()[0].join_size_est
+    truth = 50 * 50 + 20 * 20 + 30  # sum n(k)^2
+    assert est >= truth            # collisions only ever add
+    assert est <= truth * 1.5      # and stay tight at this width
