@@ -237,3 +237,29 @@ def dq_checks(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All pairwise Pearson correlations in ONE aggregation pass: every
+    corr(i, j) for i < j is a co-moment aggregate Catalyst evaluates
+    side by side in a single scan (no per-pair jobs, no driver loop —
+    ``df.stat.corr`` does one pair per call). Unpivoted to tidy
+    (col_a, col_b, corr) rows via stack.
+
+    The feature-redundancy screen run before training: at 100 TB it
+    costs one map-side-combined pass whatever the column count (state
+    is O(k²) scalars per partition).
+    """
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"__c_{a}__{b}")
+            )
+            names.append((a, b))
+    one = df.agg(*aggs)
+    parts = [f"'{a}', '{b}', __c_{a}__{b}" for a, b in names]
+    return one.selectExpr(
+        f"stack({len(parts)}, {', '.join(parts)}) AS (col_a, col_b, corr)"
+    )

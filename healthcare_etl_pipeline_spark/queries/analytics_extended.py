@@ -8,7 +8,7 @@ the plans stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from healthcare_etl_pipeline_spark.queries.helpers import t, td
@@ -795,4 +795,71 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     return transition_matrix(
         events, "user_id", [F.col("ts"), F.col("event_id")], "event_type"
+    )
+
+
+@query(
+    "robust_means_lineitem",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), bounds AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rn = CAST(floor((n - 1) * 0.05) AS BIGINT) + 1
+                      THEN l_extendedprice END) AS lo,
+             max(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1
+                      THEN l_extendedprice END) AS hi
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           round(avg(l_extendedprice), 4) AS mean,
+           round(avg(CASE WHEN rn >= CAST(floor((n - 1) * 0.05) AS BIGINT) + 1
+                          AND rn <= CAST(floor((n - 1) * 0.95) AS BIGINT) + 1
+                          THEN l_extendedprice END), 4) AS trimmed_mean,
+           round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS winsorized_mean
+    FROM ranked r JOIN bounds b ON r.l_returnflag = b.l_returnflag
+    GROUP BY r.l_returnflag
+    """,
+    description="Robust location estimates per return flag: plain mean, "
+    "5% trimmed mean (rank-windowed drop of each tail), and winsorized "
+    "mean (tails clamped to the rank-based p05/p95 values — integer rank "
+    "selection, no interpolation, deterministic tiebreak). One window "
+    "shuffle on the group key + a broadcast of the 3-row bounds; the "
+    "outlier-resistant aggregates monitoring pipelines report alongside "
+    "MAD. Complements mad_outlier_events (flagging) with estimation.",
+    tags=("stats", "robust", "window", "agg"),
+)
+def robust_means_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo_rn = F.floor((F.col("n") - 1) * 0.05).cast("long") + 1
+    hi_rn = F.floor((F.col("n") - 1) * 0.95).cast("long") + 1
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("l_extendedprice"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("l_extendedprice"))).alias("hi"),
+    )
+    joined = ranked.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    in_core = (F.col("rn") >= lo_rn) & (F.col("rn") <= hi_rn)
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+        F.round(
+            F.avg(F.when(in_core, F.col("l_extendedprice"))), 4
+        ).alias("trimmed_mean"),
+        F.round(F.avg(clamped), 4).alias("winsorized_mean"),
     )

@@ -456,3 +456,38 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("custkey_fk_customer", ["o_custkey"], customer, ["c_custkey"])
         ],
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "corr_matrix_lineitem",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+    )
+    """,
+    description="Pairwise Pearson correlation matrix over four lineitem "
+    "measures in ONE aggregation pass (six co-moment aggregates "
+    "side-by-side in a single scan; df.stat.corr would run six jobs), "
+    "unpivoted to tidy (col_a, col_b, corr) rows. The feature-redundancy "
+    "screen before training: O(k^2) scalar state per partition, one "
+    "map-side-combined pass at any scale.",
+    tags=("profile", "stats", "corr", "maintenance"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.profile import corr_matrix
+
+    return corr_matrix(t(spark, sf_dir, "lineitem"), list(_CORR_COLS))
