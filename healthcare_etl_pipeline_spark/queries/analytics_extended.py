@@ -863,3 +863,66 @@ def robust_means_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("trimmed_mean"),
         F.round(F.avg(clamped), 4).alias("winsorized_mean"),
     )
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                      greatest(x.l_partkey, y.l_partkey) AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ), deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY v
+    ), oriented AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                  THEN p.a ELSE p.b END AS lo,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                  THEN p.b ELSE p.a END AS hi
+      FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b
+    ), wedge_pairs AS (
+      SELECT least(o1.hi, o2.hi) AS a, greatest(o1.hi, o2.hi) AS b
+      FROM oriented o1 JOIN oriented o2
+        ON o1.lo = o2.lo AND o1.hi < o2.hi
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedge_pairs w WHERE EXISTS (
+        SELECT 1 FROM pairs p WHERE p.a = w.a AND p.b = w.b
+      )
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_vertices,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           round(3.0 * n_triangles /
+                 (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6) AS clustering
+    FROM tri
+    """,
+    description="Triangle count + global clustering coefficient of the "
+    "part co-purchase graph (parts sharing an order) via degree-ordered "
+    "orientation (Suri & Vassilvitskii WWW 2011): each triangle is "
+    "generated by exactly one wedge at its lowest-(degree,id) vertex, "
+    "bounding wedge fanout by out-degree O(sqrt(m)) so the hub vertex "
+    "never becomes the last reducer. Edge generation is an in-order "
+    "self-join (order size is bounded, so per-order pair fanout is "
+    "constant). The third classic graph kernel beside PageRank and "
+    "connected components.",
+    tags=("graph", "triangles", "join"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.graph import triangle_stats
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return triangle_stats(edges)

@@ -61,3 +61,19 @@ def test_ks_drift_detects_shift_and_identical_is_zero(spark):
     assert d.n_ref == 100 and d.n_cur == 100
     same = ks_drift(ref, ref, "v", ["g"], bin_width=10.0, n_bins=20).collect()[0]
     assert same.ks_stat == 0.0
+
+
+def test_triangle_stats_hand_computed(spark):
+    from healthcare_etl_pipeline_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + dup/reversed edges
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1),
+             (2, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_stats(df).collect()[0]
+    assert r.n_vertices == 5
+    assert r.n_edges == 7
+    assert r.n_triangles == 4
+    # wedges: deg(1)=4,deg(2)=3,deg(3)=3,deg(4)=3,deg(5)=1 -> 6+3+3+3 = 15
+    assert r.n_wedges == 15
+    assert abs(r.clustering - 12 / 15) < 1e-9
