@@ -140,19 +140,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when the events parquet stores ts as INT64 TIMESTAMP(NANOS).
+
+    Driver-side footer probe (pyarrow reads only file metadata) — testdata
+    vintages differ: some store nanos (which Spark's reader rejects without
+    the legacy conf), newer ones store standard microsecond timestamps.
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    return str(ts_type) == "timestamp[ns]"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one testdata table.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; it is read as nanos-since-epoch (legacy conf) and rebuilt
-    as TIMESTAMP_NTZ at microsecond precision — the same truncation DuckDB
-    applies, so both engines see identical wall-clock values.
+    ``events.ts`` is normalized to TIMESTAMP_NTZ at microsecond precision
+    regardless of the physical encoding: nanos-vintage files are read as
+    nanos-since-epoch (legacy conf) and rebuilt, truncating the same way
+    DuckDB does; micros-vintage files are read natively.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
 
+        if not events_ts_is_nanos(sf_dir):
+            raw = spark.read.parquet(table_path(sf_dir, name))
+            return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         # The legacy conf is captured into the plan at read time, so it can
         # be restored immediately — a later nanos-typed parquet read
         # elsewhere in the session then still fails loudly instead of

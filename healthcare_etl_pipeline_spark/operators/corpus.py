@@ -393,3 +393,78 @@ def hashed_features(
         .groupBy(id_col, "idx")
         .agg(F.sum("sign").alias("val"))
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    seg_tokens: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate-segment removal (CCNet / RefinedWeb line-dedup adapted to
+    unstructured text): split each document into NON-overlapping
+    ``seg_tokens``-token segments, drop every segment whose corpus-wide
+    document frequency reaches ``min_df``, and reassemble the survivors in
+    document order.
+
+    Output: (id, n_segments, n_kept, clean_text) — documents whose every
+    segment was boilerplate drop out entirely (inner-join image), the same
+    contract as the C4 "discard boilerplate-only pages" rule.
+
+    Scale posture:
+    - one explode of start positions (cheap ints), segment text sliced per
+      OUTPUT row — the same Generate-safe shape as chunk_documents;
+    - document frequency via one map-side-combined groupBy on the segment
+      string (bounded by corpus vocab, not corpus size);
+    - the df table joins back on the segment key — an equi-join Catalyst
+      can broadcast when the distinct-segment table is small, else
+      shuffle-hash on the same key the groupBy just used;
+    - reassembly is one groupBy(id) with an order-struct collect_list —
+      segments of one doc co-locate, no window over the corpus.
+    """
+    toks = _token_arrays(df, id_col, text_col)
+    starts = F.when(
+        F.size("tk") > 0, F.sequence(F.lit(1), F.size("tk"), F.lit(seg_tokens))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    segs = (
+        toks.select(F.col(id_col), F.col("tk"), F.explode(starts).alias("s"))
+        .select(
+            F.col(id_col),
+            (((F.col("s") - 1) / seg_tokens).cast("int")).alias("seg_index"),
+            F.concat_ws(" ", F.slice(F.col("tk"), F.col("s"), seg_tokens)).alias(
+                "seg"
+            ),
+        )
+        # Generate's child is a plain int sequence; slice/concat run post-
+        # explode. Checkpoint so the df-count pass and the join-back pass
+        # read stored segments instead of re-tokenizing (HOFs are not CSE'd).
+        .localCheckpoint(eager=False)
+    )
+    seg_df = segs.groupBy("seg").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    kept = (
+        segs.join(seg_df, "seg")
+        .where(F.col("df") < min_df)
+        .select(F.col(id_col), "seg_index", "seg")
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_index", "seg"))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .join(totals, id_col)
+        .select(id_col, "n_segments", "n_kept", "clean_text")
+    )

@@ -1860,3 +1860,64 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", k=50, salt=7)
+
+
+@query(
+    "segment_dedup_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 4)) AS s
+      FROM toks WHERE len(tk) > 0
+    ), segs AS (
+      SELECT doc_id, CAST((s - 1) // 4 AS INTEGER) AS seg_index,
+             array_to_string(list_slice(tk, s, s + 3), ' ') AS seg
+      FROM ex
+    ), sdf AS (
+      SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+    ), kept AS (
+      SELECT segs.doc_id, segs.seg_index, segs.seg
+      FROM segs JOIN sdf USING (seg) WHERE sdf.df < 2
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+    )
+    SELECT k.doc_id, t.n_segments, count(*) AS n_kept,
+           string_agg(k.seg, ' ' ORDER BY k.seg_index) AS clean_text
+    FROM kept k JOIN totals t USING (doc_id)
+    GROUP BY k.doc_id, t.n_segments
+    """,
+    description="Boilerplate-segment removal (CCNet/RefinedWeb line dedup "
+    "over 4-token segments): segments repeated across >=2 documents are "
+    "stripped corpus-wide and the survivors reassembled in order — one "
+    "cheap-int explode, one map-side-combined df groupBy, one equi-join "
+    "back, one per-doc ordered reassembly. Boilerplate-only documents "
+    "drop out, matching C4's discard rule.",
+    tags=("dedup", "text", "llm"),
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import segment_dedup
+
+    docs = td(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=4, min_df=2)
+
+
+@query(
+    "semantic_dedup_embeddings",
+    oracle=None,  # k-means partitioning is iterative/float — not SQL-
+    # expressible; within-cluster pruning is verified against the exact
+    # O(n²) cosine form in tests/test_clustering.py (dropped ⊆ exact-
+    # dropped by construction, recall measured)
+    description="SemDeDup semantic dedup: k-means partitions the embedding "
+    "space, exact cosine near-dup pruning runs per cluster behind a "
+    "cluster-keyed equi-join — quadratic work shrinks n² → Σ|cluster|² and "
+    "the join key gives AQE a skew handle. Greedy min-id survivor rule; "
+    "emits (vec_id, cluster, is_kept) for the full corpus.",
+    tags=("dedup", "similarity", "clustering", "llm"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.clustering import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, dim=64, iters=5, threshold=0.35)

@@ -112,20 +112,24 @@ def streaming_events(
 ) -> DataFrame:
     """File-source stream over the events table (schema pinned, no inference).
 
-    The parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark rejects; it is
-    read as raw nanos (legacy conf) and rebuilt at microsecond precision.
-    Watermarks require TIMESTAMP (not NTZ) — with the session pinned to UTC
-    the wall-clock values are identical either way.
+    Testdata vintages differ on the physical ts encoding: INT64
+    TIMESTAMP(NANOS) files (which Spark rejects without the legacy conf) are
+    read as raw nanos and rebuilt at microsecond precision; micros files are
+    read natively. Watermarks require TIMESTAMP (not NTZ) — with the session
+    pinned to UTC the wall-clock values are identical either way.
     """
     from pyspark.sql import types as T
 
-    from healthcare_etl_pipeline_spark.catalog import table_path
+    from healthcare_etl_pipeline_spark.catalog import events_ts_is_nanos, table_path
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = events_ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos since epoch
+            # nanos since epoch in legacy files, plain timestamp otherwise
+            T.StructField("ts", T.LongType() if nanos else T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -139,8 +143,9 @@ def streaming_events(
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if watermark:
         stream = stream.withWatermark("ts", watermark)
     return stream

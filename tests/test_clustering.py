@@ -47,3 +47,26 @@ def test_kmeans_matches_numpy_reference(spark):
     # every cluster id in range, all docs assigned
     assert len(out) == len(ids)
     assert all(0 <= r.cluster < 4 for r in out.values())
+
+
+def test_semantic_dedup_subset_of_exact_and_recall(spark):
+    from healthcare_etl_pipeline_spark.operators.clustering import semantic_dedup
+    from healthcare_etl_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(emb, k=4, dim=64, iters=3, threshold=0.2).collect()
+    n_total = emb.count()
+    assert len(out) == n_total  # full-corpus image, one row per vector
+
+    dropped = {r.vec_id for r in out if not r.is_kept}
+    exact_pairs = cosine_near_dup_pairs(emb, dim=64, threshold=0.2).collect()
+    exact_dropped = {r.dup_id for r in exact_pairs}
+
+    # within-cluster pairs ⊂ all pairs ⇒ dropped ⊆ exact-dropped
+    assert dropped <= exact_dropped
+    # and the clusters should still catch a meaningful share of the dups
+    if exact_dropped:
+        recall = len(dropped) / len(exact_dropped)
+        assert recall >= 0.5, f"semantic dedup recall too low: {recall:.2f}"

@@ -131,3 +131,28 @@ def test_hashed_features_preserve_signed_counts(spark):
     # doc 1 has 3 'x' and 1 'y': bucket magnitudes are 3 and 1 (or 2 if
     # x and y collide with opposite signs); total L1 >= 2 regardless
     assert sum(abs(v) for v in by_doc[1].values()) >= 2
+
+
+def test_segment_dedup_strips_repeated_segments(spark):
+    from healthcare_etl_pipeline_spark.operators.corpus import segment_dedup
+
+    boiler = "subscribe to our newsletter now"  # 5 tokens = one segment
+    # prefixes are exactly seg_tokens long so the boilerplate aligns to a
+    # segment boundary in every document (the non-overlapping split is
+    # alignment-sensitive by design — same as line-keyed CCNet dedup)
+    rows = [
+        (1, f"alpha beta gamma delta five {boiler} unique one text here"),
+        (2, f"epsilon zeta eta theta iota {boiler} unique two text there"),
+        (3, boiler),  # boilerplate-only doc: must drop out entirely
+        (4, "totally original content with no repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=5, min_df=2).collect()}
+
+    assert 3 not in out  # every segment was boilerplate
+    assert boiler not in out[1].clean_text
+    assert boiler not in out[2].clean_text
+    assert "alpha beta gamma delta five" in out[1].clean_text
+    assert out[4].n_kept == out[4].n_segments  # untouched doc keeps all
+    # survivors reassemble in original segment order
+    assert out[1].clean_text.startswith("alpha beta gamma delta")
