@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+
 
 def _dist_sq(vec_col: Column, centroid: list[float], dim: int) -> Column:
     """Squared L2 distance to a literal centroid — explicit sum, codegen."""
@@ -55,7 +57,7 @@ def kmeans_assign(
     (embeddings of the ``k`` smallest ids), returning the final assignment
     (id, cluster, dist — squared L2, rounded 6 dp).
     """
-    base = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+    base = df.select(F.col(id_col), F.col(vec_col)).transform(bounded_persist)
 
     seed_rows = (
         base.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -133,7 +135,7 @@ def semantic_dedup(
         kmeans_assign(df, id_col, vec_col, k=k, dim=dim, iters=iters)
         .select(id_col, "cluster")
         .join(df.select(id_col, vec_col), id_col)
-        .localCheckpoint(eager=False)  # one pass feeds both join sides
+        .transform(bounded_persist)  # one pass feeds both join sides
     )
     a = assigned.select(
         F.col("cluster"),

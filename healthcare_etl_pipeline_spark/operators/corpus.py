@@ -15,7 +15,7 @@ Scale posture shared by all five:
 - Per-doc gram arrays are derived from a localCheckpoint'd token-array
   frame: higher-order expressions are CodegenFallback and not
   subexpression-eliminated, so each consumer must read STORED arrays, not
-  re-run the tokenizer (lazy checkpoint — blocks are GC-freed, nothing
+  re-run the tokenizer (bounded_persist — LRU-capped cache, nothing
   accumulates in the executor cache across queries).
 - Every fraction is rounded to 6 dp so DuckDB oracles match bit-for-bit.
 """
@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
 
 from healthcare_etl_pipeline_spark.operators.sampling import hash_bucket
 from healthcare_etl_pipeline_spark.operators.text import tokens
@@ -36,7 +38,7 @@ def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         spread(df, df.sparkSession)
         .select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
 
 
@@ -236,7 +238,7 @@ def tfidf_top_terms(
         tk.select(F.col(id_col), F.explode("tk").alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tk.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -440,7 +442,7 @@ def segment_dedup(
         # Generate's child is a plain int sequence; slice/concat run post-
         # explode. Checkpoint so the df-count pass and the join-back pass
         # read stored segments instead of re-tokenizing (HOFs are not CSE'd).
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
     seg_df = segs.groupBy("seg").agg(
         F.count_distinct(F.col(id_col)).alias("df")

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+
 from healthcare_etl_pipeline_spark.operators.text import (
     MINHASH_PARAMS,
     MOD,
@@ -129,20 +131,19 @@ def minhash_signatures_df(
     Two deliberate physical choices:
     - repartition to cores first: a single-file corpus otherwise lands in ONE
       partition and the (CPU-bound) shingle hashing runs on one core;
-    - materialize the shingle-hash array via localCheckpoint before deriving
+    - materialize the shingle-hash array via bounded_persist before deriving
       the k signature columns — higher-order functions are CodegenFallback
       and not subexpression-eliminated, so without a boundary each sig
       column would recompute the whole tokenize→shingle→hash pipeline (k×
-      the work). localCheckpoint (lazy) instead of persist: its blocks are
-      freed by the ContextCleaner once the frame is unreferenced, so
-      long-lived sessions running many queries don't accumulate cache
-      entries that only explicit unpersist would release.
+      the work). Persist (LRU-capped, operators/cache.py) rather than
+      localCheckpoint: the CacheManager then plan-matches repeated runs of
+      the operator, and eviction is explicit instead of unbounded.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     hs_df = (
         df.repartition(par, id_col)
         .select(F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs"))
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
     return hs_df.select(F.col(id_col), *minhash_signature(F.col("hs"), k))
 
@@ -161,7 +162,7 @@ def _banded_signatures(
     Checkpoint: both sides of the band self-join (and any estimate join)
     read them, and the shingle→hash→minhash pipeline is the expensive part —
     without a materialization boundary Spark recomputes it per consumer.
-    (Lazy localCheckpoint, not persist: blocks are GC-freed with the frame.)
+    (bounded_persist: plan-matched reuse across runs, LRU-capped eviction.)
 
     Degenerate-bucket guard: docs with ZERO shingles (empty/short docs) get
     the sentinel signature (MOD) in every permutation, so they would all
@@ -174,7 +175,7 @@ def _banded_signatures(
     return (
         minhash_signatures_df(df, id_col, text_col, k, n, hash_mode)
         .filter(F.col("sig_0") != F.lit(MOD))
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
 
 
@@ -389,15 +390,15 @@ def ngram_jaccard_pairs(
     # per OUTPUT row (~10× the work measured at sf0.1); size() inlined by
     # CollapseProject doubles it again. Checkpointing the (id, hs) arrays
     # first makes every downstream consumer — set_size, explode, the hot-df
-    # pass, both self-join sides — read stored arrays. (Lazy localCheckpoint,
-    # not persist: blocks are GC-freed with the frame, no cache accumulation
-    # across queries in a long-lived session.)
+    # pass, both self-join sides — read stored arrays. (bounded_persist:
+    # plan-matched reuse across runs, LRU-capped so a long-lived session's
+    # cache footprint stays bounded.)
     hashes = (
         df.repartition(par, id_col)
         .select(
             F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs")
         )
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
     exploded = hashes.select(
         id_col, F.size("hs").alias("set_size"), F.explode("hs").alias("h")
@@ -463,7 +464,7 @@ def ngram_containment_pairs(
         .select(
             F.col(id_col), shingle_hashes(F.col(text_col), n, hash_mode).alias("hs")
         )
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
     exploded = hashes.select(
         id_col, F.size("hs").alias("set_size"), F.explode("hs").alias("h")
@@ -645,7 +646,7 @@ def simhash_df(
             F.col(id_col),
             _simhash_votes(F.col(text_col), bits, hash_mode).alias("__votes"),
         )
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
     )
     name = out_col or f"simhash{bits}"
     return votes_df.select(
@@ -692,7 +693,7 @@ def ngram_jaccard_prefix_pairs(
             F.col(id_col),
             shingle_hashes(F.col(text_col), n, hash_mode).alias("hs"),
         )
-        .localCheckpoint(eager=False)
+        .transform(bounded_persist)
         .filter(F.size("hs") > 0)
     )
     exploded = hashes.select(

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+
 
 def dot_fold(a: Column, b: Column, dim: int) -> Column:
     """Sequential dot product over fixed-dim arrays (deterministic order).
@@ -298,14 +300,14 @@ def quantize_int8(
     scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
     with_scale = df.select(
         F.col(id_col), v.alias("__v"), scale.alias("__scale")
-    ).localCheckpoint(eager=False)  # boundary: scale feeds every element
+    ).transform(bounded_persist)  # boundary: scale feeds every element
     q = F.transform(
         F.col("__v"),
         lambda x: F.floor(x / F.col("__scale") + F.lit(0.5)).cast("int"),
     )
     out = with_scale.select(
         F.col(id_col), F.col("__scale"), q.alias("qvec"), F.col("__v")
-    ).localCheckpoint(eager=False)  # boundary: qvec read by the error fold
+    ).transform(bounded_persist)  # boundary: qvec read by the error fold
     err = F.array_max(
         F.zip_with(
             F.col("qvec"),
@@ -353,11 +355,11 @@ def embedding_dedup_lsh(
     sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)
     # Checkpointed: the Arrow-batched signature matmul feeds BOTH sides of
     # the self-join; the boundary also sidesteps self-join attribute
-    # ambiguity. (Lazy localCheckpoint — blocks GC-freed with the frame.)
+    # ambiguity. (bounded_persist: plan-matched reuse, LRU-capped eviction.)
     sigs = df.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"),
-    ).localCheckpoint(eager=False)
+    ).transform(bounded_persist)
     l, r = sigs.alias("l"), sigs.alias("r")
     candidates = (
         l.join(
@@ -524,7 +526,7 @@ def ann_lsh_topk(
             lsh_bucket_array(
                 F.col(vec_col), planes=planes, tables=tables, dim=dim
             ).alias("sigs"),
-        ).localCheckpoint(eager=False)
+        ).transform(bounded_persist)
         return with_sigs.select(
             name, f"{name}_vec", F.explode("sigs").alias("sig")
         ).select(name, f"{name}_vec", "sig.table", "sig.bucket")
