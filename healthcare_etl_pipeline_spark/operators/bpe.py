@@ -130,3 +130,70 @@ def bpe_merges_df(
     )
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(merges)]
     return docs.sparkSession.createDataFrame(rows, schema)
+
+
+def _make_encode_udf(ranked: dict[tuple[str, str], int]):
+    """Arrow-batched word→BPE-symbols encoder for a trained merge table.
+
+    Greedy rank-priority encode (the standard BPE inference rule): at each
+    step merge the pair with the LOWEST training rank present in the word,
+    until no trainable pair remains. The merge table is tiny (tens of
+    entries) — shipped to executors inside the closure, no join needed.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(words: pd.Series) -> pd.Series:
+        def run(word):
+            syms = list(word) + [END_MARK]
+            while len(syms) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(syms) - 1):
+                    r = ranked.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        return words.map(run)
+
+    return _encode
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a trained BPE merge table.
+
+    Output: (id, n_words, n_tokens, compression) where compression =
+    characters-per-token (rounded 4dp) — the metric a tokenizer sweep
+    optimizes. Per-word encode runs as ONE Arrow-batched pass over the
+    exploded word stream, then re-aggregates per document — the same
+    map-side-combinable shape as every other corpus operator; the merge
+    table rides in the UDF closure (broadcast-sized, no shuffle).
+    """
+    ranked = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    enc = _make_encode_udf(ranked)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    encoded = words.select(
+        F.col(id_col),
+        F.length("word").alias("n_chars"),
+        F.size(enc(F.col("word"))).alias("word_tokens"),
+    )
+    return (
+        encoded.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("word_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )

@@ -428,3 +428,49 @@ def enc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = make_encrypt_udf()
     dec = make_decrypt_udf()
     return cust.select("c_custkey", dec(enc(F.col("c_name"))).alias("name_rt"))
+
+
+@query(
+    "observations_ingest_valid",
+    oracle="""
+    SELECT c_custkey,
+           list_extract(['final','amended','preliminary','registered','BOGUS'],
+                        CAST(c_custkey % 5 AS INT) + 1) AS status,
+           'http://loinc.org' AS primary_system,
+           'C' || CAST(c_custkey AS VARCHAR) AS primary_code,
+           CASE WHEN c_custkey % 3 <> 0
+                THEN CAST(c_custkey % 500 AS DOUBLE) / 10.0 END AS value,
+           CASE WHEN c_custkey % 3 <> 0 THEN 'mg' END AS unit
+    FROM customer
+    WHERE c_custkey % 101 <> 0 AND c_custkey % 97 <> 0 AND c_custkey % 89 <> 0
+      AND c_custkey % 5 <> 4 AND c_custkey % 83 <> 0 AND c_custkey % 79 <> 0
+      AND c_custkey % 7 <> 0 AND c_custkey % 11 <> 0 AND c_custkey % 19 <> 0
+    """,
+    description="FHIR Observation valid-side ingest (complement of "
+    "observations_ingest_invalid): payloads passing the compiled nested "
+    "rules are projected into the flat clinical-store shape — status, "
+    "primary coding (system, code), quantity value+unit. Same "
+    "validate_split plan; the projection prunes the nested structs so "
+    "only the touched leaves are read.",
+    tags=("validation", "nested", "etl"),
+)
+def observations_ingest_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.validation import (
+        OBSERVATION_DDL,
+        OBSERVATION_RULES,
+    )
+
+    raw = td(spark, sf_dir, "customer").selectExpr("c_custkey", _OBS_PAYLOAD)
+    flat = raw.select(
+        "c_custkey", "payload", F.from_json("payload", OBSERVATION_DDL).alias("obs")
+    ).select("c_custkey", "payload", "obs.*")
+    valid, _ = validate_split(flat, OBSERVATION_RULES)
+    first = F.col("code").getField("coding").getItem(0)
+    return valid.select(
+        "c_custkey",
+        "status",
+        first.getField("system").alias("primary_system"),
+        first.getField("code").alias("primary_code"),
+        F.col("valueQuantity").getField("value").alias("value"),
+        F.col("valueQuantity").getField("unit").alias("unit"),
+    )

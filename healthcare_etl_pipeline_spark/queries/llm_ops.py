@@ -1921,3 +1921,23 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, k=8, dim=64, iters=5, threshold=0.35)
+
+
+@query(
+    "bpe_encode_docs",
+    oracle=None,  # the merge table comes from the iterative trainer —
+    # rows-only here; encode semantics are pinned by a pure-Python
+    # differential test in tests/test_bpe.py
+    description="BPE tokenizer APPLY: encode every document with the merge "
+    "table trained on the same corpus (10 merges) — greedy rank-priority "
+    "encode in one Arrow-batched pass over the exploded word stream, "
+    "re-aggregated per doc to (n_words, n_tokens, chars_per_token). The "
+    "merge table rides in the UDF closure; no join, one shuffle.",
+    tags=("text", "bpe", "llm"),
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = td(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    return bpe_encode(docs, merges)

@@ -61,3 +61,37 @@ def test_bpe_overlapping_pairs(spark):
     want = _ref_bpe({"aaaa": 2, "aa": 1}, 2, 2)
     assert got == want
     assert got[0][0] == "a" and got[0][1] == "a"
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from healthcare_etl_pipeline_spark.operators.bpe import (
+        END_MARK,
+        bpe_encode,
+        bpe_train,
+    )
+
+    rows = [(1, "low low lower lowest"), (2, "new newer newest low")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=6, min_pair_count=2)
+    ranked = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    def ref_encode(word):
+        syms = list(word) + [END_MARK]
+        while len(syms) > 1:
+            cand = [
+                (ranked[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranked
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in rows:
+        words = text.split()
+        exp_tokens = sum(len(ref_encode(w)) for w in words)
+        assert out[doc_id].n_words == len(words)
+        assert out[doc_id].n_tokens == exp_tokens

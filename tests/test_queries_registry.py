@@ -13,9 +13,9 @@ def test_oracle_coverage():
     specs = all_queries()
     with_oracle = [s for s in specs.values() if s.oracle is not None]
     # engine-specific ops are allowed to be rows-only, but they must be few
-    # (approx sketches ×2, ANN ×2, multimodal decode, iterative BPE,
-    # k-means, SemDeDup)
-    assert len(with_oracle) >= len(specs) - 8
+    # (approx sketches ×2, ANN ×2, multimodal decode, iterative BPE train
+    # + encode, k-means, SemDeDup)
+    assert len(with_oracle) >= len(specs) - 9
 
 
 def test_every_query_has_description():
