@@ -1716,7 +1716,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tks AS (SELECT doc_id, unnest(tk) AS tok FROM toks)
     SELECT doc_id,
            ({_duck_hash("tok")} % 256) AS idx,
-           sum(({_duck_hash("(tok || '#s')")} % 2) * 2 - 1) AS val
+           CAST(sum(({_duck_hash("(tok || '#s')")} % 2) * 2 - 1) AS BIGINT) AS val
     FROM tks
     GROUP BY doc_id, idx
     """,

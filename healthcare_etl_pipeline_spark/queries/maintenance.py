@@ -373,7 +373,7 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING),
              wp AS (PARTITION BY o_orderpriority)
     )
-    SELECT o_orderpriority, n_ref, n_cur,
+    SELECT o_orderpriority, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
            round(max(abs(cdf_ref - cdf_cur)), 6) AS ks_stat
     FROM cdf GROUP BY o_orderpriority, n_ref, n_cur
     """,
