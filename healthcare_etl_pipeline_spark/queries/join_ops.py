@@ -229,3 +229,72 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         block=F.element_at(F.split(F.col("name"), " "), -1),
         max_dist=3,
     )
+
+
+@query(
+    "interval_overlap_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS lo,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+               + o_orderkey % 30 + 1 AS hi
+      FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+    description="Interval x interval overlap join (co-active orders per "
+    "customer): order activity windows [orderdate, orderdate + priority-"
+    "dependent duration] overlap-joined via the binned equi-join — both "
+    "sides explode to 16-day bins, the overlap predicate runs only inside "
+    "matching (customer, bin) buckets, and the first-overlap-bin guard "
+    "dedups without a distinct(). The oracle is the direct range self-join.",
+    tags=("join", "interval", "custom"),
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    anchor = F.lit("1995-01-01").cast("timestamp_ntz")
+    lo = F.datediff(F.col("o_orderdate").cast("date"), anchor.cast("date")).cast("long")
+    iv = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        lo.alias("lo"),
+        (lo + F.col("o_orderkey") % 30 + 1).alias("hi"),
+    )
+    a = iv.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = iv.select(
+        F.col("o_custkey"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    joined = J.interval_overlap_join(
+        a,
+        b,
+        left_lo="lo_a",
+        left_hi="hi_a",
+        right_lo="lo_b",
+        right_hi="hi_b",
+        bin_width=16,
+        key="o_custkey",
+        extra_cond=F.col("key_a") < F.col("key_b"),
+    )
+    return joined.select(
+        "o_custkey",
+        "key_a",
+        "key_b",
+        (
+            F.least(F.col("hi_a"), F.col("hi_b"))
+            - F.greatest(F.col("lo_a"), F.col("lo_b"))
+            + F.lit(1)
+        ).alias("overlap_days"),
+    )

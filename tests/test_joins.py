@@ -272,3 +272,24 @@ def test_fuzzy_blocked_pairs_respects_blocks_and_threshold(spark):
     assert pairs[("red widget", "ted widget")][1] == 2  # 'red widget' twice
     # 'red gadget' blocks under 'gadget' — never compared despite dist 2
     assert not any("gadget" in a or "gadget" in b for a, b in pairs)
+
+
+def test_interval_overlap_join_exactly_once_across_bins(spark):
+    from healthcare_etl_pipeline_spark.operators.joins import interval_overlap_join
+
+    # intervals deliberately spanning multiple width-10 bins; (1,2) overlap
+    # across a bin boundary, (1,3) overlap inside one bin, (2,4) disjoint
+    left = spark.createDataFrame(
+        [(1, 5.0, 25.0), (2, 22.0, 40.0)], ["lid", "llo", "lhi"]
+    )
+    right = spark.createDataFrame(
+        [(3, 8.0, 12.0), (4, 50.0, 60.0), (5, 24.0, 26.0)], ["rid", "rlo", "rhi"]
+    )
+    out = interval_overlap_join(
+        left, right,
+        left_lo="llo", left_hi="lhi", right_lo="rlo", right_hi="rhi",
+        bin_width=10,
+    ).select("lid", "rid").collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    # each overlapping pair appears EXACTLY once despite sharing 2+ bins
+    assert pairs == [(1, 3), (1, 5), (2, 5)]
