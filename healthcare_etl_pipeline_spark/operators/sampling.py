@@ -192,3 +192,47 @@ def weighted_sample(
         .orderBy(F.asc("sample_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based source re-mixing (the multilingual-sampling rule of
+    XLM-R / mT5): resample so stratum sizes follow n_i^alpha instead of
+    n_i — alpha=1 keeps the natural mix, alpha=0 is the uniform mix of
+    ``balance_strata``, between values damp dominant sources without
+    starving them.
+
+    Downsample-only keep-rate r_i = (min_n / n_i)^(1-alpha) (so the largest
+    rate is 1 — no upsampling), applied as the deterministic zero-shuffle
+    hash-bucket filter. Rates, counts, and the min are all computed IN the
+    plan (one agg + 1-row broadcast + broadcast join), same as
+    ``balance_strata``.
+
+    alpha=0.5 (the default, and mT5's choice) uses sqrt — an IEEE
+    correctly-rounded op, so the floor(rate*BUCKETS) boundary is
+    bit-identical in any engine; other alphas go through pow(), where a
+    1-ulp libm difference could flip a boundary row cross-engine.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__min_n"))
+    ratio = F.col("__min_n").cast("double") / F.col("__n").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(floor_n)).select(
+        strata_col,
+        F.floor(rate * BUCKETS).alias("__bound"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(id_col, salt=salt) < F.col("__bound"))
+        .drop("__bound")
+    )

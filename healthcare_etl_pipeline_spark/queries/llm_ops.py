@@ -1941,3 +1941,35 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=10)
     return bpe_encode(docs, merges)
+
+
+@query(
+    "temperature_mix_docs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n) AS min_n FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(min_n AS DOUBLE) / CAST(n AS DOUBLE))
+                        * {10_000}) AS BIGINT) AS bound
+      FROM counts CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {hash_bucket_sql("d.doc_id", salt=11)} < r.bound
+    """,
+    description="Temperature-based source re-mixing (XLM-R/mT5 alpha=0.5 "
+    "sampling): stratum sizes damped toward n^0.5 via downsample-only "
+    "keep-rates (min_n/n)^0.5, computed in-plan and applied as the "
+    "deterministic hash-bucket filter — sqrt is correctly rounded IEEE, "
+    "so the floor boundary is bit-identical cross-engine. Zero shuffle "
+    "on the data path.",
+    tags=("sampling", "mixing", "llm"),
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import temperature_mix
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(docs, "doc_id", "source", alpha=0.5, salt=11)

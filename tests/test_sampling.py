@@ -113,3 +113,32 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     assert ids == expect
     # the 10 heavy rows (1000x weight) dominate the sample
     assert sum(1 for i in ids if i >= 90) >= 8
+
+
+def test_temperature_mix_between_uniform_and_natural(spark):
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        balance_strata,
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    natural = {r["source"]: r["n"] for r in df.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    temp = temperature_mix(df, "doc_id", "source", alpha=0.5, salt=3)
+    uni = balance_strata(df, "doc_id", "source", salt=3)
+    t_counts = {r["source"]: r["n"] for r in temp.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    u_counts = {r["source"]: r["n"] for r in uni.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # smallest stratum survives (rate 1) in both
+    assert t_counts["small"] == natural["small"]
+    # damped mix sits strictly between uniform and natural for the big one
+    assert u_counts["big"] < t_counts["big"] < natural["big"]
+    # deterministic: re-running yields the identical kept set
+    ids1 = {r.doc_id for r in temp.collect()}
+    ids2 = {r.doc_id for r in temperature_mix(df, "doc_id", "source", alpha=0.5, salt=3).collect()}
+    assert ids1 == ids2
