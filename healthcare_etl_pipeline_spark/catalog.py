@@ -147,9 +147,18 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     vintages differ: some store nanos (which Spark's reader rejects without
     the legacy conf), newer ones store standard microsecond timestamps.
     """
+    import glob
+
     import pyarrow.parquet as pq
 
-    ts_type = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        # Spark-written table: a directory of part files (plus _SUCCESS)
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False  # empty write — no data files, nothing nanos-typed
+        path = parts[0]
+    ts_type = pq.read_schema(path).field("ts").type
     return str(ts_type) == "timestamp[ns]"
 
 

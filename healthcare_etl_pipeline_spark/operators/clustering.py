@@ -63,6 +63,15 @@ def kmeans_assign(
         base.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     centroids: list[list[float]] = [list(r[0]) for r in seed_rows]
+    if not centroids:
+        # empty corpus (or an empty slice at scale): the assignment image
+        # is empty too — return it with the contract schema instead of
+        # letting least()/when() choke on zero centroid columns
+        return base.select(
+            F.col(id_col),
+            F.lit(0).alias("cluster"),
+            F.lit(0.0).alias("dist_sq"),
+        )
 
     def assign(cents: list[list[float]]) -> DataFrame:
         dists = [
