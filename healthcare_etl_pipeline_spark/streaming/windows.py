@@ -94,15 +94,28 @@ def run_stream_to_memory(
 
     availableNow processes everything currently available then stops —
     the deterministic way to test streaming plans on file sources.
+
+    Stateful streaming allocates one state store per shuffle partition and
+    AQE cannot coalesce them (disabled for stateful workloads), so the
+    session's CPU-sized partition count means 32 stores' worth of per-batch
+    overhead on kilobyte-scale state. Streams started here run with a
+    smaller stateful partition count (the conf is captured when the query
+    STARTS, then restored — batch queries are unaffected). On a real
+    cluster size this to state volume, not cores.
     """
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
 
