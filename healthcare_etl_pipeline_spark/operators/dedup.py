@@ -746,3 +746,49 @@ def ngram_jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
     )
+
+
+def lsh_cross_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Bipartite MinHash-LSH: near-dup candidates BETWEEN two corpora —
+    the benchmark-decontamination shape (training docs vs an eval set),
+    where the self-join family's id_a < id_b canonicalization does not
+    apply and every (left, right) bucket collision is a candidate.
+
+    Both sides band independently; the candidate set is the (band,
+    signature)-bucket equi-join of the two, deduped per pair. At scale this
+    replaces the |train| x |eval| cross product with one bucket-keyed
+    shuffle; the (typically small) eval side's buckets broadcast.
+
+    Output: (left_id, right_id) distinct candidate pairs.
+    """
+    ls = _banded_signatures(left, id_col, text_col, k, bands, n, hash_mode)
+    rs = _banded_signatures(right, id_col, text_col, k, bands, n, hash_mode)
+    rows_per_band = k // bands
+
+    def buckets(sigs: DataFrame, name: str) -> DataFrame:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"sig_{b * rows_per_band + r}").alias(f"r{r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(name), F.explode(F.array(*band_cols)).alias("bucket")
+        )
+
+    lb = buckets(ls, "left_id")
+    rb = buckets(rs, "right_id")
+    return lb.join(rb, "bucket").select("left_id", "right_id").distinct()

@@ -2061,3 +2061,45 @@ def lsh_eval_pr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
         F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
     )
+
+
+@query(
+    "decontamination_lsh_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), lb AS (
+      SELECT doc_id AS left_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD} AND doc_id % 17 <> 0
+    ), rb AS (
+      SELECT doc_id AS right_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD} AND doc_id % 17 = 0
+    )
+    SELECT DISTINCT l.left_id, r.right_id
+    FROM lb l JOIN rb r ON l.bucket = r.bucket
+    """,
+    description="Bipartite MinHash-LSH decontamination: band-bucket "
+    "candidates BETWEEN a training corpus (doc_id % 17 <> 0) and a held-"
+    "out eval set (doc_id % 17 = 0) — no id<id canonicalization, every "
+    "cross collision is a candidate. The |train| x |eval| cross product "
+    "becomes one bucket-keyed equi-join; the fuzzy complement to the "
+    "exact n-gram contamination_check.",
+    tags=("dedup", "minhash", "decontamination", "llm"),
+)
+def decontamination_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0)
+    return D.lsh_cross_candidates(train, eval_set, "doc_id", "text", k=8, bands=4, n=3)
