@@ -2103,3 +2103,30 @@ def decontamination_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 17 != 0)
     eval_set = docs.filter(F.col("doc_id") % 17 == 0)
     return D.lsh_cross_candidates(train, eval_set, "doc_id", "text", k=8, bands=4, n=3)
+
+
+@query(
+    "hll_merge_events",
+    oracle=f"""
+    SELECT event_type, {_HLL_UB} AS bucket, max({_HLL_UR}) AS rho
+    FROM events GROUP BY event_type, bucket
+    """,
+    description="HLL MERGEABILITY (the property that makes sketches work "
+    "on a cluster): the events stream is split into two halves by "
+    "event_id parity, each half builds its own register set, and the "
+    "merge (union + max per register) must equal the registers built "
+    "directly over the whole table — which is exactly what the oracle "
+    "computes. Partial sketches per partition/day/executor then one tiny "
+    "merge is the 100 TB pattern; this query proves the algebra end-to-"
+    "end against DuckDB.",
+    tags=("sketch", "hll", "merge", "llm"),
+)
+def hll_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import hll_build, hll_merge
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    sk_a = hll_build(half_a, "user_id", ["event_type"])
+    sk_b = hll_build(half_b, "user_id", ["event_type"])
+    return hll_merge(sk_a, sk_b)
