@@ -74,6 +74,16 @@ def cms_build(
     )
 
 
+def cms_merge(*sketches: "DataFrame") -> "DataFrame":
+    """Cell-wise addition of CMS grids — the mergeable-sketch contract
+    (counters add, unlike HLL registers which max)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(
     sketch: DataFrame,
     queries: DataFrame,

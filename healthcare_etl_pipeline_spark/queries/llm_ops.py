@@ -2130,3 +2130,30 @@ def hll_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_a = hll_build(half_a, "user_id", ["event_type"])
     sk_b = hll_build(half_b, "user_id", ["event_type"])
     return hll_merge(sk_a, sk_b)
+
+
+@query(
+    "cms_merge_tokens",
+    oracle=_CMS_BASE_SQL + "SELECT r, bucket, cnt FROM sketch",
+    description="CMS MERGEABILITY: the corpus splits into two halves by "
+    "doc_id parity, each half builds its own d x w grid, and the cell-wise "
+    "sum must equal the grid built directly over the whole corpus (the "
+    "oracle). Counters ADD where HLL registers MAX — together the two "
+    "merge queries prove both sketch algebras the partial-sketch pattern "
+    "relies on at scale.",
+    tags=("sketch", "cms", "merge", "llm"),
+)
+def cms_merge_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import cms_build, cms_merge
+
+    docs = td(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    half_b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    return cms_merge(
+        cms_build(half_a, "tok", depth=4, width=512),
+        cms_build(half_b, "tok", depth=4, width=512),
+    )
