@@ -298,3 +298,49 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).alias("overlap_days"),
     )
+
+
+@query(
+    "entity_clusters_parts",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT trim(lower(p_name)) AS name FROM part GROUP BY 1
+    ), blocked AS (
+      SELECT name, (string_split(name, ' '))[-1] AS block FROM names
+    ), pairs AS (
+      SELECT a.name AS id_a, b.name AS id_b
+      FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), prop AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, p.label
+      FROM prop p JOIN edges e ON p.id = e.src
+      WHERE p.label < e.dst
+    )
+    SELECT id, min(label) AS component FROM prop GROUP BY id
+    """,
+    description="End-to-end entity resolution: blocked fuzzy match "
+    "(head-noun blocking, Levenshtein <= 3 on distinct normalized names) "
+    "feeding transitive connected components — records linked through a "
+    "CHAIN of near-matches canonicalize to one cluster id even when the "
+    "endpoints differ by more than the edit threshold. Min-label "
+    "propagation, one shuffle per round; oracle is recursive-CTE "
+    "reachability over the identical pair set.",
+    tags=("join", "fuzzy", "entity-resolution", "iterative", "custom"),
+)
+def entity_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.dedup import connected_components
+
+    part = t(spark, sf_dir, "part").select("p_name")
+    pairs = J.fuzzy_blocked_pairs(
+        part,
+        "p_name",
+        block=F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=3,
+    ).select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
+    return connected_components(pairs)
