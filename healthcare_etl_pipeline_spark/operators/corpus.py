@@ -470,3 +470,40 @@ def segment_dedup(
         .join(totals, id_col)
         .select(id_col, "n_segments", "n_kept", "clean_text")
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    weight_col: str = "n_tokens",
+    *,
+    budget: int,
+) -> DataFrame:
+    """Budget-constrained data selection: take documents in quality order
+    (best first, id tie-break) until the cumulative token budget fills —
+    the selection step between scoring and tokenization in a training-data
+    pipeline ("best B tokens", not "all docs above a threshold").
+
+    A document is kept when the budget was not already exhausted BEFORE it
+    (cumsum - own weight < budget), so the boundary doc that straddles the
+    budget line is kept and selection is a deterministic prefix of the
+    quality ordering.
+
+    Scale note: the running sum needs one global ordering — Spark's sort is
+    range-partitioned (sampled split points, no single-machine sort), and
+    the window's running frame then computes per partition with one pass.
+    This is the textbook distributed prefix-sum; there is no shuffle-free
+    alternative when the order is global by construction.
+    """
+    w = (
+        Window.orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sum = df.withColumn("cum_tokens", F.sum(weight_col).over(w))
+    return (
+        with_sum.filter(
+            (F.col("cum_tokens") - F.col(weight_col)) < F.lit(budget)
+        )
+        .select(id_col, quality_col, weight_col, "cum_tokens")
+    )

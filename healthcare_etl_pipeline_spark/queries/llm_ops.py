@@ -2157,3 +2157,57 @@ def cms_merge_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_build(half_a, "tok", depth=4, width=512),
         cms_build(half_b, "tok", depth=4, width=512),
     )
+
+
+@query(
+    "select_budget_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END AS length_ok,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                  ELSE 0.0 END AS ttr,
+             CASE WHEN length(text) > 0
+                  THEN 1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 1.0 END AS low_punct
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             round(0.4 * length_ok + 0.3 * ttr + 0.3 * low_punct, 6) AS quality
+      FROM stats
+    ), summed AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM summed WHERE cum_tokens - n_tokens < 5000
+    """,
+    description="Budget-constrained data selection: documents taken in "
+    "quality order (composite heuristic, id tie-break) until a 5k-token "
+    "budget fills — 'best B tokens', the selection step between scoring "
+    "and tokenization. Range-partitioned global sort + one running-sum "
+    "window pass; the straddling boundary doc is kept, so the result is "
+    "a deterministic prefix of the quality ordering.",
+    tags=("sampling", "selection", "llm"),
+)
+def select_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import select_until_budget
+    from healthcare_etl_pipeline_spark.operators.text import quality_score, token_count
+
+    docs = td(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return select_until_budget(
+        scored, "doc_id", "quality", "n_tokens", budget=5000
+    )
