@@ -2211,3 +2211,51 @@ def select_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_until_budget(
         scored, "doc_id", "quality", "n_tokens", budget=5000
     )
+
+
+@query(
+    "novelty_score_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , ex AS (
+      SELECT doc_id, unnest(hs) AS h FROM hs
+    ), dfreq AS (
+      SELECT h, count(*) AS df FROM ex GROUP BY h
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(avg(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+    FROM ex e JOIN dfreq d USING (h)
+    GROUP BY e.doc_id
+    """,
+    description="Cross-document novelty score: the fraction of a doc's "
+    "distinct shingles that appear NOWHERE else in the corpus — the soft "
+    "complement to hard near-dedup (low novelty flags heavy cross-corpus "
+    "duplication that never crosses a pair threshold). One explode, one "
+    "map-side-combined df groupBy, one equi-join back, one per-doc avg.",
+    tags=("dedup", "text", "quality", "llm"),
+)
+def novelty_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+    from healthcare_etl_pipeline_spark.operators.dedup import shingle_hashes
+
+    hashes = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", shingle_hashes(F.col("text"), 3, "portable").alias("hs"))
+        .transform(bounded_persist)
+    )
+    ex = hashes.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+    )
