@@ -54,6 +54,11 @@ def get_spark(
         # Partial aggregation + vectorized reader are defaults, but pin the
         # ones that matter for plan shape so behavior is reproducible.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The generated-code cache defaults to 100 classes; a session
+        # running 150+ distinct queries evicts a plan's codegen between
+        # runs and pays multi-second recompiles (measured ~6 s on the
+        # widest window query). Size it to the query surface.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Split small files down to row-group granularity so single-file
         # tables don't serialize scans on one core (locally; at scale the
