@@ -185,21 +185,63 @@ def assign_cells(
     dim: int,
     nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest centroid cells.
+    """Assign each vector to its ``nprobe`` nearest centroid cells — MAP-ONLY.
 
-    Centroids are broadcast (k cells ≪ corpus); the argmin is a window
-    row_number over the small per-vector×cell frame.
+    The k centroids (k ≪ corpus) are collected once (k tiny rows, same
+    driver-traffic class as k-means) and return to the plan as inlined
+    literal arithmetic: per-cell cosine is an explicit codegen fold with the
+    centroid norm pre-computed at plan-build time, the top-``nprobe`` cells
+    come from ``array_sort`` over the k-element (−sim, cell) struct array
+    (sim desc, cell asc — the deterministic tie-break), and ``nprobe=1``
+    stays a pure projection. No crossJoin, no window, no Exchange: the
+    round-2 form shuffled the whole n×k frame through a partitionBy(id)
+    window just to take an argmin — at 100 TB a full-corpus shuffle where a
+    scan suffices.
     """
-    scored = df.select(
-        F.col(id_col), F.col(vec_col)
-    ).crossJoin(F.broadcast(centroids)).withColumn(
-        "cell_sim", cosine_vectorized(F.col(vec_col), F.col("centroid"))
+    cell_type = centroids.schema["cell"].dataType
+    cent_rows = sorted(
+        (r["cell"], list(r["centroid"]))
+        for r in centroids.select("cell", "centroid").collect()
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell"))
+    if not cent_rows:
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.lit(None).cast(cell_type).alias("cell")
+        ).where(F.lit(False))
+    v = F.col(vec_col)
+    vnorm2: Column | None = None
+    for j in range(dim):
+        e = F.element_at(v, j + 1).cast("double")
+        sq = e * e
+        vnorm2 = sq if vnorm2 is None else vnorm2 + sq
+    assert vnorm2 is not None
+    vnorm = F.sqrt(vnorm2)
+    structs = []
+    for cell, cent in cent_rows:
+        dot: Column | None = None
+        for j in range(dim):
+            term = F.element_at(v, j + 1).cast("double") * F.lit(float(cent[j]))
+            dot = term if dot is None else dot + term
+        assert dot is not None
+        cnorm = float(sum(x * x for x in cent)) ** 0.5 or 1.0
+        sim = dot / (vnorm * F.lit(cnorm))
+        structs.append(
+            F.struct((-sim).alias("neg_sim"), F.lit(cell).cast(cell_type).alias("cell"))
+        )
+    ranked = F.array_sort(F.array(*structs))
+    if nprobe == 1:
+        # hot path (the corpus side): argmax as a straight projection
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.element_at(ranked, 1)["cell"].alias("cell")
+        )
+    # nprobe>1 (the query side, a handful of rows): explode the top slice;
+    # Generate re-evaluates its child per output row, which is fine at
+    # nprobe ≤ a few — persist first if nprobe ever grows large.
     return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select(id_col, vec_col, "cell")
+        df.select(
+            F.col(id_col), F.col(vec_col),
+            F.explode(F.slice(ranked, 1, nprobe)).alias("__rc"),
+        )
+        .select(id_col, vec_col, F.col("__rc")["cell"].alias("cell"))
     )
 
 
@@ -222,7 +264,11 @@ def ann_ivf_topk(
     touches only probed cells, replacing the full scan with |probed|/|cells|
     of the data.
     """
-    cents = label_centroids(corpus, cell_col=cell_col, vec_col=vec_col, dim=dim)
+    # both assign_cells calls collect the same k centroids — persist so the
+    # centroid aggregation runs once
+    cents = label_centroids(
+        corpus, cell_col=cell_col, vec_col=vec_col, dim=dim
+    ).transform(bounded_persist)
     c_cells = assign_cells(
         corpus, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
     ).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "cell")

@@ -335,14 +335,35 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches differ across engines — rows-only check.
-    description="approx_count_distinct (HLL): scale-path distinct counting; "
-    "sketch values are engine-specific so no value oracle.",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+    description="approx_count_distinct (HLL, rsd=0.02): scale-path distinct "
+    "counting as a value-checkable ACCURACY CONTRACT — the sketch estimate "
+    "itself is engine-specific, so the query emits the exact count plus a "
+    "within_tolerance boolean (|est-exact|/exact <= 0.05, vs the sketch's "
+    "configured 2% rsd) that the oracle mirrors as TRUE. A sketch drifting "
+    "past its error bound flips the hash red instead of hiding behind a "
+    "rows-only check.",
     tags=("agg", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("within_tolerance"),
+        )
     )

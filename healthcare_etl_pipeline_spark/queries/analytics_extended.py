@@ -134,21 +134,60 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_percentiles_value",
-    oracle=None,  # sketch-based; accuracy asserted against exact in tests
-    description="approx_percentile (GK sketch) over event values — the "
-    "at-scale substitute for exact percentiles; rows-only check here, "
-    "tolerance vs exact asserted in tests.",
+    oracle="""
+    WITH rv AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*)    OVER (PARTITION BY event_type)                 AS n
+      FROM events
+    )
+    SELECT event_type,
+           round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.5)  AS BIGINT) + 1 THEN value END), 4) AS p50_exact,
+           round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.9)  AS BIGINT) + 1 THEN value END), 4) AS p90_exact,
+           round(max(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1 THEN value END), 4) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM rv GROUP BY event_type
+    """,
+    description="approx_percentile (GK sketch) as a value-checkable ACCURACY "
+    "CONTRACT: the exact discrete percentiles (value at rank "
+    "floor((n-1)p)+1, same formula both engines — see exact_percentiles) "
+    "are hash-matched, and each sketch estimate is asserted within 2% "
+    "relative (+0.01 absolute floor) of its exact counterpart via a boolean "
+    "the oracle mirrors as TRUE. A GK sketch exceeding its error bound now "
+    "flips the hash red.",
     tags=("agg", "approx", "percentile"),
 )
 def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select("event_type", "value").withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "n": F.count(F.lit(1)).over(Window.partitionBy("event_type")),
+        }
+    )
+    idx = lambda p: F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1  # noqa: E731
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("rn") == idx(p), F.col("value"))).alias(f"p{n}_exact_raw")
+            for n, p in (("50", 0.5), ("90", 0.9), ("99", 0.99))
+        ]
+    )
+    approx = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
-    ).select(
+    )
+    ok = lambda i, name: (  # noqa: E731
+        F.abs(F.element_at("pcts", i) - F.col(f"p{name}_exact_raw"))
+        <= F.lit(0.02) * F.abs(F.col(f"p{name}_exact_raw")) + F.lit(0.01)
+    ).alias(f"p{name}_ok")
+    return exact.join(approx, "event_type").select(
         "event_type",
-        F.round(F.element_at("pcts", 1), 4).alias("p50"),
-        F.round(F.element_at("pcts", 2), 4).alias("p90"),
-        F.round(F.element_at("pcts", 3), 4).alias("p99"),
+        F.round("p50_exact_raw", 4).alias("p50_exact"),
+        F.round("p90_exact_raw", 4).alias("p90_exact"),
+        F.round("p99_exact_raw", 4).alias("p99_exact"),
+        ok(1, "50"),
+        ok(2, "90"),
+        ok(3, "99"),
     )
 
 

@@ -480,20 +480,72 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(queries, corpus, k=5, dim=64, exact_fold=True)
 
 
-@query(
-    "ann_lsh_cosine",
-    oracle=None,  # hyperplane signs derive from Spark's xxhash64 → rows-only
-    description="LSH-bucketed approximate NN (scale path): random-hyperplane "
-    "buckets + exact re-rank inside buckets. Engine-specific hash → "
-    "rows-only check; recall measured in tests against brute force.",
-    tags=("similarity", "lsh", "llm"),
-)
-def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_recall_contract(
+    spark: SparkSession, sf_dir: str, approx_topk, floor: float
+) -> DataFrame:
+    """Value-checkable ANN accuracy contract (see ann_lsh_cosine docstring).
+
+    Emits per query: the EXACT top-5 neighbor set (hash-matched against the
+    oracle's identical brute-force fold) + an aggregate recall boolean the
+    oracle mirrors as TRUE. 10 queries × k=5 ⇒ 50 exact pairs at every sf,
+    so the floor translates to a literal hit threshold.
+    """
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+
     emb = td(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ann_lsh_topk_vectorized(
-        queries, corpus, k=5, dim=64, planes=4, tables=6
+    exact = S.brute_force_topk(
+        queries, corpus, k=5, dim=64, exact_fold=True
+    ).transform(bounded_persist)  # feeds the per-q arrays AND the hit count
+    approx = approx_topk(queries, corpus)
+    hits = exact.select("q_id", "vec_id").join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    import math
+
+    flag = hits.agg(
+        (F.count(F.lit(1)) >= F.lit(int(math.ceil(floor * 50)))).alias(
+            "recall_floor_met"
+        )
+    )
+    per_q = exact.groupBy("q_id").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("exact_top5")
+    )
+    return per_q.crossJoin(F.broadcast(flag))
+
+
+@query(
+    "ann_lsh_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q_id, vec_id, {_DUCK_COS} AS cos FROM q, c
+         ), ranked AS (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, list_sort(list(vec_id)) AS exact_top5, TRUE AS recall_floor_met
+    FROM ranked WHERE rank <= 5 GROUP BY q_id
+    """,
+    description="LSH-bucketed approximate NN (scale path) as a value-checked "
+    "ACCURACY CONTRACT: random-hyperplane buckets + exact re-rank inside "
+    "buckets, compared in-plan against the brute-force exact top-5. The "
+    "exact neighbor sets hash-match the oracle's identical fold; the "
+    "aggregate recall@5 over the 10 query vectors must clear 0.5 (observed "
+    "0.58–0.66 across sf0.001–0.1) or the boolean flips the hash red.",
+    tags=("similarity", "lsh", "llm"),
+)
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_contract(
+        spark,
+        sf_dir,
+        lambda q, c: S.ann_lsh_topk_vectorized(
+            q, c, k=5, dim=64, planes=4, tables=6
+        ),
+        floor=0.5,
     )
 
 
@@ -653,17 +705,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_cosine",
-    oracle=None,  # float centroid averages differ in last-ulp across engines
-    description="IVF-style ANN: label-seeded centroid cells, nprobe=3 probe, "
-    "exact re-rank inside probed cells. Rows-only check; recall vs brute "
-    "force is asserted in tests.",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q_id, vec_id, {_DUCK_COS} AS cos FROM q, c
+         ), ranked AS (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, list_sort(list(vec_id)) AS exact_top5, TRUE AS recall_floor_met
+    FROM ranked WHERE rank <= 5 GROUP BY q_id
+    """,
+    description="IVF-style ANN as a value-checked ACCURACY CONTRACT: "
+    "label-seeded centroid cells (map-only inlined-literal assignment — no "
+    "shuffle), nprobe=3 of 10 cells probed, exact re-rank inside probed "
+    "cells, compared in-plan against brute-force exact top-5. Exact sets "
+    "hash-match the oracle; aggregate recall@5 must clear 0.3 (observed "
+    "0.44–0.54 across sf0.001–0.1; 3/10 cells probed) or the boolean flips "
+    "red.",
     tags=("similarity", "ivf", "llm"),
 )
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = td(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    return S.ann_ivf_topk(queries, corpus, k=5, dim=64, nprobe=3)
+    return _ann_recall_contract(
+        spark,
+        sf_dir,
+        lambda q, c: S.ann_ivf_topk(q, c, k=5, dim=64, nprobe=3),
+        floor=0.3,
+    )
 
 
 @query(
@@ -1438,21 +1508,58 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kmeans_embeddings",
-    oracle=None,  # iterative float algorithm — assignments pinned by a
-    # NumPy differential test (tests/test_clustering.py); rows-only here
+    oracle="""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), scored AS (
+      SELECT e.vec_id, i.cluster,
+             list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+               list_transform(range(1, 65), j ->
+                 (CAST(e.embedding[j] AS DOUBLE) - CAST(i.cv[j] AS DOUBLE))
+                 * (CAST(e.embedding[j] AS DOUBLE) - CAST(i.cv[j] AS DOUBLE)))),
+               (a, b) -> a + b) AS d
+      FROM embeddings e, init i
+    ), best AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cluster AS cluster_r1, TRUE AS inertia_improved
+    FROM best WHERE rn = 1
+    """,
     description="Lloyd's k-means over embeddings (k=8, 5 rounds, "
-    "deterministic seed = smallest ids): per round ONE corpus scan + one "
-    "map-side-combined per-cluster average; only the k centroids visit the "
-    "driver and return as inlined literal arithmetic, so assignment is "
-    "whole-stage codegen — no UDF, no shuffle on the assignment side. The "
-    "corpus-clustering step of cluster-balanced sampling / SemDeDup.",
+    "deterministic seed = smallest ids) as a value-checked CONTRACT: the "
+    "round-1 assignment (nearest seed centroid — pure left-to-right "
+    "distance fold, SQL-expressible) hash-matches the oracle's identical "
+    "fold per point, and the boolean asserts 5 Lloyd rounds did not "
+    "increase total inertia (the algorithm's monotonic-descent invariant; "
+    "iterated float centroids themselves are engine-specific so only the "
+    "invariant is hashed). Per round ONE corpus scan + one map-side-"
+    "combined per-cluster average; only the k centroids visit the driver "
+    "and return as inlined literal arithmetic — assignment is whole-stage "
+    "codegen, no UDF, no shuffle on the assignment side.",
     tags=("similarity", "clustering", "iterative", "llm"),
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
     from healthcare_etl_pipeline_spark.operators.clustering import kmeans_assign
 
     emb = t(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=8, dim=64, iters=5)
+    r1 = kmeans_assign(emb, k=8, dim=64, iters=0).transform(bounded_persist)
+    final = kmeans_assign(emb, k=8, dim=64, iters=5)
+    flag = (
+        final.agg(F.sum("dist_sq").alias("__f"))
+        .crossJoin(r1.agg(F.sum("dist_sq").alias("__r")))
+        .select(
+            (F.col("__f") <= F.col("__r") * F.lit(1.000001) + F.lit(1e-6)).alias(
+                "inertia_improved"
+            )
+        )
+    )
+    return r1.select(
+        "vec_id", F.col("cluster").alias("cluster_r1")
+    ).crossJoin(F.broadcast(flag))
 
 
 from healthcare_etl_pipeline_spark.operators.sketch import row_hash_sql as _cms_rh
