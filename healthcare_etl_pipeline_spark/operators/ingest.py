@@ -133,12 +133,19 @@ def load_patients(
     *,
     actor: str = "pipeline",
     strict: bool = False,
+    txn=None,
 ) -> dict[str, int]:
     """Persist one transformed batch to the 4 data tables.
 
     Write order is children-after-parents (SURVEY.md §7.6): patients first,
     then consents/clinical/audit keyed by the new patient ids. Returns counts
     for the run-metadata row.
+
+    With ``txn`` (a ``sources.warehouse.Transaction``), the four sinks STAGE
+    into the transaction instead of appending — nothing becomes visible
+    until the caller commits, reproducing the reference's single-commit
+    semantics (app/api/routes.py:148). Without it, writes are ordered
+    appends (the round-2 behavior, kept for plain ``Warehouse`` stores).
 
     The transformed batch is small relative to the warehouse (reference caps
     ingest batches at 1000 records, app/schemas/api.py:28), so it is
@@ -152,6 +159,8 @@ def load_patients(
         n_conflicts = conflicting.count()
         if n_conflicts:
             raise DuplicateMrnError(f"{n_conflicts} records with duplicate mrn")
+
+    sink = txn.stage if txn is not None else warehouse.append
 
     # localCheckpoint (not cache): the batch lineage reads the patients table
     # through the anti-join, so appending to patients would invalidate a plain
@@ -173,13 +182,13 @@ def load_patients(
             F.current_timestamp().alias("created_at"),
             F.lit(None).cast("timestamp").alias("updated_at"),
         )
-        warehouse.append(patients, "patients")
-        warehouse.append(
+        sink(patients, "patients")
+        sink(
             explode_consents(batch.filter(F.col("consent").isNotNull())),
             "consent_records",
         )
-        warehouse.append(build_clinical_records(batch), "clinical_records")
-        warehouse.append(
+        sink(build_clinical_records(batch), "clinical_records")
+        sink(
             build_audit_rows(
                 batch, actor=actor, action="create", resource_type="Patient"
             ),

@@ -65,6 +65,7 @@ def build_patient_ingestion_pipeline(
     *,
     actor: str = "pipeline",
     strict: bool = False,
+    txn=None,
 ) -> DAG:
     """The fixed 5-stage chain (reference pipeline.py:135-143).
 
@@ -104,7 +105,9 @@ def build_patient_ingestion_pipeline(
     def load(ctx: dict[str, Any]) -> dict[str, Any]:
         if warehouse is None:  # dry-run mode for tests without a warehouse dir
             return {"load_count": ctx["transformed_df"].count()}
-        return load_patients(warehouse, ctx["transformed_df"], actor=actor, strict=strict)
+        return load_patients(
+            warehouse, ctx["transformed_df"], actor=actor, strict=strict, txn=txn
+        )
 
     dag.add_task("extract", extract)
     dag.add_task("validate", validate, depends_on=["extract"])
@@ -122,7 +125,7 @@ def harvest_record_counts(summary: dict[str, Any]) -> dict[str, int]:
 
 
 def write_run_record(
-    warehouse: Warehouse, dag: DAG, summary: dict[str, Any]
+    warehouse: Warehouse, dag: DAG, summary: dict[str, Any], txn=None
 ) -> None:
     """One pipeline_runs row per execution (reference routes.py:137-147)."""
     counts = harvest_record_counts(summary)
@@ -170,7 +173,10 @@ def write_run_record(
         "errors",
         "dag_definition",
     )
-    warehouse.append(row, "pipeline_runs")
+    if txn is not None:
+        txn.stage(row, "pipeline_runs")
+    else:
+        warehouse.append(row, "pipeline_runs")
 
 
 def ingest_batch(
@@ -188,6 +194,52 @@ def ingest_batch(
     if warehouse is not None:
         write_run_record(warehouse, dag, summary)
     return summary
+
+
+def ingest_batch_atomic(
+    spark: SparkSession,
+    records: list[dict],
+    warehouse,
+    *,
+    actor: str = "api",
+    strict: bool = False,
+    batch_id: str | None = None,
+) -> dict[str, Any]:
+    """Single-commit ingest (reference app/api/routes.py:148 parity): the
+    patients, consent_records, clinical_records, audit_log AND pipeline_runs
+    rows of one batch become visible ATOMICALLY or not at all.
+
+    Requires a ``TransactionalWarehouse``. All five sinks stage under one
+    run_id; the commit-marker rename is the transaction boundary, so a crash
+    anywhere mid-ingest leaves no partial multi-table state — closing the
+    round-2 design's documented deviation (SURVEY §7.6). Pass a stable
+    ``batch_id`` for exactly-once re-runs: an already-committed batch is
+    skipped, a crashed half-staged attempt is wiped and restaged.
+    """
+    txn = warehouse.begin(batch_id)
+    if warehouse.is_committed(txn.run_id):
+        return {
+            "status": "skipped",
+            "reason": "batch_id already committed",
+            "txn": {"run_id": txn.run_id, "committed": True},
+        }
+    dag = build_patient_ingestion_pipeline(
+        warehouse, actor=actor, strict=strict, txn=txn
+    )
+    try:
+        summary = dag.run({"raw_df": records_to_df(spark, records)})
+        summary["record_counts"] = harvest_record_counts(summary)
+        if summary["status"] != "success":
+            txn.abort()  # failed run: stage nothing, surface the summary
+            summary["txn"] = {"run_id": txn.run_id, "committed": False}
+            return summary
+        write_run_record(warehouse, dag, summary, txn=txn)
+        committed = txn.commit()
+        summary["txn"] = {"run_id": txn.run_id, "committed": committed}
+        return summary
+    except Exception:
+        txn.abort()
+        raise
 
 
 def ingest_batch_observed(

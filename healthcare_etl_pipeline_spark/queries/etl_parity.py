@@ -431,6 +431,65 @@ def enc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_committed_read",
+    oracle=_SYNTH_CTE
+    + "SELECT mrn, name AS name_rt, gender\nFROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS TRUE AND c_custkey % 2 = 0",
+    description="Transactional multi-table ingest (reference routes.py:148 "
+    "single-commit parity): two batches run through the full atomic "
+    "protocol — the even-custkey batch stages patients+consents+clinical+"
+    "audit under one run_id and COMMITS (one atomic marker rename), the "
+    "odd-custkey batch stages fully and then 'crashes' before its commit. "
+    "The committed-snapshot reader (run_id partition-pruning isin filter) "
+    "must return exactly the committed batch — the crashed batch's bytes "
+    "are on disk but invisible. Decrypt-roundtrip oracle on the survivors.",
+    tags=("txn", "pipeline", "etl"),
+)
+def txn_committed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_wh_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    consented, _ = consent_gate(valid, consent_col=F.col("consent")["data_sharing"])
+
+    committed_txn = wh.begin("even-batch")
+    load_patients(
+        wh,
+        transform_patients(consented.filter(F.col("c_custkey") % 2 == 0)),
+        txn=committed_txn,
+    )
+    committed_txn.commit()
+
+    crashed_txn = wh.begin("odd-batch")
+    load_patients(
+        wh,
+        transform_patients(consented.filter(F.col("c_custkey") % 2 == 1)),
+        txn=crashed_txn,
+    )
+    # no commit: simulated crash after all 4 tables are fully staged
+
+    dec = make_decrypt_udf()
+    return wh.read("patients").select(
+        "mrn", dec(F.col("encrypted_name")).alias("name_rt"), "gender"
+    )
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

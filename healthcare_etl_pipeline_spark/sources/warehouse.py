@@ -19,9 +19,14 @@ Physical design for 100 TB (SURVEY.md §1.4):
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PATIENTS_SCHEMA = T.StructType(
@@ -181,3 +186,262 @@ class Warehouse:
         shutil.move(staging, path)
         shutil.rmtree(old)
         return n_files
+
+
+# ---------------------------------------------------------------------------
+# Transactional warehouse: multi-table atomic ingest (reference parity)
+# ---------------------------------------------------------------------------
+
+RUN_ID_COL = "__run_id"
+_RUN_ID_RE = re.compile(r"[^A-Za-z0-9_.-]")
+
+
+def _sanitize_run_id(raw: str) -> str:
+    return _RUN_ID_RE.sub("_", raw)[:128]
+
+
+class Transaction:
+    """One multi-table atomic write unit.
+
+    Stage any number of tables under ``<table>/__run_id=<run_id>/``; nothing
+    is visible to readers until :meth:`commit` publishes the run via ONE
+    atomic commit-marker rename. ``abort()`` (or a crash — no marker) leaves
+    the staged files permanently invisible; ``vacuum`` reclaims them.
+    """
+
+    def __init__(self, warehouse: "TransactionalWarehouse", run_id: str):
+        self._wh = warehouse
+        self.run_id = run_id
+        self.staged_tables: list[str] = []
+        self.replaces: dict[str, list[str]] = {}
+        self._done = False
+
+    def stage(self, df: DataFrame, table: str) -> None:
+        if self._done:
+            raise RuntimeError(f"transaction {self.run_id} already finished")
+        schema = TABLE_SCHEMAS[table]
+        aligned = df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        writer = aligned.write.mode("append")
+        parts = PARTITION_COLUMNS[table]
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self._wh.run_dir(table, self.run_id))
+        if table not in self.staged_tables:
+            self.staged_tables.append(table)
+
+    def commit(self) -> bool:
+        """Publish every staged table at once.
+
+        The marker write is the commit point: stage all tables, fsync a
+        manifest to a temp name, ``os.replace`` it to
+        ``_txn/commits/<run_id>.json`` — POSIX-atomic, so readers see either
+        the whole multi-table batch or none of it. Returns False (no-op) if
+        this run_id is already committed (idempotent re-run).
+        """
+        if self._done:
+            raise RuntimeError(f"transaction {self.run_id} already finished")
+        self._done = True
+        marker = self._wh.marker_path(self.run_id)
+        if os.path.exists(marker):
+            return False
+        manifest = {
+            "run_id": self.run_id,
+            "tables": sorted(self.staged_tables),
+            # per-table run_ids this commit logically supersedes (compaction):
+            # readers drop them the same instant this marker appears
+            "replaces": self.replaces,
+            "format_version": 1,
+        }
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(marker), f".tmp.{self.run_id}.{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+        return True
+
+    def abort(self) -> None:
+        """Discard the staged (never-visible) files."""
+        self._done = True
+        for table in self.staged_tables:
+            shutil.rmtree(self._wh.run_dir(table, self.run_id), ignore_errors=True)
+
+
+class TransactionalWarehouse(Warehouse):
+    """Warehouse with an atomic multi-table commit protocol.
+
+    Closes the reference's single-transaction ingest semantics
+    (reference app/api/routes.py:148 — patients + consents + clinical +
+    audit + run row in ONE session.commit()) without a database: the
+    Iceberg-style recipe of staged data files + an atomically-renamed
+    commit marker.
+
+    Layout::
+
+        <root>/<table>/__run_id=<id>/[<part>=<val>/]*.parquet   # staged data
+        <root>/_txn/commits/<id>.json                           # commit point
+
+    - ``__run_id`` doubles as a hive partition column, so "committed only"
+      is a partition-pruning ``isin`` filter — at 100 TB the reader prunes
+      at file-listing time and never opens uncommitted files, and the
+      committed-id set lives in a marker directory (one tiny JSON per
+      batch; the listing is the metastore round-trip, not a data scan).
+    - A crash anywhere before the marker rename leaves every staged file
+      invisible to every reader — no partial multi-table state, the
+      failure the round-2 ordered-append design could not rule out.
+    - Idempotent re-ingest: pass a stable ``batch_id`` to :meth:`begin`;
+      a re-run of an already-committed batch becomes a no-op, and a
+      half-staged crashed attempt is wiped and restaged cleanly.
+    - ``compact`` folds committed runs back into few large files (the
+      small-files story is unchanged).
+    """
+
+    def txn_root(self) -> str:
+        return os.path.join(self.root, "_txn")
+
+    def marker_path(self, run_id: str) -> str:
+        return os.path.join(self.txn_root(), "commits", f"{run_id}.json")
+
+    def run_dir(self, table: str, run_id: str) -> str:
+        return os.path.join(self.path(table), f"{RUN_ID_COL}={run_id}")
+
+    def _manifests(self) -> list[dict]:
+        commits = os.path.join(self.txn_root(), "commits")
+        if not os.path.isdir(commits):
+            return []
+        out = []
+        for f in sorted(os.listdir(commits)):
+            if f.endswith(".json") and not f.startswith("."):
+                with open(os.path.join(commits, f), encoding="utf-8") as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def committed_run_ids(self) -> list[str]:
+        return sorted({m["run_id"] for m in self._manifests()})
+
+    def committed_runs_for(self, table: str) -> list[str]:
+        """run_ids whose data is live for ``table``: committed and not
+        superseded by a later compaction commit's ``replaces`` entry."""
+        included: list[str] = []
+        replaced: set[str] = set()
+        for m in self._manifests():
+            if table in m.get("tables", ()):
+                included.append(m["run_id"])
+            replaced.update(m.get("replaces", {}).get(table, ()))
+        return sorted(r for r in included if r not in replaced)
+
+    def begin(self, batch_id: str | None = None) -> Transaction:
+        """Open a transaction; ``batch_id`` makes the ingest idempotent.
+
+        If ``batch_id`` was already committed, the returned transaction's
+        ``commit()`` reports False and ``stage()`` raises — callers should
+        check :meth:`is_committed` first for a clean skip. If a previous
+        attempt crashed mid-stage (staged dirs, no marker), its leftovers
+        are wiped so the retry stages from scratch instead of doubling rows.
+        """
+        run_id = _sanitize_run_id(batch_id) if batch_id else uuid.uuid4().hex
+        if batch_id and not self.is_committed(run_id):
+            for table in TABLE_SCHEMAS:
+                shutil.rmtree(self.run_dir(table, run_id), ignore_errors=True)
+        txn = Transaction(self, run_id)
+        if self.is_committed(run_id):
+            txn._done = True  # already-committed: stage() raises, commit() false
+        return txn
+
+    def is_committed(self, run_id: str) -> bool:
+        return os.path.exists(self.marker_path(run_id))
+
+    def create_all(self) -> None:
+        """DDL bootstrap: just the directory skeleton — data arrives via txns."""
+        for table in TABLE_SCHEMAS:
+            os.makedirs(self.path(table), exist_ok=True)
+        os.makedirs(os.path.join(self.txn_root(), "commits"), exist_ok=True)
+
+    def read(self, table: str) -> DataFrame:
+        """Committed-runs-only read (snapshot = commit set at plan time)."""
+        committed = self.committed_runs_for(table)
+        schema = TABLE_SCHEMAS[table]
+        if not committed:
+            return self.spark.createDataFrame([], schema)
+        with_run = T.StructType(
+            schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+        )
+        return (
+            self.spark.read.schema(with_run)
+            .parquet(self.path(table))
+            .filter(F.col(RUN_ID_COL).isin(committed))
+            .drop(RUN_ID_COL)
+        )
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """Single-table append = a one-table transaction (auto-commit)."""
+        txn = self.begin()
+        try:
+            txn.stage(df, table)
+        except Exception:
+            txn.abort()
+            raise
+        txn.commit()
+
+    def compact(
+        self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
+    ) -> int:
+        """Transactional compaction: rewrite every live run of ``table`` into
+        one size-targeted run, published atomically.
+
+        The compacted data stages under a fresh run_id whose commit marker
+        carries ``replaces[table] = [old run_ids]`` — the single marker
+        rename simultaneously publishes the new files and retires the old
+        ones, so readers never see both (or neither). The superseded run
+        dirs become dead weight reclaimed by :meth:`vacuum`.
+        """
+        import math
+        import pathlib
+
+        old_runs = self.committed_runs_for(table)
+        current = self.read(table)
+        n_bytes = sum(
+            f.stat().st_size
+            for run in old_runs
+            for f in pathlib.Path(self.run_dir(table, run)).rglob("*.parquet")
+        )
+        n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+        compacted = current.repartition(n_files)
+        if sort_by:
+            compacted = compacted.sortWithinPartitions(sort_by)
+        txn = self.begin()
+        try:
+            txn.stage(compacted, table)
+        except Exception:
+            txn.abort()
+            raise
+        txn.replaces[table] = old_runs
+        txn.commit()
+        return n_files
+
+    def vacuum(self) -> list[str]:
+        """Remove run dirs that are dead for their table: never committed
+        (crashed/aborted stage) or superseded by a compaction commit.
+
+        Returns the reclaimed run_ids. Safe any time: a dead run is
+        invisible by construction, so deleting it cannot change any reader.
+        """
+        reclaimed: set[str] = set()
+        prefix = f"{RUN_ID_COL}="
+        for table in TABLE_SCHEMAS:
+            tdir = self.path(table)
+            if not os.path.isdir(tdir):
+                continue
+            live = set(self.committed_runs_for(table))
+            for entry in os.listdir(tdir):
+                if entry.startswith(prefix):
+                    run_id = entry[len(prefix):]
+                    if run_id not in live:
+                        shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                        reclaimed.add(run_id)
+        return sorted(reclaimed)

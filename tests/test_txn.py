@@ -1,0 +1,175 @@
+"""Transactional multi-table ingest: atomic visibility, crash safety,
+idempotent re-runs, transactional compaction.
+
+Closes SURVEY §7.6's documented deviation — the reference commits patients +
+consents + clinical + audit + run metadata in ONE transaction (reference
+app/api/routes.py:148); round 2's ordered appends could leave partial state
+on a mid-ingest crash. The protocol under test: staged run-id partition dirs
+published by a single atomic commit-marker rename.
+"""
+
+import os
+
+import pytest
+
+from healthcare_etl_pipeline_spark.plans.pipeline import ingest_batch_atomic
+from healthcare_etl_pipeline_spark.sources.warehouse import (
+    TABLE_SCHEMAS,
+    TransactionalWarehouse,
+)
+from tests.conftest import make_patient
+
+
+@pytest.fixture
+def twh(spark, tmp_path):
+    wh = TransactionalWarehouse(spark, str(tmp_path / "txn_warehouse"))
+    wh.create_all()
+    return wh
+
+
+DATA_TABLES = ["patients", "consent_records", "clinical_records", "audit_log"]
+
+
+def table_counts(wh):
+    return {t: wh.read(t).count() for t in TABLE_SCHEMAS}
+
+
+def test_atomic_ingest_happy_path(spark, twh):
+    summary = ingest_batch_atomic(spark, [make_patient()], twh, batch_id="b1")
+    assert summary["status"] == "success"
+    assert summary["txn"]["committed"] is True
+    counts = table_counts(twh)
+    assert counts["patients"] == 1
+    assert counts["consent_records"] == 2  # data_sharing + research entries
+    assert counts["clinical_records"] == 1
+    assert counts["audit_log"] == 1
+    assert counts["pipeline_runs"] == 1  # the run row is IN the transaction
+
+
+def test_crash_mid_ingest_leaves_no_partial_state(spark, twh):
+    """Stage some tables, then 'crash' (no commit): every reader sees nothing."""
+    from healthcare_etl_pipeline_spark.operators.transform import transform_patients
+    from healthcare_etl_pipeline_spark.plans.pipeline import records_to_df
+
+    transformed = transform_patients(records_to_df(spark, [make_patient()]))
+    txn = twh.begin("crashy")
+    from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+
+    # the loader stages all 4 data tables into the txn...
+    load_patients(twh, transformed, txn=txn)
+    # ...but the process dies before commit() — simulate by just not committing.
+    staged_files = [
+        p
+        for t in DATA_TABLES
+        for p in [twh.run_dir(t, "crashy")]
+        if os.path.isdir(p)
+    ]
+    assert len(staged_files) == 4  # bytes ARE on disk...
+    assert all(n == 0 for n in table_counts(twh).values())  # ...yet invisible
+
+    # vacuum reclaims the orphaned staging dirs without changing any reader
+    reclaimed = twh.vacuum()
+    assert reclaimed == ["crashy"]
+    assert not any(os.path.isdir(p) for p in staged_files)
+    assert all(n == 0 for n in table_counts(twh).values())
+
+
+def test_rerun_after_crash_is_exactly_once(spark, twh):
+    """Crashed half-staged attempt + retry with the same batch_id → one batch."""
+    from healthcare_etl_pipeline_spark.operators.transform import transform_patients
+    from healthcare_etl_pipeline_spark.plans.pipeline import records_to_df
+
+    transformed = transform_patients(records_to_df(spark, [make_patient()]))
+    crashed = twh.begin("batch-42")
+    crashed.stage(
+        transformed.selectExpr(
+            "uuid() AS id",
+            "encrypted_name",
+            "encrypted_dob",
+            "encrypted_ssn",
+            "mrn",
+            "gender",
+            "current_timestamp() AS created_at",
+            "CAST(NULL AS TIMESTAMP) AS updated_at",
+        ),
+        "patients",
+    )
+    # no commit — crash. Retry the same logical batch:
+    summary = ingest_batch_atomic(
+        spark, [make_patient()], twh, batch_id="batch-42"
+    )
+    assert summary["txn"]["committed"] is True
+    # the crashed attempt's staged rows were wiped, not doubled
+    assert twh.read("patients").count() == 1
+
+
+def test_rerun_after_commit_is_skipped(spark, twh):
+    first = ingest_batch_atomic(spark, [make_patient()], twh, batch_id="b9")
+    assert first["txn"]["committed"] is True
+    second = ingest_batch_atomic(spark, [make_patient()], twh, batch_id="b9")
+    assert second["status"] == "skipped"
+    assert twh.read("patients").count() == 1
+    assert twh.read("pipeline_runs").count() == 1
+
+
+def test_reader_snapshot_excludes_uncommitted(spark, twh):
+    ingest_batch_atomic(spark, [make_patient(mrn="M1")], twh, batch_id="c1")
+    # open txn stages a second patient but has not committed
+    from healthcare_etl_pipeline_spark.operators.transform import transform_patients
+    from healthcare_etl_pipeline_spark.plans.pipeline import records_to_df
+    from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+
+    txn = twh.begin()
+    load_patients(
+        twh,
+        transform_patients(records_to_df(spark, [make_patient(mrn="M2")])),
+        txn=txn,
+    )
+    assert [r.mrn for r in twh.read("patients").collect()] == ["M1"]
+    txn.commit()
+    assert sorted(r.mrn for r in twh.read("patients").collect()) == ["M1", "M2"]
+
+
+def test_duplicate_mrn_across_committed_batches_routed(spark, twh):
+    """The conflict anti-join sees committed state through the txn reader."""
+    ingest_batch_atomic(spark, [make_patient(mrn="DUP")], twh, batch_id="d1")
+    summary = ingest_batch_atomic(
+        spark, [make_patient(mrn="DUP")], twh, batch_id="d2"
+    )
+    assert summary["record_counts"]["load_count"] == 0
+    assert twh.read("patients").count() == 1
+
+
+def test_transactional_compact_preserves_rows(spark, twh):
+    for i in range(3):
+        ingest_batch_atomic(
+            spark, [make_patient(mrn=f"M{i}")], twh, batch_id=f"k{i}"
+        )
+    before = sorted(r.mrn for r in twh.read("patients").collect())
+    n_files = twh.compact("patients")
+    assert n_files >= 1
+    after = sorted(r.mrn for r in twh.read("patients").collect())
+    assert after == before
+    # exactly one live run remains for patients; the 3 ingest runs are dead
+    assert len(twh.committed_runs_for("patients")) == 1
+    # other tables still see their original runs (per-table supersede)
+    assert twh.read("clinical_records").count() == 3
+    # vacuum reclaims the superseded run dirs; rows unchanged
+    reclaimed = twh.vacuum()
+    assert set(reclaimed) == {"k0", "k1", "k2"}
+    assert sorted(r.mrn for r in twh.read("patients").collect()) == before
+
+
+def test_failed_validation_run_commits_nothing(spark, twh):
+    """strict=True + duplicate mrn → the DAG captures the DuplicateMrnError,
+    the run reports failed, and the aborted txn leaves zero new rows."""
+    ingest_batch_atomic(spark, [make_patient(mrn="X")], twh, batch_id="s1")
+    summary = ingest_batch_atomic(
+        spark, [make_patient(mrn="X")], twh, batch_id="s2", strict=True
+    )
+    assert summary["status"] != "success"
+    assert summary["txn"]["committed"] is False
+    counts = table_counts(twh)
+    assert counts["patients"] == 1
+    assert counts["pipeline_runs"] == 1  # no run row from the aborted txn
+    assert not twh.is_committed("s2")
