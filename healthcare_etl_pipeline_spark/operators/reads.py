@@ -45,17 +45,24 @@ def paginate(
     offset: int = 0,
     limit: int = MAX_PAGE_SIZE,
 ) -> DataFrame:
-    """Deterministic offset/limit pagination via row_number.
+    """Deterministic offset/limit pagination, two-phase:
 
-    The single-partition window is intentional and bounded: callers page UI
-    results (limit clamped to 200), so the ranked set is the filtered result,
-    not the raw table. For deep scans use ``keyset_page``.
+    1. ``orderBy().limit(offset+limit)`` — Spark plans TakeOrderedAndProject:
+       each partition keeps its own top-(offset+limit), the driver merges —
+       the full result is NEVER ranked through one partition.
+    2. row_number over the surviving ≤ offset+limit rows (a tiny frame, so
+       the single-partition window is bounded by the page depth, not the
+       data) drops the first ``offset``.
+
+    Still O(offset) work per page by nature of OFFSET — for deep scans use
+    ``keyset_page``, which the flagship listing now defaults to.
     """
     limit = min(limit, MAX_PAGE_SIZE)
+    top = df.orderBy(*order_by).limit(offset + limit)
     w = Window.orderBy(*order_by)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
         .drop("_rn")
     )
 
@@ -75,12 +82,48 @@ def keyset_page(
     return out.orderBy(key_col).limit(limit)
 
 
+def keyset_page_multi(
+    df: DataFrame,
+    key_cols: list[str],
+    after: tuple | None = None,
+    limit: int = MAX_PAGE_SIZE,
+) -> DataFrame:
+    """Keyset pagination over a COMPOSITE sort key (lexicographic).
+
+    ``WHERE (k1, k2, …) > (:l1, :l2, …) ORDER BY k1, k2, … LIMIT n`` —
+    expanded into the row-comparison disjunction
+    ``k1 > l1 OR (k1 = l1 AND k2 > l2) OR …`` so the leading-column
+    prefix ``k1 >= l1`` still reaches the scan for min/max pruning.
+    The ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    top-n, driver merge) — no global sort, no window.
+    """
+    limit = min(limit, MAX_PAGE_SIZE)
+    out = df
+    if after is not None:
+        if len(after) != len(key_cols):
+            raise ValueError(
+                f"after tuple has {len(after)} values for {len(key_cols)} keys"
+            )
+        pred = None
+        for i, (col, val) in enumerate(zip(key_cols, after)):
+            eq_prefix = None
+            for pcol, pval in zip(key_cols[:i], after[:i]):
+                e = F.col(pcol) == F.lit(pval)
+                eq_prefix = e if eq_prefix is None else eq_prefix & e
+            gt = F.col(col) > F.lit(val)
+            term = gt if eq_prefix is None else eq_prefix & gt
+            pred = term if pred is None else pred | term
+        out = out.filter(pred)
+    return out.orderBy(*key_cols).limit(limit)
+
+
 def consented_listing(
     patients: DataFrame,
     consents: DataFrame,
     *,
     consent_type: str = "data_sharing",
-    offset: int = 0,
+    after: tuple | None = None,
+    offset: int | None = None,
     limit: int = MAX_PAGE_SIZE,
     order_key: str = "mrn",
 ) -> DataFrame:
@@ -89,6 +132,11 @@ def consented_listing(
     Reference uses an inner join (can duplicate patients); the correct
     semantics is a semi-join — dedup-free by construction. The granted-consent
     side is filtered before the join so only matching keys ship.
+
+    Pagination defaults to KEYSET (``after`` = the previous page's last
+    (order_key, id), predicate pushed to the scan, page N+1 costs page 1) —
+    the 100 TB-sane default. Passing ``offset`` explicitly opts into the
+    reference's offset/limit form, which is O(offset) by construction.
     """
     granted = consents.filter(
         (F.col("consent_type") == consent_type) & F.col("granted")
@@ -101,7 +149,9 @@ def consented_listing(
         "created_at",
         F.lit(True).alias("has_data_sharing_consent"),
     )
-    return paginate(projected, [order_key, "id"], offset=offset, limit=limit)
+    if offset is not None:
+        return paginate(projected, [order_key, "id"], offset=offset, limit=limit)
+    return keyset_page_multi(projected, [order_key, "id"], after=after, limit=limit)
 
 
 def audited_read(

@@ -310,6 +310,41 @@ def consented_listing_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "consented_listing_keyset",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, TRUE AS has_consent
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND (c_name > 'Customer#000000100'
+           OR (c_name = 'Customer#000000100' AND c_custkey > 100))
+    ORDER BY c_name, c_custkey
+    LIMIT 50
+    """,
+    description="Flagship listing, KEYSET pagination (the at-scale default "
+    "of consented_listing): composite (name, key) row-comparison predicate "
+    "pushed to the scan + TakeOrderedAndProject top-n — page N+1 costs "
+    "page 1, no global rank. The OFFSET form (consented_listing_page) "
+    "remains for explicit offset requests.",
+    tags=("join", "pagination", "etl"),
+)
+def consented_listing_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.reads import keyset_page_multi
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    gated = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment", F.lit(True).alias("has_consent"))
+    return keyset_page_multi(
+        gated,
+        ["c_name", "c_custkey"],
+        after=("Customer#000000100", 100),
+        limit=50,
+    )
+
+
+@query(
     "point_lookup_customer",
     oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
     description="PK point lookup (P5): predicate pushes to parquet scan.",
