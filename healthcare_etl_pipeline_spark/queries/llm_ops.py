@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from healthcare_etl_pipeline_spark.operators import dedup as D
 from healthcare_etl_pipeline_spark.operators import similarity as S
@@ -604,9 +605,11 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_feature_extract",
-    oracle=None,  # stubbed decode kernel is engine-specific → rows-only
-    description="mapInPandas feature extraction over binary payloads "
-    "(STUB decode — real codecs unavailable; plumbing is real).",
+    oracle=None,  # non-image payloads take the stub branch → rows-only
+    description="mapInPandas feature extraction over NON-image binary "
+    "payloads: these take the deterministic stub branch of the decode "
+    "kernel (the REAL decode path is value-oracled end-to-end by "
+    "multimodal_decode_ppm).",
     tags=("multimodal", "llm", "pandas-udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +627,57 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type",
         "n_bytes",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
+        "decode_status",
+    )
+
+
+_DECODE_FSUM = ", ".join(
+    "CAST(list_sum(list_transform(range({lo}, {hi}), g -> (doc_id * 7 + g) % 256)) "
+    "AS BIGINT) AS f{i}".format(lo=i * 32, hi=i * 32 + 32, i=i)
+    for i in range(8)
+)
+
+
+@query(
+    "multimodal_decode_ppm",
+    oracle=f"""
+    SELECT doc_id, {_DECODE_FSUM}, 'decoded' AS decode_status
+    FROM documents
+    """,
+    description="REAL image decode, value-checked end-to-end: each doc_id "
+    "becomes a 16×16 binary-PPM gradient (pixel g = (doc_id·7+g) mod 256, "
+    "equal channels) encoded to real PPM bytes in an Arrow batch; "
+    "extract_features decodes those bytes through the vendored pure-Python "
+    "codec (functions/imagecodec.py) and profiles 8 intensity chunks. "
+    "Re-scaled to exact integer chunk sums (profile·255·32), the features "
+    "must equal the oracle's closed-form integer arithmetic — any pixel "
+    "the decoder misplaces flips the hash. decode_status must be 'decoded' "
+    "(the REAL path) for every row.",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        ppm_gradient_payload,
+    )
+
+    docs = td(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ppm_gradient_payload(F.col("doc_id")).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+    )
+    feats = extract_features(media, dim=8)
+    # profile_i = mean of 32 gray values k/255 → ·(255·32) recovers the
+    # exact integer chunk sum (float32 storage error ≤ ~5e-4 ≪ 0.5)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double") * F.lit(8160.0))
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
         "decode_status",
     )
 
