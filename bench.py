@@ -5,6 +5,12 @@ Prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + collect-to-count). A short
 warmup query first so JVM/codegen startup is not billed to the first query.
+
+``--with-duckdb``: additionally times each query's DuckDB oracle SQL in the
+SAME process, interleaved per query (spark q1, duckdb q1, spark q2, ...), so
+both engines see identical box conditions — the honest single-session
+pairing for the spark/duckdb ratio (this box swings ±30% between sessions).
+Adds duckdb_queries / duckdb_total / spark_total_comparable / ratio keys.
 """
 
 from __future__ import annotations
@@ -55,9 +61,26 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    with_duckdb = "--with-duckdb" in sys.argv
     spark = get_spark()
 
     specs = all_queries()
+
+    duck = None
+    if with_duckdb:
+        import duckdb
+
+        from healthcare_etl_pipeline_spark.catalog import TABLES, table_path
+
+        duck = duckdb.connect()
+        for t in TABLES:
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{table_path(sf_dir, t)}')"
+            )
+        for name in HEADLINE:  # warm DuckDB plans/buffer cache symmetrically
+            if specs[name].oracle is not None:
+                duck.execute(specs[name].oracle).fetchall()
     # Warmup: run every headline plan once at the TARGET SF so JVM/JIT and
     # whole-stage-codegen caches are hot before timing. Same SF matters: AQE
     # picks different physical plans (hence different generated code) per
@@ -71,6 +94,7 @@ def main() -> None:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         # Best-of-2: the benchmark box runs other work concurrently; min of
@@ -84,18 +108,39 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        if duck is not None and specs[name].oracle is not None:
+            # interleaved: the paired DuckDB run sees the same box state
+            dbest = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                duck.execute(specs[name].oracle).fetchall()
+                dbest = min(dbest, time.perf_counter() - t0)
+            duck_timings[name] = round(dbest, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck is not None:
+        comparable = round(sum(timings[n] for n in duck_timings), 3)
+        duck_total = round(sum(duck_timings.values()), 3)
+        out.update(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+                "duckdb_queries": duck_timings,
+                "duckdb_total": duck_total,
+                "spark_total_comparable": comparable,
+                "ratio_spark_over_duckdb": round(comparable / duck_total, 3)
+                if duck_total
+                else None,
+                "skipped_no_oracle": [
+                    n for n in HEADLINE if specs[n].oracle is None
+                ],
             }
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
