@@ -18,17 +18,28 @@ of at most ``_CAP`` distinct plans; evicted entries are explicitly
 unpersisted (non-blocking). Iterative algorithms (connected components,
 BPE, k-means) still use localCheckpoint — they need lineage TRUNCATION,
 which persist does not provide.
+
+Registry hygiene (advisor findings, round 2): all mutation happens under a
+module lock; entries are keyed by (session, plan) so a restarted
+SparkSession cannot alias a dead session's slots; and entries whose owning
+session has stopped are purged on the next touch rather than occupying LRU
+capacity until eviction.
 """
 
 from __future__ import annotations
 
+import os
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
-import os
-
-_LRU: "OrderedDict[int, DataFrame]" = OrderedDict()
+# (session marker, plan hash) -> frame. The session marker is the id() of
+# the LIVE JVM-side session handle held by the stored DataFrame itself, so
+# the marker cannot outlive the entry that holds it (no GC id-reuse alias:
+# the keyed object is referenced by the value it keys).
+_LRU: "OrderedDict[tuple[int, int], DataFrame]" = OrderedDict()
+_LOCK = threading.Lock()
 # Sized so a full bench pass (24 headline queries × ~2 boundary frames
 # each) keeps every frame resident between its warm and timed runs; a
 # 160-query oracle drive still tops out at _CAP small intermediates
@@ -36,13 +47,34 @@ _LRU: "OrderedDict[int, DataFrame]" = OrderedDict()
 _CAP = int(os.environ.get("SPARK_GRAFT_CACHE_CAP", "64"))
 
 
-def _plan_key(df: DataFrame) -> int:
-    """Semantic hash of the analyzed plan — stable across re-built frames
-    with identical logical plans (the CacheManager's own matching notion)."""
+def _plan_key(df: DataFrame) -> tuple[int, int]:
+    """(session, plan) key: semantic hash of the analyzed plan — stable
+    across re-built frames with identical logical plans (the CacheManager's
+    own matching notion) — scoped to the owning session so two sessions'
+    identical plans never share (or evict) one slot."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        sess = id(df.sparkSession._jsparkSession)
+    except Exception:
+        sess = id(df.sparkSession)
+    try:
+        return (sess, df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:  # py4j surface changed — fall back to object identity
-        return id(df)
+        return (sess, id(df))
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _purge_dead_locked() -> None:
+    """Drop entries whose owning session has stopped (caller holds _LOCK).
+    No unpersist — the JVM-side blocks died with the session."""
+    dead = [k for k, v in _LRU.items() if _session_stopped(v)]
+    for k in dead:
+        _LRU.pop(k, None)
 
 
 def bounded_persist(df: DataFrame) -> DataFrame:
@@ -55,15 +87,17 @@ def bounded_persist(df: DataFrame) -> DataFrame:
     ``_CAP`` hottest intermediates instead of growing with every query.
     """
     key = _plan_key(df)
-    if key in _LRU:
-        _LRU.move_to_end(key)
+    evicted: list[DataFrame] = []
+    with _LOCK:
+        _purge_dead_locked()
+        if key in _LRU:
+            _LRU.move_to_end(key)
         _LRU[key] = df
-        df.persist()
-        return df
+        while len(_LRU) > _CAP:
+            _, old = _LRU.popitem(last=False)
+            evicted.append(old)
     df.persist()
-    _LRU[key] = df
-    while len(_LRU) > _CAP:
-        _, old = _LRU.popitem(last=False)
+    for old in evicted:  # unpersist outside the lock — py4j call can block
         try:
             old.unpersist(blocking=False)
         except Exception:
@@ -73,8 +107,10 @@ def bounded_persist(df: DataFrame) -> DataFrame:
 
 def clear_bounded_cache() -> None:
     """Unpersist everything in the registry (test/bench teardown hook)."""
-    while _LRU:
-        _, old = _LRU.popitem(last=False)
+    with _LOCK:
+        drained = list(_LRU.values())
+        _LRU.clear()
+    for old in drained:
         try:
             old.unpersist(blocking=False)
         except Exception:

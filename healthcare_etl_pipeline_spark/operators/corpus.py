@@ -490,20 +490,45 @@ def select_until_budget(
     budget line is kept and selection is a deterministic prefix of the
     quality ordering.
 
-    Scale note: the running sum needs one global ordering — Spark's sort is
-    range-partitioned (sampled split points, no single-machine sort), and
-    the window's running frame then computes per partition with one pass.
-    This is the textbook distributed prefix-sum; there is no shuffle-free
-    alternative when the order is global by construction.
+    Scale note: a ``Window.orderBy`` with no partitionBy would move the
+    WHOLE corpus into one partition (advisor finding, round 2). This is the
+    real two-phase distributed prefix-sum instead: (1) range-partition on
+    the selection order (sampled split points, no single-machine sort) and
+    take per-partition running sums under a ``partitionBy(partition)``
+    window; (2) aggregate one total per partition (``n_parts`` rows),
+    running-sum THOSE on the driver-sized frame, and broadcast the offsets
+    back. Each row's global cumsum = its local running sum + the offset of
+    everything in earlier range partitions. The ordered frame is persisted
+    so both consumers see one materialization (and one consistent
+    ``spark_partition_id`` assignment — range sampling must not re-run
+    between the offset and final branches).
     """
-    w = (
-        Window.orderBy(F.desc(quality_col), F.asc(id_col))
+    spark = df.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ordered = bounded_persist(
+        df.select(id_col, quality_col, weight_col)
+        .repartitionByRange(n_parts, F.desc(quality_col), F.asc(id_col))
+        .sortWithinPartitions(F.desc(quality_col), F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # one row per range partition — running-summing these through a global
+    # window is fine: the frame is n_parts rows, not the corpus
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ordered.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_part_w"))
+        .withColumn("_off", F.coalesce(F.sum("_part_w").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc(quality_col), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_sum = df.withColumn("cum_tokens", F.sum(weight_col).over(w))
     return (
-        with_sum.filter(
-            (F.col("cum_tokens") - F.col(weight_col)) < F.lit(budget)
-        )
+        ordered.withColumn("_local", F.sum(weight_col).over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", F.col("_local") + F.col("_off"))
+        .filter((F.col("cum_tokens") - F.col(weight_col)) < F.lit(budget))
         .select(id_col, quality_col, weight_col, "cum_tokens")
     )

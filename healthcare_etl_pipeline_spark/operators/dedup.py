@@ -179,10 +179,9 @@ def _banded_signatures(
     )
 
 
-def _band_pairs(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
-    """(id_a < id_b) pairs sharing ≥1 (band, band-signature) bucket."""
+def _band_bucket_cols(k: int, bands: int) -> list[Column]:
     rows_per_band = k // bands
-    band_cols = [
+    return [
         F.struct(
             F.lit(b).alias("band"),
             *[
@@ -192,17 +191,52 @@ def _band_pairs(sigs: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     ]
+
+
+def _band_pairs(
+    sigs: DataFrame, id_col: str, k: int, bands: int, salt_buckets: int = 1
+) -> DataFrame:
+    """(id_a < id_b) pairs sharing ≥1 (band, band-signature) bucket.
+
+    ``salt_buckets > 1`` enables the skew-salted form (same replication
+    scheme as ``operators.joins.salted_join``, adapted to a pair-emitting
+    self-join): band buckets on natural-language shingles are Zipfian —
+    one boilerplate phrase can put thousands of docs in one bucket, and in
+    a plain bucket equi-join that bucket lands on ONE reducer (AQE's
+    skew-split helps batch plans, but streaming/AQE-off paths get a
+    straggler per hot bucket). The left occurrence of each doc carries a
+    DETERMINISTIC salt (hash of its id — reproducible, unlike rand()), the
+    right occurrence is replicated across all ``salt_buckets`` salts, and
+    the join keys on (bucket, salt): a hot bucket of m docs spreads its
+    m²/2 comparisons over ``salt_buckets`` reducers, each pair still
+    emitted exactly once (at the left doc's salt). Cost: the right side is
+    replicated ×``salt_buckets`` through the shuffle — pay it when bucket
+    skew is expected, keep the default for uniform corpora.
+    """
     buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+        F.col(id_col), F.explode(F.array(*_band_bucket_cols(k, bands))).alias("bucket")
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
+    if salt_buckets > 1:
+        left = buckets.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast("int"),
+        ).alias("l")
+        right = buckets.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        ).alias("r")
+        cond = (
             (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col("l.__salt") == F.col("r.__salt"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         )
+    else:
+        left = buckets.alias("l")
+        right = buckets.alias("r")
+        cond = (F.col("l.bucket") == F.col("r.bucket")) & (
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        )
+    return (
+        left.join(right, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
@@ -218,15 +252,18 @@ def lsh_candidate_pairs(
     bands: int = 4,
     n: int = 3,
     hash_mode: str = "portable",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs agreeing on at least one LSH band.
 
     Signature split into ``bands`` bands of k/bands rows each; docs hashing
     to the same (band_id, band_value) bucket become candidates. The bucket
     join is an equi-join → shuffle on the bucket key, never O(n²).
+    ``salt_buckets``: spread Zipfian-hot buckets over that many reducers
+    (see ``_band_pairs``) — identical result set, bounded task skew.
     """
     sigs = _banded_signatures(df, id_col, text_col, k, bands, n, hash_mode)
-    return _band_pairs(sigs, id_col, k, bands)
+    return _band_pairs(sigs, id_col, k, bands, salt_buckets)
 
 
 def minhash_jaccard_estimates(
@@ -757,6 +794,7 @@ def lsh_cross_candidates(
     bands: int = 4,
     n: int = 3,
     hash_mode: str = "portable",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Bipartite MinHash-LSH: near-dup candidates BETWEEN two corpora —
     the benchmark-decontamination shape (training docs vs an eval set),
@@ -768,27 +806,35 @@ def lsh_cross_candidates(
     replaces the |train| x |eval| cross product with one bucket-keyed
     shuffle; the (typically small) eval side's buckets broadcast.
 
+    ``salt_buckets``: hot buckets (boilerplate shared by both corpora) get
+    the same skew treatment as ``_band_pairs`` — the big (train) side
+    carries a deterministic id-hash salt, the small (eval) side's buckets
+    replicate across all salts, join keys on (bucket, salt). Result set is
+    identical; the hot bucket's work spreads over ``salt_buckets``
+    reducers.
+
     Output: (left_id, right_id) distinct candidate pairs.
     """
     ls = _banded_signatures(left, id_col, text_col, k, bands, n, hash_mode)
     rs = _banded_signatures(right, id_col, text_col, k, bands, n, hash_mode)
-    rows_per_band = k // bands
 
     def buckets(sigs: DataFrame, name: str) -> DataFrame:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                *[
-                    F.col(f"sig_{b * rows_per_band + r}").alias(f"r{r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
         return sigs.select(
-            F.col(id_col).alias(name), F.explode(F.array(*band_cols)).alias("bucket")
+            F.col(id_col).alias(name),
+            F.explode(F.array(*_band_bucket_cols(k, bands))).alias("bucket"),
         )
 
     lb = buckets(ls, "left_id")
     rb = buckets(rs, "right_id")
-    return lb.join(rb, "bucket").select("left_id", "right_id").distinct()
+    if salt_buckets > 1:
+        lb = lb.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("left_id")), F.lit(salt_buckets)).cast("int"),
+        )
+        rb = rb.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        joined = lb.join(rb, ["bucket", "__salt"])
+    else:
+        joined = lb.join(rb, "bucket")
+    return joined.select("left_id", "right_id").distinct()

@@ -17,10 +17,15 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# serializes the conf-set → start() → conf-restore window in
+# run_stream_to_memory (see its docstring for the concurrency contract)
+_START_LOCK = threading.Lock()
 
 
 def tumbling_counts(
@@ -100,22 +105,33 @@ def run_stream_to_memory(
     session's CPU-sized partition count means 32 stores' worth of per-batch
     overhead on kilobyte-scale state. Streams started here run with a
     smaller stateful partition count (the conf is captured when the query
-    STARTS, then restored — batch queries are unaffected). On a real
-    cluster size this to state volume, not cores.
+    STARTS — StreamExecution clones the session at start(), pinning the
+    value for the query's lifetime — then restored so batch queries are
+    unaffected). On a real cluster size this to state volume, not cores.
+
+    Concurrency contract (advisor finding, round 2): the set/start/restore
+    mutates a SESSION-global conf, so a batch query planned concurrently on
+    another thread of the SAME session would silently plan with 8 shuffle
+    partitions during the window. ``_START_LOCK`` serializes stream starts
+    from this module and keeps the mutation window to the ``start()`` call
+    itself; callers running multi-threaded batch planning against the same
+    session during a stream start should pass a dedicated
+    ``spark.newSession()`` clone instead.
     """
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _START_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
 

@@ -103,5 +103,149 @@ def test_simhash_giant_doc_one_row(spark, adversarial_docs):
 
     out = simhash_df(adversarial_docs, "doc_id", "text")
     assert out.filter(F.col("doc_id") == 0).count() == 1  # giant doc survives
-    assert out.count() == adversarial_docs.filter(F.col("text") != "").count() + \
-        adversarial_docs.filter(F.col("text") == "").count()
+    # every doc (including the 3k empty ones) gets exactly one signature row
+    assert out.count() == N
+    # empty docs: zero votes on every bit → the >=0 rule sets all bits, so
+    # the deterministic empty-doc sentinel is (1<<16)-1. All 3k must carry
+    # it (round-2 advisor: the old assertion was a tautology that couldn't
+    # catch empty-doc mishandling).
+    n_empty = adversarial_docs.filter(F.col("text") == "").count()
+    assert n_empty == 3_000
+    empty_sigs = (
+        out.join(
+            adversarial_docs.filter(F.col("text") == "").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .filter(F.col("simhash16") == (1 << 16) - 1)
+        .count()
+    )
+    assert empty_sigs == n_empty
+
+
+# ---------------------------------------------------------------------------
+# Value-level ground truth (round-2 verdict #7): the guards (hot-shingle
+# prefix filtering, sentinel buckets, salting) must be SEMANTICS-preserving,
+# proven against a brute-force oracle on a deterministic subsample — not
+# merely non-crashing shape checks.
+# ---------------------------------------------------------------------------
+
+import re
+
+
+def _py_shingles(text, n=3):
+    toks = [t for t in re.split(r"\s+", text) if t]
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_force_pairs(docs, threshold=0.5):
+    """Exact thresholded Jaccard pairs over distinct 3-gram shingle sets —
+    the pure-Python oracle for the distributed operators."""
+    sh = {i: _py_shingles(t) for i, t in docs.items()}
+    ids = sorted(i for i in sh if sh[i])
+    truth = {}
+    for ix, a in enumerate(ids):
+        for b in ids[ix + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= threshold:
+                truth[(a, b)] = (inter, round(j, 6))
+    return truth
+
+
+@pytest.fixture(scope="module")
+def subsample_truth(spark, adversarial_docs):
+    """~309 docs hitting every adversarial class (97 ⟂ 10 → all residues),
+    with the exact-duplicate cluster, empties, and hot-prefix docs all
+    represented; brute-force pair oracle computed driver-side."""
+    sub = adversarial_docs.filter(F.col("doc_id") % 97 == 3)
+    docs = {r.doc_id: r.text for r in sub.collect()}
+    truth = _brute_force_pairs(docs, threshold=0.5)
+    # the fixture itself must be non-trivial: the dup cluster contributes
+    # C(~93, 2) identical pairs, the hot-prefix docs contribute none
+    # (6 shared / 30 union shingles → J = 0.2 < 0.5)
+    assert len(truth) > 3000
+    assert all(j == 1.0 for (_, j) in truth.values())
+    return sub, truth
+
+
+def test_prefix_jaccard_equals_brute_force(spark, subsample_truth):
+    """ngram_jaccard_prefix_pairs is LOSSLESS: exact pair set AND exact
+    (n_shared, jaccard) values vs the brute-force oracle."""
+    from healthcare_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    sub, truth = subsample_truth
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in ngram_jaccard_prefix_pairs(
+            sub, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_lsh_candidates_cover_truth_and_estimate_exact_dups(spark, subsample_truth):
+    """LSH candidates ⊇ every true ≥0.5 pair here (they are exact dups —
+    identical shingle sets → identical signatures → same bucket in EVERY
+    band, so recall is deterministic, not probabilistic), and the MinHash
+    estimator returns est_jaccard = 1.0 for each."""
+    from healthcare_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimates,
+    )
+
+    sub, truth = subsample_truth
+    cands = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sub, "doc_id", "text").collect()
+    }
+    assert set(truth) <= cands
+    ests = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_jaccard_estimates(sub, "doc_id", "text").collect()
+    }
+    for pair in truth:
+        assert ests.get(pair) == 1.0, pair
+
+
+def test_salted_band_join_identical_pairs(spark, adversarial_docs):
+    """Skew salting (verdict #8) is result-invariant: on a slice whose
+    duplicate cluster puts ~900 docs in ONE band bucket per band, the
+    salted join must emit EXACTLY the unsalted pair set — same count, zero
+    symmetric difference — while spreading the hot bucket over 8 salt
+    reducers."""
+    from healthcare_etl_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    slice_df = adversarial_docs.filter(F.col("doc_id") < 3000)
+    plain = lsh_candidate_pairs(slice_df, "doc_id", "text")
+    salted = lsh_candidate_pairs(slice_df, "doc_id", "text", salt_buckets=8)
+    n_plain, n_salted = plain.count(), salted.count()
+    assert n_plain == n_salted and n_plain > 0
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_cross_candidates_identical(spark, adversarial_docs):
+    """Bipartite (decontamination-shaped) LSH with salting: identical
+    result set vs the unsalted join, with the hot bucket shared by both
+    corpora."""
+    from healthcare_etl_pipeline_spark.operators.dedup import lsh_cross_candidates
+
+    train = adversarial_docs.filter(F.col("doc_id") % 7 < 5).filter(
+        F.col("doc_id") < 5000
+    )
+    eval_set = adversarial_docs.filter(F.col("doc_id") % 7 >= 5).filter(
+        F.col("doc_id") < 5000
+    )
+    plain = lsh_cross_candidates(train, eval_set, "doc_id", "text")
+    salted = lsh_cross_candidates(
+        train, eval_set, "doc_id", "text", salt_buckets=8
+    )
+    assert plain.count() == salted.count() > 0
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
