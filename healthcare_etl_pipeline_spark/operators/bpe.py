@@ -197,3 +197,75 @@ def bpe_encode(
             ).alias("chars_per_token"),
         )
     )
+
+def bpe_encode_contract(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc VALUE CONTRACT for the greedy encoder — the oracle-checkable
+    face of ``bpe_encode``.
+
+    An external SQL engine cannot replay the merge table, but it CAN
+    compute the exact word and character counts, and the encoder owes three
+    invariants that only hold when it behaves:
+
+    - ``roundtrip_ok``: concatenating a word's BPE tokens reproduces the
+      word + end marker exactly (merges only ever concatenate adjacent
+      symbols — any dropped/duplicated/corrupted symbol breaks this);
+    - ``tokens_ge_words``: ≥1 token per word;
+    - ``tokens_le_syms``: ≤ chars+1 tokens per word (the unmerged maximum).
+
+    Output: (id, n_words, n_chars, roundtrip_ok, tokens_ge_words,
+    tokens_le_syms) — exact counts hash-match the oracle, booleans flip the
+    hash red if the encoder misbehaves.
+    """
+    ranked = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    enc = _make_encode_udf(ranked)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    checked = words.select(
+        F.col(id_col),
+        F.length("word").alias("n_chars"),
+        F.size(enc(F.col("word"))).alias("word_tokens"),
+        (
+            F.concat_ws("", enc(F.col("word")))
+            == F.concat(F.col("word"), F.lit(END_MARK))
+        ).alias("rt_ok"),
+    )
+    return checked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.bool_and("rt_ok").alias("roundtrip_ok"),
+        (F.sum("word_tokens") >= F.count(F.lit(1))).alias("tokens_ge_words"),
+        (
+            F.sum("word_tokens") <= F.sum("n_chars") + F.count(F.lit(1))
+        ).alias("tokens_le_syms"),
+    )
+
+
+def merge_table_invariants(
+    merges: list[tuple[str, str, int]], *, min_pair_count: int = 2
+) -> dict[str, bool]:
+    """Driver-side invariants of a trained merge table (tiny — tens of
+    rows, already collected by the trainer):
+
+    - ``well_founded``: every merge's left/right symbol is a single
+      character, the end marker, or the output of an EARLIER merge;
+    - ``counts_ge_min``: every winning pair met the frequency floor.
+    """
+    seen: set[str] = set()
+    well_founded = True
+    for left, right, _ in merges:
+        ok = (len(left) == 1 or left == END_MARK or left in seen) and (
+            len(right) == 1 or right == END_MARK or right in seen
+        )
+        well_founded = well_founded and ok
+        seen.add(left + right)
+    return {
+        "well_founded": well_founded,
+        "counts_ge_min": all(n >= min_pair_count for _, _, n in merges),
+    }

@@ -9,10 +9,16 @@ connected-components and BPE training:
   embedding frame + one map-side-combined groupBy of per-cluster sums.
 - Only the k centroids cross the driver boundary per round (k × dim
   floats — same class of driver traffic as BPE's single winning pair).
-  They return to the plan as INLINED LITERAL arithmetic: per-cluster
-  squared-L2 distance is an explicit 64-term expression, so assignment
-  runs in whole-stage codegen — no UDF, no broadcast join, no shuffle on
-  the assignment side.
+  They return to the plan inside an Arrow-batched numpy kernel: per-batch
+  the k×dim distance matrix is vectorized across rows while accumulating
+  LEFT-TO-RIGHT over dimensions — bit-identical IEEE doubles to a scalar
+  ``(x-c)²`` fold, so results match the SQL oracle's list_reduce and the
+  NumPy differential reference exactly. (The previous form inlined k·dim
+  literal subtraction terms into one projection; at k=8, dim=64 that is a
+  ~1500-node expression whole-stage codegen re-COMPILES every iteration —
+  Janino compile time dominated the whole job, 6 compiles ≈ 45 s for 500
+  rows. Assignment is map-only either way; the kernel keeps it that way
+  without the per-iteration JIT bill.)
 - Deterministic: centroids initialize from the k smallest ids, each
   round's assignment breaks distance ties by cluster index (least() takes
   the first minimum), and convergence is by fixed iteration count — same
@@ -33,15 +39,46 @@ from pyspark.sql import functions as F
 from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
 
 
-def _dist_sq(vec_col: Column, centroid: list[float], dim: int) -> Column:
-    """Squared L2 distance to a literal centroid — explicit sum, codegen."""
-    term: Column | None = None
-    for j in range(dim):
-        d = F.element_at(vec_col, j + 1).cast("double") - F.lit(float(centroid[j]))
-        t = d * d
-        term = t if term is None else term + t
-    assert term is not None
-    return term
+def _assign_kernel(cents: list[list[float]], dim: int):
+    """Arrow-batched assignment: struct(cluster, dist_sq) per vector.
+
+    Distances accumulate left-to-right over dimensions (vectorized across
+    the batch axis only), so every double is bit-identical to a scalar
+    ``Σ (x_j - c_j)²`` fold — the property the kmeans_embeddings oracle
+    (DuckDB list_reduce) and the NumPy differential test rely on. argmin
+    takes the FIRST minimum, the same tie-break as an ascending when-chain.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf("struct<cluster: int, dist_sq: double>")
+    def _assign(vec):
+        if len(vec) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int32"),
+                    "dist_sq": pd.Series([], dtype="float64"),
+                }
+            )
+        X = np.asarray(list(vec), dtype=np.float64)  # float32 widened exactly
+        D = np.empty((X.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(C.shape[0]):
+            acc = np.zeros(X.shape[0], dtype=np.float64)
+            for j in range(dim):
+                d = X[:, j] - C[i, j]
+                acc = acc + d * d  # left-to-right over dims: fold parity
+            D[:, i] = acc
+        cl = D.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype("int32"),
+                "dist_sq": D[np.arange(len(cl)), cl],
+            }
+        )
+
+    return _assign
 
 
 def kmeans_assign(
@@ -74,20 +111,14 @@ def kmeans_assign(
         )
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        dists = [
-            _dist_sq(F.col(vec_col), c, dim).alias(f"d{i}")
-            for i, c in enumerate(cents)
-        ]
-        with_d = base.select(F.col(id_col), F.col(vec_col), *dists)
-        best = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
-        cluster: Column = F.lit(len(cents) - 1)
-        for i in range(len(cents) - 2, -1, -1):
-            cluster = F.when(F.col(f"d{i}") == best, F.lit(i)).otherwise(cluster)
-        return with_d.select(
+        kernel = _assign_kernel(cents, dim)
+        return base.select(
+            F.col(id_col), F.col(vec_col), kernel(F.col(vec_col)).alias("__a")
+        ).select(
             F.col(id_col),
             F.col(vec_col),
-            cluster.alias("cluster"),
-            best.alias("dist_sq"),
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist_sq").alias("dist_sq"),
         )
 
     for _ in range(iters):

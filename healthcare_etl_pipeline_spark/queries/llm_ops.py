@@ -603,13 +603,35 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STUB_FEATS = ", ".join(
+    f"CAST((bsum + {i} * 31) % 256 AS BIGINT) AS f{i}" for i in range(8)
+)
+
+
 @query(
     "multimodal_feature_extract",
-    oracle=None,  # non-image payloads take the stub branch → rows-only
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(coalesce(list_sum(list_transform(
+                 range(1, length(text) + 1), i -> ord(text[i]))), 0)
+               AS BIGINT) AS bsum
+      FROM documents
+    )
+    SELECT doc_id AS media_id, 'text/plain' AS media_type, n_bytes,
+           {_STUB_FEATS},
+           'stub_decoded' AS decode_status
+    FROM s
+    """,
     description="mapInPandas feature extraction over NON-image binary "
-    "payloads: these take the deterministic stub branch of the decode "
-    "kernel (the REAL decode path is value-oracled end-to-end by "
-    "multimodal_decode_ppm).",
+    "payloads, VALUE-checked end-to-end: text/plain payloads take the "
+    "deterministic stub branch ((byte_sum + i*31) mod 256, scaled to "
+    "[0,1]); re-scaled back to exact integers, every feature must equal "
+    "the oracle's closed-form byte arithmetic (documents are ASCII, so "
+    "ord(char) == UTF-8 byte), and decode_status must be 'stub_decoded' "
+    "for every row. The REAL decode path is value-oracled by "
+    "multimodal_decode_ppm.",
     tags=("multimodal", "llm", "pandas-udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,7 +648,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "media_type",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        *[
+            F.round(F.element_at("feature", i + 1) * 255)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
         "decode_status",
     )
 
@@ -1123,21 +1150,47 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_merges_docs",
-    oracle=None,  # iterative algorithm — rows-only check; determinism is
-    # pinned by tie-breaks and verified against a pure-Python reference
-    # implementation in tests/test_bpe.py
-    description="BPE tokenizer training (10 merges): corpus collapsed ONCE "
-    "to a word-frequency table, then each round = one pair-count shuffle + "
-    "one Arrow-batched merge pass, vocabulary localCheckpoint-ed per round "
-    "(flat lineage, connected-components pattern). Only the single winning "
-    "pair reaches the driver per round.",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus_words,
+           TRUE AS n_merges_le_requested,
+           TRUE AS well_founded,
+           TRUE AS counts_ge_min
+    FROM w
+    """,
+    description="BPE tokenizer training (10 merges) as an INVARIANT "
+    "CONTRACT: corpus collapsed ONCE to a word-frequency table, each round "
+    "one pair-count shuffle + one Arrow-batched merge pass, vocabulary "
+    "localCheckpoint-ed per round (flat lineage). The oracle can't replay "
+    "the iteration, so the query hashes what it CAN check: the exact "
+    "corpus word count (anchors the hash to the data the trainer saw) "
+    "plus merge-table invariants — ≤ requested merges, every merge "
+    "well-founded (parts are single chars, the end marker, or earlier "
+    "merge outputs), every pair count over the frequency floor. Exact "
+    "merge-sequence semantics are pinned by the pure-Python differential "
+    "test in tests/test_bpe.py.",
     tags=("text", "bpe", "iterative", "llm"),
 )
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_pipeline_spark.operators.bpe import bpe_merges_df
+    from healthcare_etl_pipeline_spark.operators.bpe import (
+        bpe_train,
+        merge_table_invariants,
+    )
+    from healthcare_etl_pipeline_spark.operators.text import tokens
 
     docs = td(spark, sf_dir, "documents")
-    return bpe_merges_df(docs, n_merges=10)
+    merges = bpe_train(docs, n_merges=10)
+    inv = merge_table_invariants(merges, min_pair_count=2)
+    return docs.select(F.explode(tokens(F.col("text"))).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_corpus_words"),
+        F.lit(len(merges) <= 10).alias("n_merges_le_requested"),
+        F.lit(inv["well_founded"]).alias("well_founded"),
+        F.lit(inv["counts_ge_min"]).alias("counts_ge_min"),
+    )
 
 
 @query(
@@ -2066,42 +2119,104 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semantic_dedup_embeddings",
-    oracle=None,  # k-means partitioning is iterative/float — not SQL-
-    # expressible; within-cluster pruning is verified against the exact
-    # O(n²) cosine form in tests/test_clustering.py (dropped ⊆ exact-
-    # dropped by construction, recall measured)
-    description="SemDeDup semantic dedup: k-means partitions the embedding "
-    "space, exact cosine near-dup pruning runs per cluster behind a "
-    "cluster-keyed equi-join — quadratic work shrinks n² → Σ|cluster|² and "
-    "the join key gives AQE a skew handle. Greedy min-id survivor rule; "
-    "emits (vec_id, cluster, is_kept) for the full corpus.",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+           TRUE AS flags_complete,
+           TRUE AS dropped_justified,
+           TRUE AS kept_clean
+    FROM embeddings
+    """,
+    description="SemDeDup semantic dedup as a SOUNDNESS CONTRACT: k-means "
+    "partitions the embedding space, exact cosine pruning runs per cluster "
+    "behind a cluster-keyed equi-join (n² → Σ|cluster|²; the key gives AQE "
+    "a skew handle). The clustering itself is iterative/float and not "
+    "SQL-expressible, so the query re-derives the survivor rule's full "
+    "characterization IN-PLAN and hashes it: given the clustering, a row "
+    "is dropped IFF a smaller-id same-cluster partner sits at cosine ≥ "
+    "threshold — dropped_justified (every dropped row has one) and "
+    "kept_clean (no kept row does) jointly pin is_kept exactly; "
+    "n_input anchors the hash to the corpus. Cluster-quality recall is "
+    "measured against the exact O(n²) form in tests/test_clustering.py.",
     tags=("dedup", "similarity", "clustering", "llm"),
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
     from healthcare_etl_pipeline_spark.operators.clustering import semantic_dedup
+    from healthcare_etl_pipeline_spark.operators.similarity import cosine_fold
 
     emb = t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, dim=64, iters=5, threshold=0.35)
+    out = semantic_dedup(emb, k=8, dim=64, iters=5, threshold=0.35)
+    labeled = out.join(emb.select("vec_id", "embedding"), "vec_id").transform(
+        bounded_persist
+    )
+    a = labeled.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = labeled.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    partnered = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .withColumn("cs", cosine_fold(F.col("va"), F.col("vb"), 64))
+        .where(F.col("cs") >= 0.35)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("__partnered", F.lit(True))
+    )
+    flagged = labeled.join(partnered, "vec_id", "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.coalesce(F.bool_and(F.col("is_kept").isNotNull()), F.lit(True)).alias(
+            "flags_complete"
+        ),
+        F.coalesce(
+            F.bool_and(F.col("is_kept") | F.col("__partnered").isNotNull()),
+            F.lit(True),
+        ).alias("dropped_justified"),
+        F.coalesce(
+            F.bool_and(~F.col("is_kept") | F.col("__partnered").isNull()),
+            F.lit(True),
+        ).alias("kept_clean"),
+    )
 
 
 @query(
     "bpe_encode_docs",
-    oracle=None,  # the merge table comes from the iterative trainer —
-    # rows-only here; encode semantics are pinned by a pure-Python
-    # differential test in tests/test_bpe.py
-    description="BPE tokenizer APPLY: encode every document with the merge "
-    "table trained on the same corpus (10 merges) — greedy rank-priority "
-    "encode in one Arrow-batched pass over the exploded word stream, "
-    "re-aggregated per doc to (n_words, n_tokens, chars_per_token). The "
-    "merge table rides in the UDF closure; no join, one shuffle.",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+               AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_chars,
+           TRUE AS roundtrip_ok, TRUE AS tokens_ge_words,
+           TRUE AS tokens_le_syms
+    FROM w WHERE n_words > 0
+    """,
+    description="BPE tokenizer APPLY as a per-doc VALUE CONTRACT: encode "
+    "every document with the merge table trained on the same corpus (10 "
+    "merges) — greedy rank-priority encode in one Arrow-batched pass over "
+    "the exploded word stream, merge table in the UDF closure (no join). "
+    "The oracle hash-matches the exact per-doc word and character counts "
+    "and three encoder invariants: token concatenation reproduces "
+    "word+marker exactly (roundtrip), ≥1 token per word, ≤ chars+1 tokens "
+    "per word. A corrupted encode flips the hash red; exact merge "
+    "semantics are additionally pinned by tests/test_bpe.py.",
     tags=("text", "bpe", "llm"),
 )
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_etl_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+    from healthcare_etl_pipeline_spark.operators.bpe import (
+        bpe_encode_contract,
+        bpe_train,
+    )
 
     docs = td(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=10)
-    return bpe_encode(docs, merges)
+    return bpe_encode_contract(docs, merges)
 
 
 @query(
