@@ -80,7 +80,15 @@ def bpe_train(
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, pair_count)]
     in merge order. Stops early when the best pair drops below
-    ``min_pair_count``."""
+    ``min_pair_count``.
+
+    Driver-loop cost model: each merge round launches one Spark job
+    (vocab-table pair count, 1-row collect), so wall-clock is
+    O(n_merges × job latency) regardless of corpus size. Real tokenizer
+    training runs tens of thousands of merges — do that on a corpus
+    SAMPLE (``hash_sample``; vocabulary statistics converge long before
+    1% of a 100 TB corpus) rather than pointing n_merges=30000 at the
+    full table."""
     vocab = _word_vocab(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
