@@ -188,16 +188,24 @@ def assign_cells(
     """Assign each vector to its ``nprobe`` nearest centroid cells — MAP-ONLY.
 
     The k centroids (k ≪ corpus) are collected once (k tiny rows, same
-    driver-traffic class as k-means) and return to the plan as inlined
-    literal arithmetic: per-cell cosine is an explicit codegen fold with the
-    centroid norm pre-computed at plan-build time, the top-``nprobe`` cells
-    come from ``array_sort`` over the k-element (−sim, cell) struct array
-    (sim desc, cell asc — the deterministic tie-break), and ``nprobe=1``
-    stays a pure projection. No crossJoin, no window, no Exchange: the
-    round-2 form shuffled the whole n×k frame through a partitionBy(id)
-    window just to take an argmin — at 100 TB a full-corpus shuffle where a
-    scan suffices.
+    driver-traffic class as k-means) and travel to executors inside an
+    Arrow-batched kernel's closure: per-batch cell similarity is one numpy
+    matmul against the pre-normalized k×dim centroid matrix, with the
+    top-``nprobe`` cells picked by (−sim, centroid order) lexsort — cells
+    enter the matrix sorted, so the tie-break (sim desc, cell asc) is
+    deterministic. No crossJoin, no window, no Exchange: the round-2 form
+    shuffled the whole n×k frame through a partitionBy(id) window just to
+    take an argmin — at 100 TB a full-corpus shuffle where a scan suffices.
+    (A previous revision inlined the k×dim centroid literals into a codegen
+    fold — also map-only, but the ~k·dim-node expression tree cost seconds
+    of Catalyst/Janino work PER QUERY; planning cost is part of the plan.)
+
+    Same closure-broadcast pattern as the k-means assignment kernel
+    (clustering.py); at real cluster scale wrap the centroid matrix in
+    ``sparkContext.broadcast`` instead of a plain closure capture.
     """
+    import numpy as np
+
     cell_type = centroids.schema["cell"].dataType
     cent_rows = sorted(
         (r["cell"], list(r["centroid"]))
@@ -207,41 +215,42 @@ def assign_cells(
         return df.select(
             F.col(id_col), F.col(vec_col), F.lit(None).cast(cell_type).alias("cell")
         ).where(F.lit(False))
-    v = F.col(vec_col)
-    vnorm2: Column | None = None
-    for j in range(dim):
-        e = F.element_at(v, j + 1).cast("double")
-        sq = e * e
-        vnorm2 = sq if vnorm2 is None else vnorm2 + sq
-    assert vnorm2 is not None
-    vnorm = F.sqrt(vnorm2)
-    structs = []
-    for cell, cent in cent_rows:
-        dot: Column | None = None
-        for j in range(dim):
-            term = F.element_at(v, j + 1).cast("double") * F.lit(float(cent[j]))
-            dot = term if dot is None else dot + term
-        assert dot is not None
-        cnorm = float(sum(x * x for x in cent)) ** 0.5 or 1.0
-        sim = dot / (vnorm * F.lit(cnorm))
-        structs.append(
-            F.struct((-sim).alias("neg_sim"), F.lit(cell).cast(cell_type).alias("cell"))
+    cells = [c for c, _ in cent_rows]
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)  # k × dim
+    cnorms = np.linalg.norm(cmat, axis=1)
+    cnorms[cnorms == 0.0] = 1.0
+    cmat_n = cmat / cnorms[:, None]
+    n_out = min(nprobe, len(cells))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _top_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # n × dim
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms[:, None]) @ cmat_n.T  # n × k
+        if n_out == 1:
+            idx = sims.argmax(axis=1)[:, None]  # first max = lowest cell idx
+        else:
+            order = np.argsort(-sims, axis=1, kind="stable")  # ties → cell asc
+            idx = order[:, :n_out]
+        return pd.Series([row.tolist() for row in idx])
+
+    cell_lookup = F.array(*[F.lit(c).cast(cell_type) for c in cells])
+    picked = df.select(
+        F.col(id_col), F.col(vec_col), _top_cells(F.col(vec_col)).alias("__ci")
+    )
+    if n_out == 1:
+        return picked.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(cell_lookup, F.col("__ci")[0] + 1).alias("cell"),
         )
-    ranked = F.array_sort(F.array(*structs))
-    if nprobe == 1:
-        # hot path (the corpus side): argmax as a straight projection
-        return df.select(
-            F.col(id_col), F.col(vec_col), F.element_at(ranked, 1)["cell"].alias("cell")
-        )
-    # nprobe>1 (the query side, a handful of rows): explode the top slice;
-    # Generate re-evaluates its child per output row, which is fine at
-    # nprobe ≤ a few — persist first if nprobe ever grows large.
-    return (
-        df.select(
-            F.col(id_col), F.col(vec_col),
-            F.explode(F.slice(ranked, 1, nprobe)).alias("__rc"),
-        )
-        .select(id_col, vec_col, F.col("__rc")["cell"].alias("cell"))
+    return picked.select(
+        F.col(id_col), F.col(vec_col), F.explode("__ci").alias("__i")
+    ).select(
+        id_col,
+        vec_col,
+        F.element_at(cell_lookup, F.col("__i") + 1).alias("cell"),
     )
 
 
@@ -489,30 +498,57 @@ def ann_lsh_topk_vectorized(
     planes: int = 4,
     tables: int = 8,
     seed: int = 42,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Banded-LSH ANN with the signature stage vectorized (numpy matmul via
-    Arrow batches); bucket join + exact re-rank identical to
-    ``ann_lsh_topk``. The production variant — the expression form remains
-    for environments where Python workers are undesirable.
+    Arrow batches); bucket semantics identical to ``ann_lsh_topk``. The
+    production variant — the expression form remains for environments where
+    Python workers are undesirable.
+
+    Stage economy (the 100 TB shape AND the job-floor shape):
+    - Signatures are the ONLY Python stage. When ``sig_col`` names a
+      pre-computed array<bigint> signature column (e.g. both sides filtered
+      from one signed+persisted frame), there is NO Python stage here.
+    - The bucket join moves only (id, table, bucket) triples — vectors are
+      NOT duplicated through the ×tables posexplode; they re-attach to the
+      deduped candidate pairs via a broadcast (query side, small by
+      assumption) and an equi-join (corpus side, AQE-planned).
+    - Re-rank uses the Arrow einsum kernel (``cosine_vectorized``): one
+      batched matmul per task. (An explicit dim-term codegen fold was
+      measured as the alternative — runtime-free of Python, but the
+      ~3·dim-node expression tree costs >1 s of Catalyst/Janino work per
+      query, which dominates until candidate sets reach millions of rows.)
     """
-    sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)
+    sig_expr = (
+        F.col(sig_col)
+        if sig_col is not None
+        else make_lsh_signatures_udf(
+            planes=planes, tables=tables, dim=dim, seed=seed
+        )(F.col(vec_col))
+    )
 
     def sig(df: DataFrame, name: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(name),
-            F.col(vec_col).alias(f"{name}_vec"),
-            F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"),
+            F.posexplode(sig_expr).alias("table", "bucket"),
         )
 
-    q = sig(queries, "q_id")
-    c = sig(corpus, "vec_id")
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
     candidates = (
-        q.join(c, ["table", "bucket"])
-        .select("q_id", "q_id_vec", "vec_id", "vec_id_vec")
+        sig(corpus, "vec_id")
+        .join(F.broadcast(sig(queries, "q_id")), ["table", "bucket"])
+        .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    scored = candidates.withColumn(
-        "cos_sim", cosine_vectorized(F.col("q_id_vec"), F.col("vec_id_vec"))
+    scored = (
+        candidates.join(F.broadcast(q_vecs), "q_id")
+        .join(c_vecs, "vec_id")
+        .withColumn("cos_sim", cosine_vectorized(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -482,7 +482,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_contract(
-    spark: SparkSession, sf_dir: str, approx_topk, floor: float
+    spark: SparkSession, sf_dir: str, approx_topk, floor: float, prepare=None
 ) -> DataFrame:
     """Value-checkable ANN accuracy contract (see ann_lsh_cosine docstring).
 
@@ -490,10 +490,16 @@ def _ann_recall_contract(
     oracle's identical brute-force fold) + an aggregate recall boolean the
     oracle mirrors as TRUE. 10 queries × k=5 ⇒ 50 exact pairs at every sf,
     so the floor translates to a literal hit threshold.
+
+    ``prepare`` runs on the shared embeddings frame BEFORE the query/corpus
+    split — the hook that lets the LSH path compute+persist signatures in
+    ONE Python stage for both sides instead of one per side.
     """
     from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
 
     emb = td(spark, sf_dir, "embeddings")
+    if prepare is not None:
+        emb = prepare(emb)
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("vec_id") >= 10)
     exact = S.brute_force_topk(
@@ -540,13 +546,20 @@ def _ann_recall_contract(
     tags=("similarity", "lsh", "llm"),
 )
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+
+    sig_udf = S.make_lsh_signatures_udf(planes=4, tables=6, dim=64, seed=42)
     return _ann_recall_contract(
         spark,
         sf_dir,
         lambda q, c: S.ann_lsh_topk_vectorized(
-            q, c, k=5, dim=64, planes=4, tables=6
+            q, c, k=5, dim=64, planes=4, tables=6, sig_col="sigs"
         ),
         floor=0.5,
+        # one signature stage for both join sides (see _ann_recall_contract)
+        prepare=lambda emb: emb.withColumn(
+            "sigs", sig_udf(F.col("embedding"))
+        ).transform(bounded_persist),
     )
 
 
