@@ -45,6 +45,8 @@ EXPECTED_NESTED_LOOP = {
     "dq_checks_orders",         # expectation-summary scalars crossjoin (1-row broadcasts)
     "triangle_count_copurchase",  # final scalar assembly: 3 crossjoins of 1-row aggs
     "temperature_mix_docs",     # min-stratum-size crossjoin (1-row broadcast)
+    "ann_lsh_cosine",           # recall-flag crossjoin (1-row broadcast agg)
+    "kmeans_embeddings",        # convergence-flag crossjoin (1-row broadcast agg)
 }
 
 # Queries expected to run Python (Arrow) stages.
@@ -57,6 +59,13 @@ EXPECTED_PYTHON = {
     "ann_ivf_cosine",   # einsum cosine for cell assignment + re-rank
     "dedup_embedding_lsh",  # numpy matmul LSH signatures (exact-fold re-rank)
     "bpe_encode_docs",      # Arrow-batched greedy rank-priority encode UDF
+    "kmeans_embeddings",    # Arrow-batched centroid-assignment kernel
+    "semantic_dedup_embeddings",  # k-means partition (same Arrow kernel)
+    "txn_committed_read",   # decrypt-roundtrip UDF on the committed snapshot
+    "multimodal_decode_ppm",      # real PPM decode kernel (mapInPandas)
+    "audio_decode_wav",     # real WAV decode kernel (mapInPandas)
+    "audio_frame_energy",   # real WAV decode kernel (mapInPandas)
+    "video_frame_sample_y4m",     # real Y4M container parse (mapInPandas)
 }
 
 
