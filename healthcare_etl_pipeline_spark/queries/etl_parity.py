@@ -525,6 +525,66 @@ def txn_committed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_time_travel_read",
+    oracle=_SYNTH_CTE
+    + "SELECT 's1' AS snapshot, mrn, gender\nFROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS TRUE AND c_custkey % 2 = 0\n"
+    + "UNION ALL\n"
+    + "SELECT 'current' AS snapshot, mrn, gender\nFROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS TRUE",
+    description="Snapshot time travel over the transactional warehouse: two "
+    "committed ingest batches (even then odd custkeys) followed by a "
+    "compaction commit that supersedes both. Reading as_of the FIRST "
+    "commit's snapshot must return exactly the even batch — excluding the "
+    "later commit AND ignoring the later compaction's replaces — while the "
+    "current read serves only the compacted run. Both reads are emitted "
+    "and value-checked against the deterministic synthesis.",
+    tags=("txn", "time-travel", "etl"),
+)
+def txn_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_tt_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    consented, _ = consent_gate(valid, consent_col=F.col("consent")["data_sharing"])
+
+    for label, parity in (("tt-even", 0), ("tt-odd", 1)):
+        txn = wh.begin(label)
+        load_patients(
+            wh,
+            transform_patients(consented.filter(F.col("c_custkey") % 2 == parity)),
+            txn=txn,
+        )
+        txn.commit()
+    wh.compact("patients")
+
+    s1 = next(s["seq"] for s in wh.snapshots() if s["run_id"] == "tt-even")
+    old = wh.read("patients", as_of=s1).select(
+        F.lit("s1").alias("snapshot"), "mrn", "gender"
+    )
+    cur = wh.read("patients").select(
+        F.lit("current").alias("snapshot"), "mrn", "gender"
+    )
+    return old.unionByName(cur)
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

@@ -332,3 +332,94 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.result().select(
         "event_type", "n", F.round("value_sum", 2).alias("value_sum")
     )
+
+
+@query(
+    "stream_txn_exactly_once",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    description="Exactly-once streaming ingest into the transactional "
+    "warehouse: the events stream runs availableNow through foreachBatch, "
+    "each micro-batch committing under a batch_id-keyed transaction "
+    "(4 real micro-batches via maxFilesPerTrigger). After the run, batch 0 "
+    "is REPLAYED through the same sink — simulating the crash-after-commit "
+    "restart — and must be a no-op. The committed table's per-type counts "
+    "and value sums must equal the batch recomputation: one duplicated or "
+    "lost micro-batch flips the hash.",
+    tags=("streaming", "txn", "exactly-once"),
+)
+def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.txn_sink import (
+        run_stream_to_txn,
+        txn_batch_sink,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"txn_stream_src_{tag}")
+    if not os.path.isdir(src) or not any(
+        f.endswith(".parquet") for f in os.listdir(src)
+    ):
+        t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).repartition(8).write.mode("overwrite").parquet(src)
+
+    root = os.path.join(tempfile.gettempdir(), f"txn_stream_wh_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "event_log",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    run_stream_to_txn(
+        stream,
+        wh,
+        "event_log",
+        checkpoint_dir=os.path.join(root, "_ckpt"),
+        batch_prefix="ev",
+    )
+    n_batches = len(wh.committed_run_ids())
+    assert n_batches > 1, "expected multiple micro-batches"
+
+    # Simulate the crash-after-commit restart: the checkpoint never recorded
+    # batch 0, so the source replays it — the sink must treat it as done.
+    replay = spark.read.parquet(src).limit(50)
+    txn_batch_sink(wh, "event_log", batch_prefix="ev")(replay, 0)
+    assert len(wh.committed_run_ids()) == n_batches, "replay must not re-commit"
+
+    return (
+        wh.read("event_log")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

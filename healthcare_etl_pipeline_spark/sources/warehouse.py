@@ -219,12 +219,12 @@ class Transaction:
     def stage(self, df: DataFrame, table: str) -> None:
         if self._done:
             raise RuntimeError(f"transaction {self.run_id} already finished")
-        schema = TABLE_SCHEMAS[table]
+        schema = self._wh.table_schema(table)
         aligned = df.select(
             *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         writer = aligned.write.mode("append")
-        parts = PARTITION_COLUMNS[table]
+        parts = self._wh.partition_columns(table)
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(self._wh.run_dir(table, self.run_id))
@@ -252,7 +252,14 @@ class Transaction:
             # per-table run_ids this commit logically supersedes (compaction):
             # readers drop them the same instant this marker appears
             "replaces": self.replaces,
-            "format_version": 1,
+            # monotone snapshot sequence — the time-travel axis. Assigned at
+            # commit time from the current marker set; concurrent committers
+            # from SEPARATE drivers could race to the same seq (the commit
+            # itself stays atomic — only snapshot ordering would tie), so
+            # multi-driver deployments should serialize commits the way any
+            # single-metastore table format does.
+            "seq": self._wh._next_seq(),
+            "format_version": 2,
         }
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = os.path.join(
@@ -301,6 +308,52 @@ class TransactionalWarehouse(Warehouse):
       small-files story is unchanged).
     """
 
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        self._extra_schemas: dict[str, T.StructType] = {}
+        self._extra_partitions: dict[str, list[str]] = {}
+
+    # -- table registry -----------------------------------------------------
+
+    def register_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        *,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """Declare an additional transactional table beyond the 5 reference
+        ones — e.g. a streaming sink target. Same commit protocol, same
+        committed-only reads."""
+        if name in TABLE_SCHEMAS:
+            raise ValueError(f"{name!r} is a built-in table")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad table name {name!r}")
+        self._extra_schemas[name] = schema
+        self._extra_partitions[name] = list(partition_by)
+
+    def table_schema(self, table: str) -> T.StructType:
+        if table in TABLE_SCHEMAS:
+            return TABLE_SCHEMAS[table]
+        if table in self._extra_schemas:
+            return self._extra_schemas[table]
+        raise KeyError(f"unknown warehouse table {table!r}")
+
+    def partition_columns(self, table: str) -> list[str]:
+        return (
+            PARTITION_COLUMNS[table]
+            if table in PARTITION_COLUMNS
+            else self._extra_partitions.get(table, [])
+        )
+
+    def all_tables(self) -> list[str]:
+        return [*TABLE_SCHEMAS, *self._extra_schemas]
+
+    def path(self, table: str) -> str:
+        if table in self._extra_schemas:
+            return os.path.join(self.root, table)
+        return super().path(table)
+
     def txn_root(self) -> str:
         return os.path.join(self.root, "_txn")
 
@@ -311,6 +364,8 @@ class TransactionalWarehouse(Warehouse):
         return os.path.join(self.path(table), f"{RUN_ID_COL}={run_id}")
 
     def _manifests(self) -> list[dict]:
+        """All commit manifests in snapshot order (seq, then run_id for
+        legacy seq-less markers, which sort first)."""
         commits = os.path.join(self.txn_root(), "commits")
         if not os.path.isdir(commits):
             return []
@@ -319,17 +374,44 @@ class TransactionalWarehouse(Warehouse):
             if f.endswith(".json") and not f.startswith("."):
                 with open(os.path.join(commits, f), encoding="utf-8") as fh:
                     out.append(json.load(fh))
-        return out
+        return sorted(out, key=lambda m: (m.get("seq", 0), m["run_id"]))
+
+    def _next_seq(self) -> int:
+        return max((m.get("seq", 0) for m in self._manifests()), default=0) + 1
+
+    def snapshots(self) -> list[dict]:
+        """The table history: one row per commit, in snapshot order —
+        [{seq, run_id, tables}]. Any entry's seq or run_id is a valid
+        ``as_of`` for :meth:`read`."""
+        return [
+            {
+                "seq": m.get("seq", 0),
+                "run_id": m["run_id"],
+                "tables": m.get("tables", []),
+            }
+            for m in self._manifests()
+        ]
 
     def committed_run_ids(self) -> list[str]:
         return sorted({m["run_id"] for m in self._manifests()})
 
-    def committed_runs_for(self, table: str) -> list[str]:
-        """run_ids whose data is live for ``table``: committed and not
-        superseded by a later compaction commit's ``replaces`` entry."""
+    def committed_runs_for(
+        self, table: str, as_of: int | str | None = None
+    ) -> list[str]:
+        """run_ids whose data is live for ``table``: committed (within the
+        ``as_of`` snapshot prefix, when given) and not superseded by a
+        compaction commit's ``replaces`` entry inside that same prefix."""
+        manifests = self._manifests()
+        if as_of is not None:
+            if isinstance(as_of, str):
+                seqs = [m.get("seq", 0) for m in manifests if m["run_id"] == as_of]
+                if not seqs:
+                    raise KeyError(f"unknown snapshot run_id {as_of!r}")
+                as_of = seqs[0]
+            manifests = [m for m in manifests if m.get("seq", 0) <= as_of]
         included: list[str] = []
         replaced: set[str] = set()
-        for m in self._manifests():
+        for m in manifests:
             if table in m.get("tables", ()):
                 included.append(m["run_id"])
             replaced.update(m.get("replaces", {}).get(table, ()))
@@ -346,7 +428,7 @@ class TransactionalWarehouse(Warehouse):
         """
         run_id = _sanitize_run_id(batch_id) if batch_id else uuid.uuid4().hex
         if batch_id and not self.is_committed(run_id):
-            for table in TABLE_SCHEMAS:
+            for table in self.all_tables():
                 shutil.rmtree(self.run_dir(table, run_id), ignore_errors=True)
         txn = Transaction(self, run_id)
         if self.is_committed(run_id):
@@ -358,14 +440,22 @@ class TransactionalWarehouse(Warehouse):
 
     def create_all(self) -> None:
         """DDL bootstrap: just the directory skeleton — data arrives via txns."""
-        for table in TABLE_SCHEMAS:
+        for table in self.all_tables():
             os.makedirs(self.path(table), exist_ok=True)
         os.makedirs(os.path.join(self.txn_root(), "commits"), exist_ok=True)
 
-    def read(self, table: str) -> DataFrame:
-        """Committed-runs-only read (snapshot = commit set at plan time)."""
-        committed = self.committed_runs_for(table)
-        schema = TABLE_SCHEMAS[table]
+    def read(self, table: str, as_of: int | str | None = None) -> DataFrame:
+        """Committed-runs-only read (snapshot = commit set at plan time).
+
+        ``as_of`` time-travels: pass a snapshot seq (int) or a committed
+        run_id (str) to read the table exactly as that commit left it —
+        later commits are excluded, and compactions that happened AFTER the
+        target snapshot do not hide the original runs (their files are
+        still on disk until :meth:`vacuum`, which expires time travel to
+        superseded snapshots, like any table format's snapshot expiry).
+        """
+        committed = self.committed_runs_for(table, as_of=as_of)
+        schema = self.table_schema(table)
         if not committed:
             return self.spark.createDataFrame([], schema)
         with_run = T.StructType(
@@ -433,7 +523,7 @@ class TransactionalWarehouse(Warehouse):
         """
         reclaimed: set[str] = set()
         prefix = f"{RUN_ID_COL}="
-        for table in TABLE_SCHEMAS:
+        for table in self.all_tables():
             tdir = self.path(table)
             if not os.path.isdir(tdir):
                 continue

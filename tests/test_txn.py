@@ -173,3 +173,132 @@ def test_failed_validation_run_commits_nothing(spark, twh):
     assert counts["patients"] == 1
     assert counts["pipeline_runs"] == 1  # no run row from the aborted txn
     assert not twh.is_committed("s2")
+
+
+# --- time travel + snapshot history ---------------------------------------
+
+
+def test_snapshots_are_sequenced(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    ingest_batch_atomic(
+        spark, [make_patient(mrn="MRN2")], twh, batch_id="s2"
+    )
+    snaps = twh.snapshots()
+    assert [s["run_id"] for s in snaps] == ["s1", "s2"]
+    assert [s["seq"] for s in snaps] == [1, 2]
+    assert "patients" in snaps[0]["tables"]
+
+
+def test_time_travel_read_excludes_later_commits(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    ingest_batch_atomic(spark, [make_patient(mrn="MRN2")], twh, batch_id="s2")
+    assert twh.read("patients").count() == 2
+    assert twh.read("patients", as_of=1).count() == 1
+    assert twh.read("patients", as_of="s1").count() == 1
+    # as-of the first snapshot, only the first batch's mrn is visible
+    assert twh.read("patients", as_of="s1").select("mrn").first().mrn == "MRN-001"
+
+
+def test_time_travel_survives_compaction(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    ingest_batch_atomic(spark, [make_patient(mrn="MRN2")], twh, batch_id="s2")
+    twh.compact("patients")
+    # current read = compacted run only, still 2 rows
+    assert twh.read("patients").count() == 2
+    assert len(twh.committed_runs_for("patients")) == 1
+    # time travel to before the compaction still resolves the original runs
+    assert twh.read("patients", as_of="s1").count() == 1
+    assert twh.read("patients", as_of="s2").count() == 2
+    # vacuum expires the superseded snapshots (documented, Iceberg-style)
+    twh.vacuum()
+    assert twh.read("patients").count() == 2
+
+
+def test_time_travel_unknown_run_id_raises(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    with pytest.raises(KeyError):
+        twh.read("patients", as_of="nope")
+
+
+# --- registered (extra) tables --------------------------------------------
+
+
+def test_register_table_roundtrip(spark, twh):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    twh.register_table("kv_log", schema)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    txn = twh.begin("kv1")
+    txn.stage(df, "kv_log")
+    txn.commit()
+    out = twh.read("kv_log")
+    assert out.count() == 2
+    assert {r.v for r in out.collect()} == {"a", "b"}
+    # built-in names and bad identifiers are rejected
+    with pytest.raises(ValueError):
+        twh.register_table("patients", schema)
+    with pytest.raises(ValueError):
+        twh.register_table("bad name!", schema)
+
+
+# --- exactly-once streaming sink ------------------------------------------
+
+
+def test_stream_txn_sink_exactly_once(spark, twh, tmp_path):
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.streaming.txn_sink import (
+        run_stream_to_txn,
+        txn_batch_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    twh.register_table("kv_log", schema)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], schema
+    ).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_stream_to_txn(
+        stream,
+        twh,
+        "kv_log",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_prefix="kv",
+    )
+    assert twh.read("kv_log").count() == 40
+    n_commits = len(twh.committed_run_ids())
+    assert n_commits >= 4  # one txn per micro-batch
+
+    # crash-after-commit replay: same batch_id again must be a no-op
+    replay = spark.read.parquet(src).limit(10)
+    txn_batch_sink(twh, "kv_log", batch_prefix="kv")(replay, 0)
+    assert twh.read("kv_log").count() == 40
+    assert len(twh.committed_run_ids()) == n_commits
+
+    # restart with the SAME checkpoint and no new data: no new commits
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_stream_to_txn(
+        stream2,
+        twh,
+        "kv_log",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_prefix="kv",
+    )
+    assert twh.read("kv_log").count() == 40
