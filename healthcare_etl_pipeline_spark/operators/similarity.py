@@ -389,9 +389,17 @@ def embedding_dedup_lsh(
     tables: int = 16,
     seed: int = 42,
     exact_fold: bool = True,
+    carry_vectors: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs behind a banded-LSH prefilter — the
     production form of ``cosine_near_dup_pairs``.
+
+    ``carry_vectors`` picks the band-join shape; both were measured on this
+    box: carrying vectors through the ×tables posexplode wins below ~1k
+    rows (fewer shuffles), the skinny id-only band join + vector re-attach
+    wins from ~2k rows on (7.1 s vs 11.5 s at 2k×64-dim, tables=16) and is
+    the only viable form at corpus scale — ×tables duplication of vector
+    bytes through a shuffle is the dominant cost long before 100 TB.
 
     Candidate generation: seeded random-hyperplane signatures (numpy matmul
     over Arrow batches), ``tables`` independent tables of ``planes`` bits;
@@ -411,26 +419,68 @@ def embedding_dedup_lsh(
     # Checkpointed: the Arrow-batched signature matmul feeds BOTH sides of
     # the self-join; the boundary also sidesteps self-join attribute
     # ambiguity. (bounded_persist: plan-matched reuse, LRU-capped eviction.)
-    sigs = df.select(
-        F.col(id_col), F.col(vec_col),
-        F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"),
-    ).transform(bounded_persist)
-    l, r = sigs.alias("l"), sigs.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.table") == F.col("r.table"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if carry_vectors:
+        # Vectors ride through the ×tables posexplode into the band join —
+        # one shuffle, ×tables duplication of vector bytes. Wins while
+        # (tables × vector bytes × corpus) fits shuffle comfortably.
+        sigs = df.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"),
+        ).transform(bounded_persist)
+        l, r = sigs.alias("l"), sigs.alias("r")
+        candidates = (
+            l.join(
+                r,
+                (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("keep_id"),
+                F.col(f"l.{vec_col}").alias("a_vec"),
+                F.col(f"r.{id_col}").alias("dup_id"),
+                F.col(f"r.{vec_col}").alias("b_vec"),
+            )
+            .dropDuplicates(["keep_id", "dup_id"])
         )
-        .select(
-            F.col(f"l.{id_col}").alias("keep_id"),
-            F.col(f"l.{vec_col}").alias("a_vec"),
-            F.col(f"r.{id_col}").alias("dup_id"),
-            F.col(f"r.{vec_col}").alias("b_vec"),
+    else:
+        # Skinny band join: only (id, table, bucket) triples shuffle; the
+        # deduped candidate pairs re-attach vectors via two equi-joins —
+        # two extra shuffles, but a ×tables cut in shuffled vector bytes.
+        # The scale form: at wide vectors / high table counts the exploded
+        # vector traffic dominates everything else.
+        base = df.select(
+            F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("__sigs")
+        ).transform(bounded_persist)
+        sigs = base.select(
+            F.col(id_col), F.posexplode("__sigs").alias("table", "bucket")
         )
-        .dropDuplicates(["keep_id", "dup_id"])
-    )
+        l, r = sigs.alias("l"), sigs.alias("r")
+        pair_ids = (
+            l.join(
+                r,
+                (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("keep_id"),
+                F.col(f"r.{id_col}").alias("dup_id"),
+            )
+            .dropDuplicates(["keep_id", "dup_id"])
+        )
+        vecs = base.select(F.col(id_col), F.col(vec_col))
+        candidates = pair_ids.join(
+            vecs.select(
+                F.col(id_col).alias("keep_id"), F.col(vec_col).alias("a_vec")
+            ),
+            "keep_id",
+        ).join(
+            vecs.select(
+                F.col(id_col).alias("dup_id"), F.col(vec_col).alias("b_vec")
+            ),
+            "dup_id",
+        )
     cos = (
         cosine_fold(F.col("a_vec"), F.col("b_vec"), dim)
         if exact_fold
