@@ -36,6 +36,11 @@ REPRESENTATIVES = [
     "interval_overlap_orders",
     "lsh_eval_pr_docs",
     "corpus_prep_pipeline",
+    "audio_decode_wav",
+    "video_frame_sample_y4m",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "txn_time_travel_read",
 ]
 
 
