@@ -532,3 +532,74 @@ def select_until_budget(
         .filter((F.col("cum_tokens") - F.col(weight_col)) < F.lit(budget))
         .select(id_col, quality_col, weight_col, "cum_tokens")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+) -> DataFrame:
+    """DSIR-style importance weights: hashed-n-gram log-likelihood ratio of
+    a TARGET domain over the RAW domain, per document.
+
+    Data Selection via Importance Resampling (Xie et al., 2023) scores raw
+    documents by how target-like they look under cheap hashed n-gram LMs:
+    weight(doc) = mean over tokens of
+    ``ln p_target(bucket(tok)) − ln p_raw(bucket(tok))`` with add-1
+    smoothing over ``buckets`` hash buckets. Positive → more target-like;
+    resample/threshold on the weight to select pretraining data.
+
+    Scale shape (the whole point of the hashed formulation):
+    - ONE shuffle of (bucket) keys builds both domain LMs simultaneously —
+      conditional map-side-combined counts, ``buckets`` output rows total,
+      independent of corpus size.
+    - The per-bucket log-ratio table (``buckets`` rows) broadcasts; the
+      doc-side pass is explode → broadcast-join → per-doc re-aggregation,
+      shuffling only (doc, partial-sum) pairs.
+    - No vocabulary is materialized: hashing bounds LM size by construction
+      (the published recipe's trick for 100 TB-scale selection).
+
+    Output: (id, n_tokens, importance round-6). Empty docs drop out (no
+    tokens → no LM evidence), mirroring the oracle's join semantics.
+    """
+    spark = docs.sparkSession
+    tok = spread(docs, spark).select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    from healthcare_etl_pipeline_spark.operators.text import portable_char_hash
+
+    tok = tok.select(
+        id_col,
+        "__is_target",
+        (portable_char_hash(F.col("tok")) % buckets).alias("bucket"),
+    )
+    stats = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("__is_target"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
+    )
+    log_ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt") + 1.0) / (F.col("t_total") + F.lit(buckets)))
+                - F.log((F.col("r_cnt") + 1.0) / (F.col("r_total") + F.lit(buckets)))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("importance"),
+        )
+    )

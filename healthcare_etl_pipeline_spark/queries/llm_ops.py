@@ -2548,3 +2548,51 @@ def novelty_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_DSIR_TARGET = "('src0','src1','src2','src3','src4')"
+
+
+@query(
+    "importance_weight_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()},
+    tb AS (
+      SELECT doc_id, source, ({_duck_hash('t.tok')} % 512) AS bucket
+      FROM (SELECT doc_id, source, unnest(tk) AS tok FROM toks) t
+    ),
+    stats AS (
+      SELECT bucket,
+             sum(CASE WHEN source IN {_DSIR_TARGET} THEN 1 ELSE 0 END) AS t_cnt,
+             sum(CASE WHEN source IN {_DSIR_TARGET} THEN 0 ELSE 1 END) AS r_cnt
+      FROM tb GROUP BY bucket
+    ),
+    tot AS (SELECT sum(t_cnt) AS t_total, sum(r_cnt) AS r_total FROM stats),
+    lr AS (
+      SELECT bucket,
+             ln((t_cnt + 1.0) / (t_total + 512)) - ln((r_cnt + 1.0) / (r_total + 512)) AS lr
+      FROM stats, tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(lr), 6) AS importance
+    FROM tb JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+    description="DSIR-style data selection: hashed-unigram importance "
+    "weights (target = sources src0-src4, raw = the rest; 512 hash "
+    "buckets, add-1 smoothing). One bucket-key shuffle builds both domain "
+    "LMs; the 512-row log-ratio table broadcasts back onto the token "
+    "stream. Per-doc mean log-likelihood ratio, value-checked end-to-end "
+    "including the portable token hash.",
+    tags=("llm", "selection", "quality", "dsir"),
+)
+def importance_weight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import importance_weights
+
+    docs = t(spark, sf_dir, "documents")
+    return importance_weights(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        buckets=512,
+    )

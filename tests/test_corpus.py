@@ -156,3 +156,34 @@ def test_segment_dedup_strips_repeated_segments(spark):
     assert out[4].n_kept == out[4].n_segments  # untouched doc keeps all
     # survivors reassemble in original segment order
     assert out[1].clean_text.startswith("alpha beta gamma delta")
+
+
+def test_importance_weights_separates_domains(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.operators.corpus import importance_weights
+
+    # target domain speaks only 'aa bb', raw domain only 'zz yy' — a target
+    # doc must score positive, a raw doc negative, and a mixed doc between
+    rows = [
+        (1, "t", "aa bb aa bb aa"),
+        (2, "t", "bb aa bb"),
+        (3, "r", "zz yy zz yy"),
+        (4, "r", "yy zz yy"),
+        (5, "r", "aa bb zz yy"),  # mixed
+        (6, "r", ""),             # empty: must drop out
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "dom", "text"])
+    out = {
+        r.doc_id: r
+        for r in importance_weights(
+            docs, F.col("dom") == "t", buckets=64
+        ).collect()
+    }
+    assert 6 not in out
+    assert out[1].n_tokens == 5
+    assert out[1].importance > 0
+    assert out[2].importance > 0
+    assert out[3].importance < 0
+    assert out[4].importance < 0
+    assert out[3].importance < out[5].importance < out[1].importance
