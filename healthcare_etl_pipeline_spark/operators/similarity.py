@@ -8,11 +8,18 @@ Two paths:
   once, no shuffle except the final per-query top-k — which AQE keeps tiny
   because row_number is applied after a partial sort.
 - **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
-  (deterministic, derived from a hash of (plane, dim) — no stored model),
-  bucket equi-join, exact cosine re-rank inside buckets. Recall < 1 by
-  construction; the oracle for this one is rows-only.
+  (deterministic, seeded — no stored model), bucket equi-join, exact
+  cosine re-rank inside buckets. Recall < 1 by construction; the
+  registered queries wrap it in a value-checkable accuracy contract
+  (exact top-k sets + an in-plan recall floor).
 
-Everything is expression-only — no UDF in the hot path.
+Kernel policy, measured both ways: signatures, centroid assignment and
+candidate re-ranks run as Arrow-batched numpy kernels (one matmul/einsum
+per batch); the expression-fold forms remain for oracle-exact arithmetic
+(``cosine_fold``) and worker-free deployments (``hyperplane_signature``).
+Interpreted HOF folds lose ~10× at runtime, and inlining literals into
+codegen folds loses seconds of Catalyst/Janino PLAN time per query — the
+Arrow kernel is the only shape cheap at both ends.
 """
 
 from __future__ import annotations

@@ -813,8 +813,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= 5 GROUP BY q_id
     """,
     description="IVF-style ANN as a value-checked ACCURACY CONTRACT: "
-    "label-seeded centroid cells (map-only inlined-literal assignment — no "
-    "shuffle), nprobe=3 of 10 cells probed, exact re-rank inside probed "
+    "label-seeded centroid cells (map-only Arrow-batched argmax assignment "
+    "— no shuffle), nprobe=3 of 10 cells probed, exact re-rank inside probed "
     "cells, compared in-plan against brute-force exact top-5. Exact sets "
     "hash-match the oracle; aggregate recall@5 must clear 0.3 (observed "
     "0.44–0.54 across sf0.001–0.1; 3/10 cells probed) or the boolean flips "
