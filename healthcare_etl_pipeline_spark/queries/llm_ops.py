@@ -2596,3 +2596,61 @@ def importance_weight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
         buckets=512,
     )
+
+
+@query(
+    "export_jsonl_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({hash_bucket_sql("doc_id")} % 8 AS INTEGER) AS shard,
+           md5(text) AS text_md5,
+           n_chars
+    FROM documents
+    """,
+    description="Training-data export, value-checked through the FULL "
+    "write->read roundtrip: documents shard deterministically (portable "
+    "hash-bucket of doc_id mod 8), write as gzipped JSONL partitioned by "
+    "shard with a post-write manifest, then read BACK through Spark's JSON "
+    "reader. Returned ids, hive-derived shard assignments, and text md5s "
+    "must match the oracle's direct recomputation - a broken JSON escape, "
+    "a misplaced row, or a manifest/row-count mismatch (asserted in-query) "
+    "flips the check red.",
+    tags=("export", "sink", "llm"),
+)
+def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as TY
+
+    from healthcare_etl_pipeline_spark.sources.export import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+        read_manifest,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"export_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    manifest = export_jsonl_shards(docs, out, n_shards=8)
+
+    schema = TY.StructType(
+        [
+            TY.StructField("doc_id", TY.LongType()),
+            TY.StructField("text", TY.StringType()),
+            TY.StructField("n_chars", TY.LongType()),
+        ]
+    )
+    back = read_jsonl_shards(spark, out, schema)
+    n_back = back.count()
+    assert manifest["row_count"] == n_back, "manifest must account for every row"
+    assert sum(manifest["shard_counts"].values()) == n_back
+    return back.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.md5("text").alias("text_md5"),
+        "n_chars",
+    )
