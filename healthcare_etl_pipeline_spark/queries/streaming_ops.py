@@ -423,3 +423,38 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    description="Stream-static enrichment: the events stream joins the "
+    "static customer dimension per micro-batch (broadcast hash join - the "
+    "dim is re-resolvable each batch, the streaming side never shuffles "
+    "for the join), then aggregates per (segment, event_type). The "
+    "standard dimension-enrich shape for streaming pipelines; settled "
+    "result value-checked against the batch join.",
+    tags=("streaming", "join", "enrich"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+
+    events = streaming_events(spark, sf_dir, watermark=None)
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    enriched = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    )
+    agg = enriched.groupBy("mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_stream_to_memory(spark, agg, output_mode="complete")
