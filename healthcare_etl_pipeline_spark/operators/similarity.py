@@ -769,3 +769,66 @@ def random_projection_oracle_sql(
         )
         outs.append(f"round(({terms}) / {scale!r}, 6) AS p{i}")
     return f"SELECT {id_col}, " + ", ".join(outs) + f" FROM {table}"
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+) -> None:
+    """Materialize the IVF index: corpus written PARTITIONED BY cell, plus
+    the centroid table alongside.
+
+    This is the "cell assignment is write-time work" claim made concrete:
+    at query time the probed cells become a partition-pruning isin filter —
+    the scan lists only |probed|/|cells| of the files and never opens the
+    rest. Rebuild on centroid drift the way any vector index is refreshed.
+    """
+    cents = label_centroids(
+        corpus, cell_col=cell_col, vec_col=vec_col, dim=dim
+    ).transform(bounded_persist)
+    assigned = assign_cells(
+        corpus, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+    cents.write.mode("overwrite").parquet(index_dir + ".centroids")
+
+
+def ann_ivf_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 3,
+) -> DataFrame:
+    """ANN top-k served FROM the persisted index: assign each query to its
+    ``nprobe`` cells, then scan ONLY those cells' partitions (isin on the
+    partition column → pruning at file-listing time), exact re-rank inside.
+    """
+    cents = spark.read.parquet(index_dir + ".centroids")
+    q_cells = assign_cells(
+        queries, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=nprobe
+    ).select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell")
+    probed = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell").isin(probed))
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "cell")
+    )
+    scored = q_cells.join(corpus, "cell").withColumn(
+        "cos_sim", cosine_vectorized(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -2654,3 +2654,49 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         "n_chars",
     )
+
+
+@query(
+    "ann_ivf_persisted",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q_id, vec_id, {_DUCK_COS} AS cos FROM q, c
+         ), ranked AS (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, list_sort(list(vec_id)) AS exact_top5, TRUE AS recall_floor_met
+    FROM ranked WHERE rank <= 5 GROUP BY q_id
+    """,
+    description="IVF ANN served FROM A PERSISTED INDEX, as the same "
+    "value-checked accuracy contract as ann_ivf_cosine: the corpus is "
+    "written partitioned by assigned cell (+ centroid table alongside), "
+    "queries probe nprobe=3 cells via a partition-pruning isin filter — "
+    "the scan lists only the probed cells' files — and the exact re-rank "
+    "runs inside. Exact top-5 sets hash-match the oracle; aggregate "
+    "recall@5 must clear 0.3 or the boolean flips red. Proves the "
+    "'assignment is write-time work' scale story end-to-end through real "
+    "parquet layout.",
+    tags=("similarity", "ivf", "index", "llm"),
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+
+    def approx(q, c):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(index_dir + ".centroids", ignore_errors=True)
+        S.build_ivf_index(c, index_dir, dim=64)
+        return S.ann_ivf_from_index(
+            spark, index_dir, q, k=5, dim=64, nprobe=3
+        )
+
+    return _ann_recall_contract(spark, sf_dir, approx, floor=0.3)

@@ -159,3 +159,29 @@ def test_ann_lsh_vectorized_recall(spark):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    import healthcare_etl_pipeline_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    index_dir = str(tmp_path / "ivf_idx")
+    S.build_ivf_index(corpus, index_dir, dim=64)
+
+    served = S.ann_ivf_from_index(spark, index_dir, queries, k=3, dim=64, nprobe=2)
+    rows = served.collect()
+    assert {r.q_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 1 <= r.rank <= 3
+
+    # the probed-cell filter must reach the FILE LISTING, not just the scan:
+    # the pruned read's plan shows PartitionFilters on the cell column
+    cents = spark.read.parquet(index_dir + ".centroids")
+    probed = [r["cell"] for r in cents.limit(2).collect()]
+    pruned = spark.read.parquet(index_dir).filter(F.col("cell").isin(probed))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
