@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("health", help="session liveness probe")
 
+    p_srv = sub.add_parser("serve", help="HTTP API (reference REST surface)")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+    p_srv.add_argument("--warehouse", required=True)
+    p_srv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = parser.parse_args(argv)
 
     from healthcare_etl_pipeline_spark.queries import all_queries
@@ -68,6 +74,24 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")
         else:
             df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "serve":
+        from healthcare_etl_pipeline_spark.api import EngineAPI, make_server
+        from healthcare_etl_pipeline_spark.sources.warehouse import (
+            TransactionalWarehouse,
+        )
+
+        wh = TransactionalWarehouse(spark, args.warehouse)
+        wh.create_all()
+        srv = make_server(
+            EngineAPI(spark, wh, args.sf_dir), host=args.host, port=args.port
+        )
+        print(f"serving on http://{args.host}:{srv.server_address[1]}/api/v1")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
         return 0
 
     if args.cmd == "ingest":

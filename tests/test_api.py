@@ -1,0 +1,114 @@
+"""HTTP serving layer: the reference REST surface (health / ingest /
+patient reads / listing) plus the query extension, over a live server."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from healthcare_etl_pipeline_spark.api import EngineAPI, serve_background
+from healthcare_etl_pipeline_spark.sources.warehouse import TransactionalWarehouse
+from tests.conftest import make_patient
+
+
+@pytest.fixture
+def api_server(spark, tmp_path):
+    wh = TransactionalWarehouse(spark, str(tmp_path / "api_wh"))
+    wh.create_all()
+    srv, port = serve_background(
+        EngineAPI(spark, wh, "/root/testdata/sf0.001"), port=0
+    )
+    yield f"http://127.0.0.1:{port}/api/v1", wh
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(api_server):
+    base, _ = api_server
+    status, body = _get(f"{base}/health")
+    assert status == 200
+    assert body["status"] == "healthy"
+    assert body["database"] == "connected"
+
+
+def test_ingest_then_read_and_list(api_server):
+    base, wh = api_server
+    status, body = _post(
+        f"{base}/ingest",
+        {"records": [make_patient(), make_patient(mrn="MRN-002")]},
+    )
+    assert status == 200
+    assert body["status"] == "success"
+    assert body["pipeline"] == "patient_ingestion"
+    assert body["record_counts"]["load_count"] == 2
+    assert body["record_counts"]["valid_count"] == 2
+
+    status, listing = _get(f"{base}/patients?limit=10")
+    assert status == 200
+    assert {p["mrn"] for p in listing} == {"MRN-001", "MRN-002"}
+    assert all(p["has_data_sharing_consent"] for p in listing)
+
+    # keyset pagination: page after the first mrn returns only the second
+    status, page2 = _get(f"{base}/patients?limit=10&after_mrn=MRN-001")
+    assert status == 200
+    assert [p["mrn"] for p in page2] == ["MRN-002"]
+
+    # point read by id, audit row appended (reference routes.py:190 parity)
+    pid = listing[0]["id"]
+    audits_before = wh.read("audit_log").count()
+    status, patient = _get(f"{base}/patients/{pid}")
+    assert status == 200
+    assert patient["id"] == pid
+    assert patient["has_data_sharing_consent"] is True
+    assert wh.read("audit_log").count() == audits_before + 1
+
+
+def test_unknown_patient_404(api_server):
+    base, _ = api_server
+    status, body = _get(f"{base}/patients/no-such-id")
+    assert status == 404
+    assert body["detail"] == "Patient not found"
+
+
+def test_ingest_validation_422(api_server):
+    base, _ = api_server
+    status, body = _post(f"{base}/ingest", {"records": []})
+    assert status == 422
+
+
+def test_query_endpoint(api_server):
+    base, _ = api_server
+    status, body = _get(f"{base}/queries")
+    assert status == 200
+    names = {q["name"] for q in body}
+    assert "q1_pricing_summary" in names
+
+    status, result = _post(f"{base}/query/q1_pricing_summary", {"limit": 2})
+    assert status == 200
+    assert result["row_count"] == 2
+    assert {"l_returnflag", "l_linestatus"} <= set(result["rows"][0])
+
+    status, body = _post(f"{base}/query/nope", {})
+    assert status == 404
