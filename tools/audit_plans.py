@@ -47,6 +47,8 @@ EXPECTED_NESTED_LOOP = {
     "temperature_mix_docs",     # min-stratum-size crossjoin (1-row broadcast)
     "ann_lsh_cosine",           # recall-flag crossjoin (1-row broadcast agg)
     "kmeans_embeddings",        # convergence-flag crossjoin (1-row broadcast agg)
+    "ann_ivf_persisted",        # recall-flag crossjoin (1-row broadcast agg)
+    "importance_weight_docs",   # domain-totals crossjoin (1-row broadcast agg)
 }
 
 # Queries expected to run Python (Arrow) stages.
@@ -66,6 +68,7 @@ EXPECTED_PYTHON = {
     "audio_decode_wav",     # real WAV decode kernel (mapInPandas)
     "audio_frame_energy",   # real WAV decode kernel (mapInPandas)
     "video_frame_sample_y4m",     # real Y4M container parse (mapInPandas)
+    "ann_ivf_persisted",    # Arrow cell-assignment + einsum re-rank kernels
 }
 
 
