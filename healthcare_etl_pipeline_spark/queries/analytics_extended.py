@@ -965,3 +965,90 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
     )
     return triangle_stats(edges)
+
+
+@query(
+    "rolling_event_features",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h,
+           round(max(value) OVER w, 2) AS max_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    description="Time-RANGE window frames — per-user rolling 1-hour event "
+    "features (count/sum/max over an interval frame, microsecond-exact "
+    "boundaries), the standard online-feature backfill shape. Spark "
+    "expresses the interval frame as rangeBetween over unix microseconds; "
+    "per-user frames shuffle once on user_id and never cross partitions.",
+    tags=("window", "range-frame", "features"),
+)
+def rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.round(F.max("value").over(w), 2).alias("max_1h"),
+    )
+
+
+@query(
+    "histogram_orders",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+      SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - CAST(lo AS DOUBLE))
+                         * 16.0 / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)))
+                   AS INTEGER) + 1, 16) AS bin,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS depth_bin,
+             o_totalprice
+      FROM orders, bounds
+    )
+    SELECT bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max,
+           count(DISTINCT depth_bin) AS depth_bins_touched
+    FROM binned GROUP BY bin
+    """,
+    description="Histogram construction both ways: equi-WIDTH binning over "
+    "the global [min,max] (16 bins via identical IEEE-double arithmetic in "
+    "both engines, top edge folded into the last bin) and equi-DEPTH via "
+    "ntile(8) with a deterministic tie-break, summarized per width-bin. The profiling shape behind "
+    "optimizer statistics and drift monitors; bounds attach as a 1-row "
+    "broadcast, binning is a pure projection.",
+    tags=("histogram", "profile", "agg"),
+)
+def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    wd = Window.orderBy("o_totalprice", "o_orderkey")
+    lo = F.col("lo").cast("double")
+    hi = F.col("hi").cast("double")
+    x = F.col("o_totalprice").cast("double")
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((x - lo) * 16.0 / (hi - lo)).cast("int") + 1, F.lit(16)
+        ).alias("bin"),
+        F.ntile(8).over(wd).alias("depth_bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        F.countDistinct("depth_bin").alias("depth_bins_touched"),
+    )
