@@ -628,3 +628,68 @@ def observations_ingest_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valueQuantity").getField("value").alias("value"),
         F.col("valueQuantity").getField("unit").alias("unit"),
     )
+
+
+@query(
+    "k_anonymity_patients",
+    oracle=_SYNTH_CTE
+    + "SELECT gender, substr(birthDate, 1, 3) || '0s' AS decade,\n"
+    + "       count(*) AS class_size,\n"
+    + "       count(*) < 5 AS k_violation,\n"
+    + "       count(DISTINCT data_sharing) AS l_diversity,\n"
+    + "       count(DISTINCT data_sharing) <= 1 AS homogeneous\n"
+    + "FROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + "\nGROUP BY 1, 2",
+    description="Re-identification risk audit over the validated patient "
+    "batch: equivalence classes on the (gender, birth decade) "
+    "quasi-identifiers, per-class size with the k=5 violation flag, and "
+    "distinct-l diversity + homogeneity flag on the data-sharing consent "
+    "as the sensitive attribute. One map-side-combined groupBy; the "
+    "standard pre-release privacy audit for a PHI store.",
+    tags=("privacy", "k-anonymity", "etl"),
+)
+def k_anonymity_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.privacy import k_anonymity
+
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    prepared = valid.select(
+        "gender",
+        F.concat(F.substring("birthDate", 1, 3), F.lit("0s")).alias("decade"),
+        F.col("consent")["data_sharing"].alias("data_sharing"),
+    )
+    return k_anonymity(
+        prepared, ["gender", "decade"], sensitive_col="data_sharing", k=5
+    )
+
+
+@query(
+    "deidentify_patients",
+    oracle=_SYNTH_CTE
+    + "SELECT md5('deid:' || mrn) AS pseudonym,\n"
+    + "       CAST(substr(birthDate, 1, 4) AS INTEGER) AS birth_year,\n"
+    + "       CASE WHEN 2026 - CAST(substr(birthDate, 1, 4) AS INTEGER) >= 90\n"
+    + "            THEN '90+'\n"
+    + "            ELSE CAST(2026 - CAST(substr(birthDate, 1, 4) AS INTEGER)\n"
+    + "                      AS VARCHAR) END AS age_band,\n"
+    + "       CAST(NULL AS VARCHAR) AS ssn,\n"
+    + "       gender\n"
+    + "FROM synth\nWHERE "
+    + _DUCK_IS_VALID,
+    description="HIPAA Safe-Harbor-style de-identification of the validated "
+    "batch: mrn -> keyed md5 pseudonym, birth date generalized to year, "
+    "age top-coded at 90+ (exercised by unit test; this corpus's ages "
+    "fall below), ssn suppressed with the column kept for schema "
+    "stability, gender passed through. Pure projection - runs at any "
+    "scale, value-checked end-to-end.",
+    tags=("privacy", "deidentify", "etl"),
+)
+def deidentify_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.privacy import (
+        safe_harbor_deidentify,
+    )
+
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    return safe_harbor_deidentify(valid)
