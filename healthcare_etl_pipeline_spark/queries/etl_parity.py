@@ -693,3 +693,51 @@ def deidentify_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _synth_patients(spark, sf_dir)
     valid, _ = validate_split(raw, PATIENT_RULES)
     return safe_harbor_deidentify(valid)
+
+
+@query(
+    "gdpr_forget_read",
+    oracle=_SYNTH_CTE
+    + "SELECT mrn, gender\nFROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS TRUE AND c_custkey % 4 = 2",
+    description="Right-to-be-forgotten over the transactional warehouse: the "
+    "even-custkey batch commits, then every subject with custkey % 4 == 0 "
+    "is erased via forget() — one transaction whose marker atomically "
+    "replaces the live runs with rewritten, subject-free data. The "
+    "committed read must return exactly the % 4 == 2 remainder: a "
+    "half-applied erasure or a resurrected row flips the hash.",
+    tags=("txn", "privacy", "gdpr", "etl"),
+)
+def gdpr_forget_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_gdpr_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    consented, _ = consent_gate(valid, consent_col=F.col("consent")["data_sharing"])
+    txn = wh.begin("gdpr-even")
+    load_patients(
+        wh,
+        transform_patients(consented.filter(F.col("c_custkey") % 2 == 0)),
+        txn=txn,
+    )
+    txn.commit()
+
+    # subject set: custkey % 4 == 0 (mrn encodes the custkey)
+    erase = F.substring("mrn", 4, 20).cast("long") % 4 == 0
+    wh.forget({"patients": erase})
+    return wh.read("patients").select("mrn", "gender")

@@ -478,6 +478,41 @@ class TransactionalWarehouse(Warehouse):
             raise
         txn.commit()
 
+    def forget(self, predicates: dict[str, "Column"]) -> dict[str, int]:
+        """Right-to-be-forgotten: atomically rewrite tables WITHOUT the rows
+        matching each table's predicate (GDPR erasure / consent revocation).
+
+        ``predicates`` maps table → the Column identifying rows to ERASE
+        (e.g. ``{"patients": col("id") == pid, "consent_records":
+        col("patient_id") == pid}``). All rewrites stage under ONE
+        transaction whose marker ``replaces`` every live run of every
+        touched table — the single rename makes the subject disappear from
+        all tables at the same instant, never from some but not others.
+        Returns per-table erased-row counts.
+
+        The erased bytes remain in superseded run dirs until
+        :meth:`vacuum` — as with every table format, erasure is complete
+        only after snapshot expiry (and time travel to pre-erasure
+        snapshots dies with it, which for GDPR is the point).
+
+        Scale shape: identical to compaction — one filtered scan + write
+        per table; the filter prunes/pushes down like any other predicate.
+        """
+        txn = self.begin()
+        erased: dict[str, int] = {}
+        try:
+            for table, pred in predicates.items():
+                old_runs = self.committed_runs_for(table)
+                current = self.read(table)
+                erased[table] = current.filter(pred).count()
+                txn.stage(current.filter(~pred | pred.isNull()), table)
+                txn.replaces[table] = old_runs
+        except Exception:
+            txn.abort()
+            raise
+        txn.commit()
+        return erased
+
     def compact(
         self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
     ) -> int:

@@ -302,3 +302,57 @@ def test_stream_txn_sink_exactly_once(spark, twh, tmp_path):
         batch_prefix="kv",
     )
     assert twh.read("kv_log").count() == 40
+
+
+# --- right to be forgotten ------------------------------------------------
+
+
+def test_forget_erases_subject_across_tables_atomically(spark, twh):
+    from pyspark.sql import functions as F
+
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    ingest_batch_atomic(spark, [make_patient(mrn="MRN2")], twh, batch_id="s2")
+    pid = (
+        twh.read("patients").filter(F.col("mrn") == "MRN-001").first().id
+    )
+    consents_before = twh.read("consent_records").count()
+    clinical_before = twh.read("clinical_records").count()
+
+    erased = twh.forget(
+        {
+            "patients": F.col("id") == pid,
+            "consent_records": F.col("patient_id") == pid,
+            "clinical_records": F.col("patient_id") == pid,
+        }
+    )
+    assert erased["patients"] == 1
+    assert erased["consent_records"] == 2  # data_sharing + research rows
+
+    # subject is gone from every table; the other patient is intact
+    assert twh.read("patients").filter(F.col("id") == pid).count() == 0
+    assert twh.read("patients").count() == 1
+    assert (
+        twh.read("consent_records").count()
+        == consents_before - erased["consent_records"]
+    )
+    assert (
+        twh.read("clinical_records").count()
+        == clinical_before - erased["clinical_records"]
+    )
+
+    # erasure is one snapshot: time travel BEFORE it still shows the
+    # subject (until vacuum expires those snapshots — the GDPR point)
+    assert twh.read("patients", as_of="s2").count() == 2
+    twh.vacuum()
+    assert twh.read("patients").count() == 1
+
+
+def test_forget_aborts_cleanly_on_bad_predicate(spark, twh):
+    from pyspark.sql import functions as F
+
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    n_before = twh.read("patients").count()
+    with pytest.raises(Exception):
+        twh.forget({"patients": F.col("no_such_column") == 1})
+    # nothing changed, no half-erased state
+    assert twh.read("patients").count() == n_before
