@@ -75,3 +75,41 @@ def safe_harbor_deidentify(
 def generalize(col: Column, *, width: int) -> Column:
     """Numeric generalization helper: value → its width-sized band start."""
     return (F.floor(col / width) * width).cast("long")
+
+
+def laplace_noise(scale: float, seed: int | None = None) -> Column:
+    """Laplace(0, scale) sample via inverse-CDF from uniform(−0.5, 0.5):
+    ``−scale · sign(u) · ln(1 − 2|u|)``. Real randomness (``rand()``), one
+    sample per row, fully distributed."""
+    u = (F.rand(seed) if seed is not None else F.rand()) - F.lit(0.5)
+    return -F.lit(float(scale)) * F.signum(u) * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+
+
+def dp_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 0.5,
+    sensitivity: float = 1.0,
+    seed: int | None = None,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism.
+
+    Adds Laplace(sensitivity/ε) noise to each group's count — the textbook
+    mechanism for releasing counting queries over sensitive populations
+    (each individual contributes to at most ``sensitivity`` groups).
+    Output: group cols, ``n_exact``, ``n_noisy`` (rounded, floored at 0).
+
+    PRODUCTION CONTRACT: release ``n_noisy`` ONLY — ``n_exact`` is emitted
+    so callers/tests can measure the error, and publishing it would void
+    the DP guarantee. The noise is genuinely random (non-deterministic
+    per run); the registered query therefore value-checks a tail-bound
+    accuracy contract (|noise| ≤ 10·scale, miss probability e^−10 per
+    group) rather than the noisy values themselves.
+    """
+    scale = float(sensitivity) / float(epsilon)
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_exact"))
+    noisy = F.col("n_exact") + laplace_noise(scale, seed)
+    return counts.withColumn(
+        "n_noisy", F.greatest(F.round(noisy), F.lit(0.0)).cast("long")
+    )

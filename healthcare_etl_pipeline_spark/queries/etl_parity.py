@@ -741,3 +741,31 @@ def gdpr_forget_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     erase = F.substring("mrn", 4, 20).cast("long") % 4 == 0
     wh.forget({"patients": erase})
     return wh.read("patients").select("mrn", "gender")
+
+
+@query(
+    "dp_counts_events",
+    oracle="""
+    SELECT event_type, count(*) AS n_exact, TRUE AS dp_ok
+    FROM events GROUP BY event_type
+    """,
+    description="Differentially-private count release (Laplace mechanism, "
+    "epsilon=0.5, sensitivity 1) as a tail-bound accuracy CONTRACT: the "
+    "per-event-type noisy counts are genuinely random so cannot hash, so "
+    "the query emits the exact counts (hash-checked) plus dp_ok = "
+    "|noisy - exact| <= 10*scale per group (miss probability e^-10 ~ "
+    "4.5e-5 per group - a mechanism bug flips the boolean). Production "
+    "callers release n_noisy only; see operators/privacy.py:dp_counts.",
+    tags=("privacy", "dp", "agg"),
+)
+def dp_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.privacy import dp_counts
+
+    ev = t(spark, sf_dir, "events")
+    out = dp_counts(ev, ["event_type"], epsilon=0.5, sensitivity=1.0)
+    bound = 10.0 * (1.0 / 0.5)
+    return out.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("n_noisy") - F.col("n_exact")) <= bound + 0.5).alias("dp_ok"),
+    )

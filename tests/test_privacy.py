@@ -59,3 +59,38 @@ def test_generalize_bands(spark):
     df = spark.createDataFrame([(3,), (49,), (50,), (104,)], ["v"])
     out = [r.b for r in df.select(generalize(F.col("v"), width=50).alias("b")).collect()]
     assert out == [0, 0, 50, 100]
+
+
+def test_laplace_noise_distribution(spark):
+    import math
+
+    from healthcare_etl_pipeline_spark.operators.privacy import laplace_noise
+
+    scale = 2.0
+    n = 20_000
+    samples = [
+        r.x
+        for r in spark.range(n)
+        .select(laplace_noise(scale, seed=7).alias("x"))
+        .collect()
+    ]
+    mean = sum(samples) / n
+    var = sum((s - mean) ** 2 for s in samples) / n
+    # Laplace(0, b): mean 0, var 2b^2 = 8. Loose 5-sigma-ish tolerances.
+    assert abs(mean) < 0.15
+    assert abs(var - 8.0) < 1.5
+    # symmetric-ish and actually noisy
+    assert 0.45 < sum(1 for s in samples if s > 0) / n < 0.55
+    assert len({round(s, 6) for s in samples}) > n // 2
+
+
+def test_dp_counts_noisy_but_bounded(spark):
+    from healthcare_etl_pipeline_spark.operators.privacy import dp_counts
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)], ["id", "g"]
+    )
+    out = {r.g: r for r in dp_counts(df, ["g"], epsilon=0.5).collect()}
+    for g in ("a", "b"):
+        assert out[g].n_exact == 500
+        assert abs(out[g].n_noisy - 500) <= 21  # 10*scale + rounding
