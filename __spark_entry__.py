@@ -40,9 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every value-checkable query; engine-specific
-    ops (HLL sketches, xxhash64-based LSH, stubbed decode) are omitted →
-    rows-only checks."""
+    """DuckDB-equivalent SQL for EVERY registered query — since round 3
+    none are rows-only: approximate/random operators are registered as
+    value-checkable accuracy contracts (exact results + tolerance/recall
+    booleans), and multimodal decodes against closed-form payloads."""
     return {
         name: spec.oracle
         for name, spec in all_queries().items()
