@@ -838,3 +838,101 @@ def lsh_cross_candidates(
     else:
         joined = lb.join(rb, "bucket")
     return joined.select("left_id", "right_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (ExactSubstr-style, rolling k-gram form)
+# ---------------------------------------------------------------------------
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-document exact-substring duplication profile: for every length-k
+    token window, count how many windows recur ANYWHERE else in the corpus
+    (cross- or within-document), and the longest contiguous duplicated span.
+
+    This is the distributed re-expression of ExactSubstr deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the reference algorithm builds a corpus-wide suffix array on a
+    single machine to find verbatim substrings >= k tokens repeated anywhere.
+    A suffix array does not shard; the standard cluster form replaces it with
+    rolling k-gram hashing — any repeated substring of length >= k contains a
+    repeated k-gram, so marking repeated k-grams and merging adjacent marked
+    positions recovers every maximal duplicated span (with span length
+    run + k - 1) at the cost of missing repeats shorter than k.
+
+    Plan shape (scale contract):
+    1. tokenize + slide: map-only, one (id, pos, gram_hash) row per window;
+       the shuffle payload is an 8-byte hash, never the text.
+    2. duplicate detection: hash-groupBy on gram_hash (one shuffle,
+       map-side partial counts).
+    3. mark: semi-join positions against duplicated hashes — equi-join on
+       the hash, broadcast when the duplicate set is small, AQE skew-split
+       otherwise (boilerplate grams are Zipfian-hot).
+    4. span merge: per-document gaps-and-islands (pos - row_number) under a
+       Window.partitionBy(doc) — state is per-document only.
+
+    Output: (id, n_grams, n_dup_grams, dup_gram_ratio, max_dup_span) —
+    max_dup_span is in TOKENS (0 when the doc has no duplicated window).
+    """
+    tk = tokens(F.col(text_col))
+    hash_fn = portable_char_hash if hash_mode == "portable" else F.xxhash64
+    grams = F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - k + 1),
+            lambda i: hash_fn(F.array_join(F.slice(tk, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+    base = df.select(F.col(id_col), grams.alias("__gs")).transform(bounded_persist)
+    ex = base.select(
+        id_col, F.posexplode("__gs").alias("__pos0", "__h")
+    ).select(id_col, (F.col("__pos0") + 1).alias("__pos"), "__h")
+
+    dup = (
+        ex.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > 1)
+        .select("__h")
+    )
+    marked = ex.join(dup, "__h", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = (
+        marked.withColumn("__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__run").alias("__n_dup"),
+            F.max("__run").alias("__max_run"),
+        )
+    )
+
+    counts = base.select(
+        F.col(id_col), F.size("__gs").cast("long").alias("n_grams")
+    )
+    return (
+        counts.join(runs, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("__n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce(F.col("__n_dup"), F.lit(0)) / F.col("n_grams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_gram_ratio"),
+            F.coalesce(F.col("__max_run") + (k - 1), F.lit(0))
+            .cast("long")
+            .alias("max_dup_span"),
+        )
+    )

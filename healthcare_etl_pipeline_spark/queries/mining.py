@@ -1,0 +1,395 @@
+"""Round-3 mining/statistics wave: exact-substring duplication profiling,
+market-basket pair mining, PMI co-occurrence, Pareto frontier, regression /
+hypothesis-test aggregates, multi-source BFS.
+
+All value-oracled. Float columns are rounded to 6 dp on both sides;
+integer-exact thresholds use integer arithmetic (``25*df >= 2*n`` instead of
+``df >= 0.08*n`` with a DECIMAL-typed literal) wherever a DuckDB DECIMAL
+literal could diverge from Spark's double arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_etl_pipeline_spark.operators.text import portable_char_hash_sql
+from healthcare_etl_pipeline_spark.queries.helpers import t, td
+from healthcare_etl_pipeline_spark.queries.registry import query
+
+_K = 8  # token window for exact-substring profiling
+
+_DUCK_TOKS = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+
+@query(
+    "exact_substring_spans_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKS.strip()}
+    , gl AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= {_K} THEN
+               list_transform(range(1, len(tk) - {_K} + 2),
+                 i -> {portable_char_hash_sql(f"array_to_string(tk[i:i+{_K}-1], ' ')")})
+             ELSE [] END AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, generate_subscripts(gs, 1) AS pos, unnest(gs) AS h FROM gl
+    ), dup AS (
+      SELECT h FROM ex GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+      SELECT ex.doc_id, ex.pos FROM ex JOIN dup USING (h)
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM marked
+    ), rl AS (
+      SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY doc_id, grp
+    ), pd AS (
+      SELECT doc_id, sum(run) AS n_dup, max(run) AS max_run
+      FROM rl GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM gl
+    )
+    SELECT base.doc_id, n_grams,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN n_grams > 0 THEN round(coalesce(n_dup, 0) / n_grams, 6)
+                ELSE 0.0 END AS dup_gram_ratio,
+           CAST(CASE WHEN max_run IS NULL THEN 0 ELSE max_run + {_K - 1} END AS BIGINT)
+             AS max_dup_span
+    FROM base LEFT JOIN pd USING (doc_id)
+    """,
+    description="ExactSubstr-style duplication profile (Lee et al. 2022): "
+    "per-doc count of length-8 token windows repeated anywhere in the "
+    "corpus + longest contiguous duplicated span, via rolling k-gram "
+    "hashing (the shardable substitute for the paper's single-node suffix "
+    "array) — shuffle ships 8-byte hashes, span merge is per-doc "
+    "gaps-and-islands.",
+    tags=("dedup", "llm", "substring"),
+)
+def exact_substring_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(
+        td(spark, sf_dir, "documents"), "doc_id", "text", k=_K
+    )
+
+
+@query(
+    "frequent_brand_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (
+      SELECT count(DISTINCT b) AS n FROM items
+    ), singles AS (
+      SELECT i, count(*) AS ni FROM items GROUP BY i
+    ), pairs AS (
+      SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_baskets
+      FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 50
+    )
+    SELECT item_a, item_b, n_baskets,
+           round(n_baskets / n.n, 6) AS support,
+           round((n_baskets * n.n) / (sa.ni * sb.ni), 6) AS lift
+    FROM pairs
+    CROSS JOIN n
+    JOIN singles sa ON sa.i = item_a
+    JOIN singles sb ON sb.i = item_b
+    """,
+    description="Market-basket frequent 2-itemsets (A-priori pair level) "
+    "over order baskets of part brands: distinct-items projection bounds "
+    "the per-basket self-join, pair counts are one hash-groupBy on a tiny "
+    "key domain, marginals broadcast back for support + lift.",
+    tags=("mining", "association", "join"),
+)
+def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.mining import frequent_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return frequent_pairs(baskets, "basket", "item", min_baskets=50)
+
+
+@query(
+    "pmi_cooccurrence_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKS.strip()}
+    , dt AS (
+      SELECT doc_id AS d, unnest(list_distinct(tk)) AS t FROM toks
+    ), nd AS (
+      SELECT count(*) AS n FROM documents
+    ), vocab AS (
+      SELECT t, count(*) AS df FROM dt GROUP BY t
+      HAVING count(*) * 25 >= (SELECT n FROM nd) * 2
+    ), kept AS (
+      SELECT d, t FROM dt WHERE t IN (SELECT t FROM vocab)
+    ), pairs AS (
+      SELECT l.t AS tok_a, r.t AS tok_b, count(*) AS n_ab
+      FROM kept l JOIN kept r ON l.d = r.d AND l.t < r.t
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT tok_a, tok_b, n_ab,
+           round(ln((n_ab * nd.n) / (va.df * vb.df)), 6) AS pmi
+    FROM pairs
+    CROSS JOIN nd
+    JOIN vocab va ON va.t = tok_a
+    JOIN vocab vb ON vb.t = tok_b
+    """,
+    description="Pointwise mutual information of token pairs co-occurring "
+    "within documents, vocabulary floored at 8% document frequency (a "
+    "fraction — scale-invariant — enforced in exact integer arithmetic "
+    "25·df ≥ 2·N so both engines agree at the boundary).",
+    tags=("mining", "text", "llm"),
+)
+def pmi_cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.mining import pmi_pairs
+
+    return pmi_pairs(
+        td(spark, sf_dir, "documents"), "doc_id", "text",
+        min_df_ratio=2 / 25, min_cooccur=5,
+    )
+
+
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             (o_orderdate - DATE '1970-01-01') AS days
+      FROM orders
+    ), s AS (
+      SELECT *, max(days) OVER (
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+      FROM o
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM s WHERE best IS NULL OR days > best
+    """,
+    description="2-D Pareto (skyline) frontier of orders maximizing "
+    "(o_totalprice, o_orderdate): rows whose date beats every date ranked "
+    "ahead in the price order. Spark side is the two-phase distributed "
+    "sweep (range-partition + per-partition running max + broadcast prefix "
+    "maxima), NOT a single-partition global window; the oracle is the "
+    "classic sorted sweep with the identical total order.",
+    tags=("mining", "skyline", "window"),
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.mining import pareto_frontier
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("days"),
+    )
+    return pareto_frontier(
+        orders, "o_totalprice", "days", "o_orderkey"
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "linear_trend_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(regr_count(o_totalprice, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)) AS BIGINT) AS n,
+           round(regr_slope(o_totalprice, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(o_totalprice, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)), 6) AS intercept,
+           round(regr_r2(o_totalprice, CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)), 6) AS r2
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="Per-priority least-squares trend of order value over time "
+    "(regr_slope/intercept/r2 aggregates — O(1) co-moment state per group, "
+    "one map-side-combined pass at any scale).",
+    tags=("stats", "regression", "agg"),
+)
+def linear_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    x = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("double")
+    y = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@query(
+    "welch_ttest_orders",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, count(*) AS n,
+             avg(o_totalprice) AS mean, var_samp(o_totalprice) AS var
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority
+    ), w AS (
+      SELECT a.n AS n1, b.n AS n2, a.mean AS m1, b.mean AS m2,
+             a.var AS v1, b.var AS v2
+      FROM g a JOIN g b ON a.grp = '1-URGENT' AND b.grp = '5-LOW'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6)
+             AS welch_dof
+    FROM w
+    """,
+    description="Welch's unequal-variance t statistic comparing order value "
+    "between URGENT and LOW priorities, with the Welch–Satterthwaite "
+    "degrees of freedom — two grouped co-moment aggregates, one row out.",
+    tags=("stats", "hypothesis-test", "agg"),
+)
+def welch_ttest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    g = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("o_totalprice").alias("mean"),
+            F.var_samp("o_totalprice").alias("var"),
+        )
+    )
+    a = g.filter(F.col("o_orderpriority") == "1-URGENT").alias("a")
+    b = g.filter(F.col("o_orderpriority") == "5-LOW").alias("b")
+    se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("long").alias("n1"),
+        F.col("b.n").cast("long").alias("n2"),
+        F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+        F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("a.var") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                + F.pow(F.col("b.var") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+@query(
+    "chi_square_events",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, (isodow(ts) - 1) AS weekday, count(*) AS observed
+      FROM events GROUP BY 1, 2
+    ), rt AS (
+      SELECT event_type, sum(observed) AS r FROM obs GROUP BY event_type
+    ), ct AS (
+      SELECT weekday, sum(observed) AS c FROM obs GROUP BY weekday
+    ), n AS (
+      SELECT sum(observed) AS n FROM obs
+    )
+    SELECT obs.event_type, obs.weekday, CAST(observed AS BIGINT) AS observed,
+           round(rt.r * ct.c / n.n, 6) AS expected,
+           round(pow(observed - rt.r * ct.c / n.n, 2) / (rt.r * ct.c / n.n), 6)
+             AS contrib
+    FROM obs
+    JOIN rt USING (event_type)
+    JOIN ct USING (weekday)
+    CROSS JOIN n
+    """,
+    description="Chi-squared independence cells for event_type × weekday: "
+    "observed vs expected counts and per-cell contribution (sum of contrib "
+    "= the chi² statistic; per-cell rows keep the output deterministic — "
+    "no cross-engine float-sum ordering in the hashed values).",
+    tags=("stats", "hypothesis-test", "agg"),
+)
+def chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "event_type", F.weekday("ts").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rt = obs.groupBy("event_type").agg(F.sum("observed").alias("r"))
+    ct = obs.groupBy("weekday").agg(F.sum("observed").alias("c"))
+    n = obs.select(F.sum("observed").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "weekday")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "weekday",
+            F.col("observed").cast("long").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("observed") - exp, 2) / exp, 6).alias("contrib"),
+        )
+    )
+
+
+@query(
+    "bfs_hops_orders",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION
+      SELECT s AS src, c AS dst FROM pairs
+    ), h0 AS (
+      SELECT min(c_custkey) AS node FROM customer
+    ), h1 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN h0 ON e.src = h0.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+    ), h2 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+        AND e.dst NOT IN (SELECT node FROM h1)
+    ), h3 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+        AND e.dst NOT IN (SELECT node FROM h1)
+        AND e.dst NOT IN (SELECT node FROM h2)
+    )
+    SELECT node, 0 AS hops FROM h0
+    UNION ALL SELECT node, 1 FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    UNION ALL SELECT node, 3 FROM h3
+    """,
+    description="Multi-source BFS hop distance (≤3) from the lowest-keyed "
+    "customer over the bidirectional customer↔supplier order graph: "
+    "frontier-expansion joins against a persisted edge list with per-round "
+    "localCheckpoint (flat lineage); oracle is the exactly-unrolled "
+    "frontier recursion.",
+    tags=("graph", "bfs", "iterative", "join"),
+)
+def bfs_hops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.graph import bfs_hops
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = customer.select(F.min("c_custkey").alias("node"))
+    out = bfs_hops(edges, seeds, max_hops=3)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))

@@ -79,6 +79,7 @@ def _load_all() -> None:
         join_ops,
         llm_ops,
         maintenance,
+        mining,
         multimodal_ops,
         streaming_ops,
         tpch,
