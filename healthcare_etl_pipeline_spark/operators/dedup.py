@@ -936,3 +936,133 @@ def duplicated_span_stats(
             .alias("max_dup_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document segment dedup (self-repetition removal)
+# ---------------------------------------------------------------------------
+
+def intra_doc_segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 4,
+) -> DataFrame:
+    """Remove segments repeated WITHIN the same document, keeping each
+    segment's FIRST occurrence in original order.
+
+    The cross-document cousin (operators/corpus.py segment_dedup) drops
+    boilerplate shared ACROSS pages; this one targets self-repetition —
+    crawler loop artifacts, templated list spam, decoder loops in synthetic
+    data — where the same span recurs inside one document. Both use the
+    same aligned ``seg_tokens``-token segmentation so their outputs compose.
+
+    Scale contract: this is a pure map-only stage — every expression
+    (segmentation, first-occurrence filter, reassembly) runs inside the
+    row, so the operator adds ZERO shuffles to a corpus scan at any scale.
+    The first-occurrence filter is ``filter(segs, (s, i) ->
+    array_position(segs, s) == i+1)`` — quadratic in the per-doc segment
+    count, which is bounded (segments are 4 tokens; a 100k-token doc is
+    25k segments; in practice docs are chunked far below that upstream).
+
+    Output: (id, n_segments, n_unique_segments, intra_dup_ratio,
+    dedup_text).
+    """
+    tk = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(tk) / seg_tokens).cast("int")
+    segs = F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda j: F.array_join(F.slice(tk, j * seg_tokens + 1, seg_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), segs.alias("__segs"))
+    kept = F.filter(
+        F.col("__segs"),
+        lambda s, i: F.array_position(F.col("__segs"), s) == i + F.lit(1),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__segs").cast("long").alias("n_segments"),
+        F.size(kept).cast("long").alias("n_unique_segments"),
+        F.when(
+            F.size("__segs") > 0,
+            F.round(
+                (F.size("__segs") - F.size(kept)) / F.size("__segs").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("intra_dup_ratio"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) census
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 31,
+) -> DataFrame:
+    """Content-defined chunking + corpus-wide duplicate-chunk census.
+
+    Fixed-size chunking misses duplicates the moment one byte shifts the
+    alignment; CDC (the rsync/LBFS/FastCDC idea) cuts where a rolling hash
+    of the trailing ``window`` characters hits a divisor condition
+    (``h % divisor == 0``), so chunk boundaries realign after insertions
+    and shifted copies still hash to the same chunks. Expected chunk size
+    is ~``divisor`` characters.
+
+    Production CDC uses a gear/Rabin rolling hash (O(1) per position);
+    both engines here recompute an md5 window hash per position — the
+    portable-oracle compromise, same asymptotic plan shape (map-only
+    chunking), constant-factor slower. The census is ONE hash-groupBy on
+    8-byte chunk fingerprints — the only shuffle, and it ships no text.
+
+    Output: one row per chunk value that occurs more than once anywhere in
+    the corpus: (chunk_hash, chunk_len, n_occurrences, n_docs).
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    # breakpoint candidates: window-end positions whose trailing-window
+    # hash satisfies the divisor rule (position n excluded: it is always
+    # a boundary and must not appear twice)
+    bps = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: (i < n)
+            & (portable_char_hash(F.substring(text, (i - window + 1).cast("int"), window)) % divisor == 0),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), bps, F.array(n.cast("int")))
+    chunks = F.transform(
+        F.sequence(F.lit(2), F.size(bounds)),
+        lambda j: F.substring(
+            text,
+            (F.element_at(bounds, (j - 1).cast("int")) + 1).cast("int"),
+            (F.element_at(bounds, j.cast("int")) - F.element_at(bounds, (j - 1).cast("int"))).cast("int"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("__chunk")).filter(
+        F.length("__chunk") > 0
+    )
+    return (
+        ex.select(
+            F.col(id_col),
+            portable_char_hash(F.col("__chunk")).alias("chunk_hash"),
+            F.length("__chunk").cast("long").alias("chunk_len"),
+        )
+        .groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -393,3 +393,113 @@ def bfs_hops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = customer.select(F.min("c_custkey").alias("node"))
     out = bfs_hops(edges, seeds, max_hops=3)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+@query(
+    "median_mode_orders",
+    oracle="""
+    WITH dw AS (
+      SELECT o_orderpriority, (isodow(o_orderdate) - 1) AS dow
+      FROM orders
+    ), dc AS (
+      SELECT o_orderpriority, dow, count(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY count(*) DESC, dow) AS rk
+      FROM dw GROUP BY o_orderpriority, dow
+    ), md AS (
+      SELECT o_orderpriority, count(*) AS n,
+             round(median(o_totalprice), 6) AS median_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT md.o_orderpriority, n, median_price,
+           dc.dow AS mode_weekday, dc.cnt AS mode_count
+    FROM md JOIN dc ON md.o_orderpriority = dc.o_orderpriority AND dc.rk = 1
+    """,
+    description="Median + deterministic mode per group: exact interpolated "
+    "median of order value, and the modal order weekday computed as "
+    "count-then-rank with an explicit (count DESC, value) tiebreak — the "
+    "engine-portable mode (builtin mode() tie-breaks arbitrarily). Both "
+    "are grouped aggregates with map-side combine; the mode's rank runs "
+    "on the tiny (group x 7) count table.",
+    tags=("stats", "agg", "median"),
+)
+def median_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    dow = (F.dayofweek("o_orderdate") + 5) % 7  # Mon=0 ... Sun=6 (isodow-1)
+    dc = (
+        orders.select("o_orderpriority", dow.alias("dow"))
+        .groupBy("o_orderpriority", "dow")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    F.desc("cnt"), F.asc("dow")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    md = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+    )
+    return md.join(dc, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "median_price",
+        F.col("dow").alias("mode_weekday"),
+        F.col("cnt").alias("mode_count"),
+    )
+
+
+@query(
+    "moments_lineitem",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag, count(*) AS n,
+             avg(l_quantity) AS a1,
+             avg(l_quantity * l_quantity) AS a2,
+             avg(l_quantity * l_quantity * l_quantity) AS a3,
+             avg(l_quantity * l_quantity * l_quantity * l_quantity) AS a4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(a1, 6) AS mean_qty,
+           round((a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1)
+                 / pow(a2 - a1 * a1, 1.5), 6) AS skewness,
+           round((a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1)
+                 / pow(a2 - a1 * a1, 2) - 3, 6) AS ex_kurtosis
+    FROM a
+    """,
+    description="Skewness and excess kurtosis per return flag from raw "
+    "power-moment averages (identical algebra in both engines — builtin "
+    "skewness/kurtosis differ between engines in sample-correction "
+    "convention). Four co-moments of O(1) state per group, one "
+    "map-side-combined pass; the standardized ratios cancel summation-"
+    "order noise to far below the 6-dp rounding.",
+    tags=("stats", "agg", "moments"),
+)
+def moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("a1"),
+        F.avg(x * x).alias("a2"),
+        F.avg(x * x * x).alias("a3"),
+        F.avg(x * x * x * x).alias("a4"),
+    )
+    a1, a2, a3, a4 = F.col("a1"), F.col("a2"), F.col("a3"), F.col("a4")
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1
+    return a.select(
+        "l_returnflag",
+        "n",
+        F.round(a1, 6).alias("mean_qty"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("ex_kurtosis"),
+    )

@@ -82,6 +82,7 @@ def _load_all() -> None:
         mining,
         multimodal_ops,
         streaming_ops,
+        textlm,
         tpch,
         tpch_extended,
     )

@@ -458,3 +458,40 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_stream_to_memory(spark, agg, output_mode="complete")
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT window_start, event_type, n, rk FROM r WHERE rk <= 2
+    """,
+    description="Streaming top-k: tumbling 1h counts maintained "
+    "incrementally by the stream (watermark + availableNow), then the "
+    "top-2 event types per settled window ranked on the sink table — the "
+    "standard two-tier pattern (rank-over-aggregate is not expressible "
+    "mid-stream in append mode; the second tier runs on the window-count "
+    "table, which is orders of magnitude smaller than the event stream).",
+    tags=("streaming", "window", "topk"),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    agg = tumbling_counts(stream)
+    settled = run_stream_to_memory(spark, agg, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        settled.select("window_start", "event_type", "n")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+    )
