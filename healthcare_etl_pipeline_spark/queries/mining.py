@@ -503,3 +503,84 @@ def moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("ex_kurtosis"),
     )
+
+
+@query(
+    "attribution_credit_events",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT event_id AS touch_id, user_id, event_type AS touch_type, ts AS touch_ts
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ), joined AS (
+      SELECT conv_id, touch_id, touch_type, touch_ts
+      FROM conv JOIN touch USING (user_id)
+      WHERE touch_ts < conv_ts AND touch_ts >= conv_ts - INTERVAL 12 HOUR
+    ), ranked AS (
+      SELECT conv_id, touch_type,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts DESC, touch_id) AS last_rk,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts ASC, touch_id) AS first_rk,
+             count(*) OVER (PARTITION BY conv_id) AS n_touches
+      FROM joined
+    )
+    SELECT touch_type,
+           count(*) AS n_touch_events,
+           CAST(sum(CASE WHEN last_rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_credit,
+           CAST(sum(CASE WHEN first_rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_credit,
+           round(sum(1.0 / n_touches), 6) AS linear_credit
+    FROM ranked GROUP BY touch_type
+    """,
+    description="Multi-touch marketing attribution: for every purchase, "
+    "credit the view/click/signup touches of the same user in the "
+    "preceding 12 hours under last-touch, first-touch, and linear models. "
+    "The conversion-touch join is an equi-join on user_id (per-user fan-out "
+    "is bounded by the window) and the rank state is per-conversion — both "
+    "shard freely at scale.",
+    tags=("events", "attribution", "window"),
+)
+def attribution_credit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 12 HOURS"))
+    )
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.asc("touch_id")
+    )
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.asc("touch_ts"), F.asc("touch_id")
+    )
+    ranked = joined.select(
+        "conv_id",
+        "touch_type",
+        F.row_number().over(w_last).alias("last_rk"),
+        F.row_number().over(w_first).alias("first_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n_touches"),
+    )
+    return ranked.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touch_events"),
+        F.sum(F.when(F.col("last_rk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch_credit"),
+        F.sum(F.when(F.col("first_rk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch_credit"),
+        F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("linear_credit"),
+    )

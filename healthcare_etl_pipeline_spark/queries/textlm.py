@@ -241,3 +241,112 @@ def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_pipeline_spark.operators.dedup import cdc_chunk_census
 
     return cdc_chunk_census(td(spark, sf_dir, "documents"))
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_TERMS = ("hash", "join", "scan")
+_DUCK_COS_QC = (
+    "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a, b) -> a + b) / "
+    "(sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (a, b) -> a + b)) * "
+    "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], "
+    "list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (a, b) -> a + b)))"
+)
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      WHERE tok IN {_RRF_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT 20
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM bm
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id <> 0),
+    cos AS (
+      SELECT vec_id AS doc_id, {_DUCK_COS_QC} AS cos FROM q, c
+      ORDER BY cos DESC, vec_id LIMIT 20
+    ),
+    dense AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank
+      FROM cos
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+             lex.lex_rank, dense.dense_rank,
+             round(coalesce(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + dense.dense_rank), 0.0), 6)
+               AS rrf_score
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    description="Hybrid retrieval via reciprocal rank fusion (Cormack et "
+    "al. 2009): BM25 lexical top-20 and dense cosine top-20 (both via "
+    "TakeOrderedAndProject — per-partition heads, no global sort), ranks "
+    "fused as 1/(60+r) over a full outer join of two 20-row lists. The "
+    "fusion stage is constant-size regardless of corpus scale; the "
+    "standard first stage of a RAG retrieval stack.",
+    tags=("retrieval", "llm", "hybrid", "rrf"),
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from healthcare_etl_pipeline_spark.operators import similarity as S
+    from healthcare_etl_pipeline_spark.operators.corpus import bm25_topk
+
+    docs = td(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, list(_RRF_TERMS), k=20)
+    lex = bm.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "lex_rank")
+
+    emb = td(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    dense = (
+        S.brute_force_topk(queries, corpus, k=20, dim=64, exact_fold=True)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
