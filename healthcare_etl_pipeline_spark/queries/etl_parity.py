@@ -769,3 +769,53 @@ def dp_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         (F.abs(F.col("n_noisy") - F.col("n_exact")) <= bound + 0.5).alias("dp_ok"),
     )
+
+
+@query(
+    "txn_incremental_read",
+    oracle=_SYNTH_CTE
+    + "SELECT mrn, gender\nFROM synth\nWHERE "
+    + _DUCK_IS_VALID
+    + " AND data_sharing IS TRUE AND c_custkey % 2 = 1",
+    description="Incremental (CDC-style) read over the transactional "
+    "warehouse: two committed ingest batches (even, then odd custkeys) "
+    "followed by a compaction commit; read_changes since the first "
+    "snapshot must return exactly the SECOND batch — later compaction "
+    "rewrites introduce no rows and are skipped (Iceberg incremental-"
+    "append-scan semantics). The run_id set prunes at file-listing time, "
+    "so the scan cost is proportional to the change, not the table.",
+    tags=("txn", "cdc", "incremental", "etl"),
+)
+def txn_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from healthcare_etl_pipeline_spark.operators.ingest import load_patients
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_inc_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+
+    raw = _synth_patients(spark, sf_dir)
+    valid, _ = validate_split(raw, PATIENT_RULES)
+    consented, _ = consent_gate(valid, consent_col=F.col("consent")["data_sharing"])
+
+    for label, parity in (("inc-even", 0), ("inc-odd", 1)):
+        txn = wh.begin(label)
+        load_patients(
+            wh,
+            transform_patients(consented.filter(F.col("c_custkey") % 2 == parity)),
+            txn=txn,
+        )
+        txn.commit()
+    wh.compact("patients")
+
+    s1 = next(s["seq"] for s in wh.snapshots() if s["run_id"] == "inc-even")
+    return wh.read_changes("patients", since=s1).select("mrn", "gender")

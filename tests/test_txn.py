@@ -356,3 +356,39 @@ def test_forget_aborts_cleanly_on_bad_predicate(spark, twh):
         twh.forget({"patients": F.col("no_such_column") == 1})
     # nothing changed, no half-erased state
     assert twh.read("patients").count() == n_before
+
+
+# --- incremental (CDC-style) reads -----------------------------------------
+
+
+def test_read_changes_returns_only_new_batches(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    ingest_batch_atomic(spark, [make_patient(mrn="MRN2")], twh, batch_id="s2")
+    ingest_batch_atomic(spark, [make_patient(mrn="MRN3")], twh, batch_id="s3")
+    inc = twh.read_changes("patients", since="s1")
+    assert sorted(r.mrn for r in inc.select("mrn").collect()) == ["MRN2", "MRN3"]
+    # bounded window: (s1, s2]
+    mid = twh.read_changes("patients", since="s1", until="s2")
+    assert [r.mrn for r in mid.select("mrn").collect()] == ["MRN2"]
+    # nothing after the head snapshot -> empty frame with the table schema
+    none = twh.read_changes("patients", since="s3")
+    assert none.count() == 0
+    assert "mrn" in none.columns
+
+
+def test_read_changes_skips_compaction_rewrites(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    ingest_batch_atomic(spark, [make_patient(mrn="MRN2")], twh, batch_id="s2")
+    twh.compact("patients")
+    # the compaction commit replaces s1+s2 but adds no rows: an incremental
+    # consumer that already processed s2 must see NO new rows
+    assert twh.read_changes("patients", since="s2").count() == 0
+    # a consumer at s1 sees exactly the s2 batch, not the rewritten union
+    inc = twh.read_changes("patients", since="s1")
+    assert [r.mrn for r in inc.select("mrn").collect()] == ["MRN2"]
+
+
+def test_read_changes_unknown_snapshot_raises(spark, twh):
+    ingest_batch_atomic(spark, [make_patient()], twh, batch_id="s1")
+    with pytest.raises(KeyError):
+        twh.read_changes("patients", since="nope")
