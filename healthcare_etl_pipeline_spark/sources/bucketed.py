@@ -25,20 +25,32 @@ def write_bucketed(
     buckets: int = 8,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by ``bucket_col``.
 
     Sorting within buckets additionally removes the per-task sort from
     later sort-merge joins — the files stream directly into the merge.
+
+    ``path`` makes the table EXTERNAL at that location — required when the
+    session's static ``spark.sql.warehouse.dir`` is not writable (the
+    bucket metadata still lives in the catalog either way).
     """
     writer = df.write.mode(mode).bucketBy(buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: str | list[str]
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    *,
+    hint: str | None = None,
 ) -> DataFrame:
     """Join two same-bucketed tables on the bucket key.
 
@@ -46,5 +58,12 @@ def bucketed_join(
     sides read bucketed scans — no Exchange operator anywhere in the plan
     (verify: ``assert "Exchange" not in joined._jdf.queryExecution()
     .executedPlan().toString()``, as the test does).
+
+    ``hint="merge"`` forces the SMJ when one side is small enough that
+    Catalyst would rather broadcast it (broadcasting disables bucketed
+    reads entirely) — the way to exercise the big-big plan on small data.
     """
-    return spark.table(left_table).join(spark.table(right_table), on)
+    left = spark.table(left_table)
+    if hint is not None:
+        left = left.hint(hint)
+    return left.join(spark.table(right_table), on)

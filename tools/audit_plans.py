@@ -49,6 +49,14 @@ EXPECTED_NESTED_LOOP = {
     "kmeans_embeddings",        # convergence-flag crossjoin (1-row broadcast agg)
     "ann_ivf_persisted",        # recall-flag crossjoin (1-row broadcast agg)
     "importance_weight_docs",   # domain-totals crossjoin (1-row broadcast agg)
+    "welch_ttest_orders",       # two 1-row group-stat frames crossjoined
+    "chi_square_events",        # row/col marginal totals crossjoin (1-row agg)
+    "frequent_brand_pairs",     # basket-count N crossjoin (1-row broadcast agg)
+    "pmi_cooccurrence_docs",    # corpus-total crossjoin (1-row broadcast agg)
+    "histogram_orders",         # min/max bounds crossjoin (1-row broadcast agg)
+    "bigram_lm_docs",           # vocabulary-size crossjoin (1-row broadcast agg)
+    "perplexity_bucket_docs",   # tercile-cutoff crossjoin (1-row broadcast agg)
+    "rrf_hybrid_retrieval",     # bm25 N/avgdl stats crossjoin (1-row broadcast)
 }
 
 # Queries expected to run Python (Arrow) stages.
