@@ -96,7 +96,16 @@ def bounded_persist(df: DataFrame) -> DataFrame:
         while len(_LRU) > _CAP:
             _, old = _LRU.popitem(last=False)
             evicted.append(old)
-    df.persist()
+    # Re-persisting an already-cached frame is a JVM-side no-op but logs a
+    # "WARN CacheManager: Asked to cache already cached data" line per call
+    # — a full bench pass emitted dozens. StorageLevel(False,False,False,
+    # False,1) is NONE; anything else means blocks are (being) cached.
+    try:
+        already = df.storageLevel.useMemory or df.storageLevel.useDisk
+    except Exception:
+        already = False
+    if not already:
+        df.persist()
     for old in evicted:  # unpersist outside the lock — py4j call can block
         try:
             old.unpersist(blocking=False)

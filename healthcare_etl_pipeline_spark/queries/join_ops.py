@@ -366,39 +366,38 @@ def entity_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from healthcare_etl_pipeline_spark.sources.bucketed import (
         bucketed_join,
-        write_bucketed,
+        ensure_bucketed_layout,
     )
 
+    # Layout build is memoized per (session, sf_dir): the first invocation
+    # pays the one bucketing shuffle, every later one is read-only — the
+    # query itself performs zero table writes. Catalog entries and temp
+    # dirs are removed atexit (see sources/bucketed.py:_cleanup_layouts).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
-    lt, rt = f"orders_b_{tag}", f"customer_b_{tag}"
-    for name in (lt, rt):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(base, ignore_errors=True)
-
-    orders = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), "o_totalprice"
-    )
-    customer = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"), "c_mktsegment"
-    )
-    write_bucketed(
-        orders, lt, bucket_col="custkey", buckets=8, path=os.path.join(base, lt)
-    )
-    write_bucketed(
-        customer, rt, bucket_col="custkey", buckets=8, path=os.path.join(base, rt)
+    layout = ensure_bucketed_layout(
+        spark,
+        f"oc_{tag}",
+        {
+            "orders": lambda: t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("custkey"), "o_totalprice"
+            ),
+            "customer": lambda: t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("custkey"), "c_mktsegment"
+            ),
+        },
+        bucket_col="custkey",
+        buckets=8,
     )
 
     # MERGE hint models the big-big case (at sf0.01 the dim side is small
     # enough that Catalyst would broadcast it and skip bucketed reads;
     # at 100 TB both sides are fact-sized and SMJ is the only option)
-    joined = bucketed_join(spark, lt, rt, "custkey", hint="merge")
+    joined = bucketed_join(
+        spark, layout["orders"], layout["customer"], "custkey", hint="merge"
+    )
     # the scale contract, enforced: the join runs with NO shuffle exchange
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if "Exchange hashpartitioning" in plan:

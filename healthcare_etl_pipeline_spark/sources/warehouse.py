@@ -194,89 +194,149 @@ class Warehouse:
 
 RUN_ID_COL = "__run_id"
 _RUN_ID_RE = re.compile(r"[^A-Za-z0-9_.-]")
+STAGING_DIR = ".staging"  # dot-prefixed: invisible to Spark's file listing
 
 
 def _sanitize_run_id(raw: str) -> str:
     return _RUN_ID_RE.sub("_", raw)[:128]
 
 
+class IncrementalWindowExpiredError(RuntimeError):
+    """An incremental (CDC) read window references runs whose files were
+    reclaimed by ``vacuum`` after a compaction superseded them — the same
+    condition as an Iceberg incremental scan over expired snapshots. The
+    consumer must fall back to a full refresh from the current snapshot."""
+
+
 class Transaction:
     """One multi-table atomic write unit.
 
-    Stage any number of tables under ``<table>/__run_id=<run_id>/``; nothing
-    is visible to readers until :meth:`commit` publishes the run via ONE
-    atomic commit-marker rename. ``abort()`` (or a crash — no marker) leaves
-    the staged files permanently invisible; ``vacuum`` reclaims them.
+    Each transaction stages into a PRIVATE directory
+    (``<table>/.staging/<run_id>.<nonce>/``) so concurrent transactions —
+    even two retries of the SAME batch_id racing from separate drivers —
+    never interleave files. ``commit()`` renames the staged dirs to
+    ``<table>/__run_id=<run_id>/`` and publishes them with ONE atomic
+    hard-link of the commit marker; exactly one committer of a given
+    run_id wins (the rest see ``False``). ``abort()`` (or a crash — no
+    marker) leaves staged files permanently invisible; ``vacuum`` reclaims
+    them.
     """
 
     def __init__(self, warehouse: "TransactionalWarehouse", run_id: str):
         self._wh = warehouse
         self.run_id = run_id
+        self.nonce = uuid.uuid4().hex[:12]
         self.staged_tables: list[str] = []
         self.replaces: dict[str, list[str]] = {}
         self._done = False
+        self._already_committed = False  # set by begin() for committed ids
+
+    def _stage_dir(self, table: str) -> str:
+        return os.path.join(
+            self._wh.path(table), STAGING_DIR, f"{self.run_id}.{self.nonce}"
+        )
 
     def stage(self, df: DataFrame, table: str) -> None:
-        if self._done:
+        if self._done or self._already_committed:
             raise RuntimeError(f"transaction {self.run_id} already finished")
         schema = self._wh.table_schema(table)
-        aligned = df.select(
-            *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
-        )
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(df[f.name].cast(f.dataType).alias(f.name))
+            elif f.nullable:
+                # additive schema evolution: an old-schema producer may not
+                # carry columns added later — null-fill them (Iceberg's
+                # read-side default, applied symmetrically on write)
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                raise ValueError(
+                    f"staged frame for {table!r} lacks required column {f.name!r}"
+                )
+        aligned = df.select(*cols)
         writer = aligned.write.mode("append")
         parts = self._wh.partition_columns(table)
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(self._wh.run_dir(table, self.run_id))
+        writer.parquet(self._stage_dir(table))
         if table not in self.staged_tables:
             self.staged_tables.append(table)
 
     def commit(self) -> bool:
         """Publish every staged table at once.
 
-        The marker write is the commit point: stage all tables, fsync a
-        manifest to a temp name, ``os.replace`` it to
-        ``_txn/commits/<run_id>.json`` — POSIX-atomic, so readers see either
-        the whole multi-table batch or none of it. Returns False (no-op) if
-        this run_id is already committed (idempotent re-run).
+        Commit protocol (all steps POSIX-atomic or idempotent):
+
+        1. ``os.rename`` each private staging dir to its final
+           ``__run_id=<run_id>`` dir, in sorted table order. If a rename
+           target already exists, a concurrent committer of the same
+           run_id won first — this transaction cleans its staging and
+           reports False (no partial interleave: both committers process
+           tables in the same order, so the loser fails on its FIRST
+           rename, before publishing anything).
+        2. Claim the next snapshot ``seq`` via an O_EXCL claim-file create
+           (``_txn/seqs/``) — strictly serialized across concurrent
+           drivers; a crash between claim and marker leaves a harmless
+           hole in the sequence.
+        3. fsync the manifest to a temp name, then ``os.link`` it to
+           ``_txn/commits/<run_id>.json`` — atomic create-if-absent, so
+           exactly one marker (with exactly one seq) ever exists per
+           run_id, and readers see the whole multi-table batch or none.
+
+        Returns False (no-op) if this run_id is already committed.
         """
+        if self._already_committed:
+            self._done = True
+            return False
         if self._done:
             raise RuntimeError(f"transaction {self.run_id} already finished")
         self._done = True
         marker = self._wh.marker_path(self.run_id)
         if os.path.exists(marker):
+            self._drop_staging()
             return False
+        for table in sorted(self.staged_tables):
+            dest = self._wh.run_dir(table, self.run_id)
+            try:
+                os.rename(self._stage_dir(table), dest)
+            except OSError:
+                # lost the same-run_id race (dest already published)
+                self._drop_staging()
+                return False
+        seq = self._wh._claim_seq(self.run_id)
         manifest = {
             "run_id": self.run_id,
             "tables": sorted(self.staged_tables),
             # per-table run_ids this commit logically supersedes (compaction):
             # readers drop them the same instant this marker appears
             "replaces": self.replaces,
-            # monotone snapshot sequence — the time-travel axis. Assigned at
-            # commit time from the current marker set; concurrent committers
-            # from SEPARATE drivers could race to the same seq (the commit
-            # itself stays atomic — only snapshot ordering would tie), so
-            # multi-driver deployments should serialize commits the way any
-            # single-metastore table format does.
-            "seq": self._wh._next_seq(),
-            "format_version": 2,
+            "seq": seq,
+            "format_version": 3,
         }
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = os.path.join(
-            os.path.dirname(marker), f".tmp.{self.run_id}.{uuid.uuid4().hex[:8]}"
+            os.path.dirname(marker), f".tmp.{self.run_id}.{self.nonce}"
         )
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, marker)
+        try:
+            os.link(tmp, marker)  # atomic create-if-absent (never overwrites)
+        except FileExistsError:
+            return False  # concurrent committer published first
+        finally:
+            os.unlink(tmp)
         return True
+
+    def _drop_staging(self) -> None:
+        for table in self.staged_tables:
+            shutil.rmtree(self._stage_dir(table), ignore_errors=True)
 
     def abort(self) -> None:
         """Discard the staged (never-visible) files."""
         self._done = True
-        for table in self.staged_tables:
-            shutil.rmtree(self._wh.run_dir(table, self.run_id), ignore_errors=True)
+        self._drop_staging()
 
 
 class TransactionalWarehouse(Warehouse):
@@ -324,11 +384,50 @@ class TransactionalWarehouse(Warehouse):
     ) -> None:
         """Declare an additional transactional table beyond the 5 reference
         ones — e.g. a streaming sink target. Same commit protocol, same
-        committed-only reads."""
+        committed-only reads.
+
+        Re-registering an existing table performs ADDITIVE schema
+        evolution: every existing field must be present unchanged
+        (name + type + nullability) and every new field must be nullable.
+        Snapshots committed before the evolution are read with the new
+        columns null-filled (the parquet reader projects the declared
+        schema; missing columns read as null) — and :meth:`Transaction.
+        stage` null-fills them symmetrically for old-schema producers, so
+        both read and write paths survive a rolling schema upgrade. Any
+        non-additive change (drop, retype, nullable→required) raises.
+        """
         if name in TABLE_SCHEMAS:
             raise ValueError(f"{name!r} is a built-in table")
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError(f"bad table name {name!r}")
+        prior = self._extra_schemas.get(name)
+        if prior is not None:
+            new_fields = {f.name: f for f in schema.fields}
+            for f in prior.fields:
+                nf = new_fields.get(f.name)
+                if nf is None:
+                    raise ValueError(
+                        f"schema evolution for {name!r} drops column {f.name!r}"
+                        " — only additive changes are supported"
+                    )
+                if nf.dataType != f.dataType or nf.nullable != f.nullable:
+                    raise ValueError(
+                        f"schema evolution for {name!r} changes column "
+                        f"{f.name!r} ({f.dataType.simpleString()} -> "
+                        f"{nf.dataType.simpleString()}) — only additive "
+                        "changes are supported"
+                    )
+            existing = {f.name for f in prior.fields}
+            for f in schema.fields:
+                if f.name not in existing and not f.nullable:
+                    raise ValueError(
+                        f"new column {f.name!r} on {name!r} must be nullable"
+                        " (old snapshots null-fill it)"
+                    )
+            if list(partition_by) != self._extra_partitions.get(name, []):
+                raise ValueError(
+                    f"cannot change partitioning of {name!r} via evolution"
+                )
         self._extra_schemas[name] = schema
         self._extra_partitions[name] = list(partition_by)
 
@@ -376,8 +475,56 @@ class TransactionalWarehouse(Warehouse):
                     out.append(json.load(fh))
         return sorted(out, key=lambda m: (m.get("seq", 0), m["run_id"]))
 
-    def _next_seq(self) -> int:
-        return max((m.get("seq", 0) for m in self._manifests()), default=0) + 1
+    def _seq_dir(self) -> str:
+        return os.path.join(self.txn_root(), "seqs")
+
+    def _claimed_seqs(self) -> list[int]:
+        d = self._seq_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.endswith(".claim"):
+                try:
+                    out.append(int(f[: -len(".claim")]))
+                except ValueError:
+                    pass
+        return out
+
+    def _claim_seq(self, run_id: str) -> int:
+        """Atomically claim the next snapshot sequence number.
+
+        ``O_CREAT|O_EXCL`` on ``_txn/seqs/<seq>.claim`` is the
+        serialization point: of N concurrent committers (threads OR
+        separate driver processes on a shared POSIX filesystem), each
+        claim file is created by exactly one, so snapshot order is a
+        strict total order — no two commits ever share a seq. A crash
+        between claim and marker leaves an unused seq (a hole), which
+        readers — who order by the seqs recorded in markers — never see.
+        """
+        d = self._seq_dir()
+        os.makedirs(d, exist_ok=True)
+        seq = (
+            max(
+                max(self._claimed_seqs(), default=0),
+                max((m.get("seq", 0) for m in self._manifests()), default=0),
+            )
+            + 1
+        )
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(d, f"{seq:020d}.claim"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                seq += 1
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(run_id)
+                fh.flush()
+                os.fsync(fh.fileno())
+            return seq
 
     def snapshots(self) -> list[dict]:
         """The table history: one row per commit, in snapshot order —
@@ -456,11 +603,27 @@ class TransactionalWarehouse(Warehouse):
         checkpoints the last seq it processed reads exactly-once without
         ever rescanning the table. Same partition-pruning ``isin`` plan as
         :meth:`read`: the run_id set prunes at file-listing time, so the
-        scan cost is proportional to the CHANGE, not the table."""
+        scan cost is proportional to the CHANGE, not the table.
+
+        Raises :class:`IncrementalWindowExpiredError` when any run in the
+        window was compacted away and then vacuumed — its run_ids are
+        still in the commit log but the files are gone, and silently
+        returning a partial changeset would be data loss for the
+        consumer. (Iceberg raises the same way for incremental scans over
+        expired snapshots.) The consumer's recovery is a full refresh
+        from the current snapshot.
+        """
         runs = self.changed_runs_for(table, since, until)
         schema = self.table_schema(table)
         if not runs:
             return self.spark.createDataFrame([], schema)
+        expired = [r for r in runs if not os.path.isdir(self.run_dir(table, r))]
+        if expired:
+            raise IncrementalWindowExpiredError(
+                f"incremental window over {table!r} includes vacuumed runs "
+                f"{expired} — the window expired; re-sync from the current "
+                "snapshot"
+            )
         with_run = T.StructType(
             schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
         )
@@ -484,9 +647,16 @@ class TransactionalWarehouse(Warehouse):
         if batch_id and not self.is_committed(run_id):
             for table in self.all_tables():
                 shutil.rmtree(self.run_dir(table, run_id), ignore_errors=True)
+                staging = os.path.join(self.path(table), STAGING_DIR)
+                if os.path.isdir(staging):
+                    for entry in os.listdir(staging):
+                        if entry.rsplit(".", 1)[0] == run_id:
+                            shutil.rmtree(
+                                os.path.join(staging, entry), ignore_errors=True
+                            )
         txn = Transaction(self, run_id)
         if self.is_committed(run_id):
-            txn._done = True  # already-committed: stage() raises, commit() false
+            txn._already_committed = True  # stage() raises, commit() False
         return txn
 
     def is_committed(self, run_id: str) -> bool:
@@ -603,12 +773,28 @@ class TransactionalWarehouse(Warehouse):
         txn.commit()
         return n_files
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, *, staging_retention_sec: float = 0.0) -> list[str]:
         """Remove run dirs that are dead for their table: never committed
-        (crashed/aborted stage) or superseded by a compaction commit.
+        (crashed/aborted stage, including orphaned ``.staging`` attempts)
+        or superseded by a compaction commit.
 
-        Returns the reclaimed run_ids. Safe any time: a dead run is
-        invisible by construction, so deleting it cannot change any reader.
+        ``staging_retention_sec`` guards the one racy case: a ``.staging``
+        dir whose run_id is uncommitted might belong to a LIVE in-flight
+        transaction, so it is only reclaimed once older than the
+        retention (production: set to hours, like ``VACUUM``'s retention
+        period; the 0 default suits single-driver tests and tools).
+        Staging leftovers of already-committed run_ids are always dead —
+        a marker can never be re-published — and are removed regardless
+        of age.
+
+        Returns the reclaimed run_ids. Snapshot reads are unaffected (a
+        dead run is invisible to :meth:`read` by construction), but two
+        historical read classes EXPIRE with it, exactly as with any table
+        format's snapshot expiry: time travel to snapshots that predate a
+        compaction, and incremental :meth:`read_changes` windows spanning
+        the vacuumed runs — the latter raise
+        :class:`IncrementalWindowExpiredError` instead of silently
+        returning a partial changeset.
         """
         reclaimed: set[str] = set()
         prefix = f"{RUN_ID_COL}="
@@ -623,4 +809,20 @@ class TransactionalWarehouse(Warehouse):
                     if run_id not in live:
                         shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
                         reclaimed.add(run_id)
+            staging = os.path.join(tdir, STAGING_DIR)
+            if os.path.isdir(staging):
+                import time
+
+                cutoff = time.time() - staging_retention_sec
+                for entry in os.listdir(staging):
+                    run_id = entry.rsplit(".", 1)[0]
+                    path = os.path.join(staging, entry)
+                    try:
+                        old_enough = os.path.getmtime(path) <= cutoff
+                    except OSError:
+                        old_enough = True
+                    if self.is_committed(run_id) or old_enough:
+                        shutil.rmtree(path, ignore_errors=True)
+                        if not self.is_committed(run_id):
+                            reclaimed.add(run_id)
         return sorted(reclaimed)

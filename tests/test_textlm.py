@@ -57,7 +57,7 @@ def test_intra_doc_dedup_removes_exact_repeat(spark, docs):
     assert rows[1]["dedup_text"] == "alpha beta gamma delta"
     assert rows[1]["intra_dup_ratio"] == 0.5
     # doc 2 has no repeats -> text unchanged
-    assert rows[2]["dedup_text"] == rows[2]["dedup_text"]
+    assert rows[2]["dedup_text"] == "one two three four five six seven eight nine"
     assert rows[2]["n_segments"] == rows[2]["n_unique_segments"] == 3
     # empty doc: zero segments, empty text, ratio 0
     assert rows[3]["n_segments"] == 0

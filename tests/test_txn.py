@@ -58,11 +58,10 @@ def test_crash_mid_ingest_leaves_no_partial_state(spark, twh):
     # the loader stages all 4 data tables into the txn...
     load_patients(twh, transformed, txn=txn)
     # ...but the process dies before commit() — simulate by just not committing.
+    # pre-commit bytes live in the txn's PRIVATE staging dir, never run_dir
+    assert not any(os.path.isdir(twh.run_dir(t, "crashy")) for t in DATA_TABLES)
     staged_files = [
-        p
-        for t in DATA_TABLES
-        for p in [twh.run_dir(t, "crashy")]
-        if os.path.isdir(p)
+        p for t in DATA_TABLES for p in [txn._stage_dir(t)] if os.path.isdir(p)
     ]
     assert len(staged_files) == 4  # bytes ARE on disk...
     assert all(n == 0 for n in table_counts(twh).values())  # ...yet invisible
