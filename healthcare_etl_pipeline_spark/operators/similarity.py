@@ -544,6 +544,105 @@ def make_lsh_signatures_udf(*, planes: int, tables: int, dim: int, seed: int = 4
     return _sigs
 
 
+def make_cosine_quantized_udf(*, scale: int = 1_000_000):
+    """Arrow-vectorized cosine over integer-QUANTIZED vectors — fast (one
+    int64 einsum per batch) and bit-identical to any SQL engine running the
+    same formula.
+
+    The trick: quantize each component to floor(v*scale + 0.5); dot and
+    norms are then INTEGER sums — exact, so summation order (numpy SIMD vs
+    a sequential SQL fold) cannot change them. The final
+    double(dot)/(sqrt(nq)·sqrt(nc)) is a fixed sequence of exactly-rounded
+    IEEE ops on exactly-representable inputs (|dot| ≤ 64·(scale·|v|)² ≈
+    1.6e13 < 2^53), hence identical everywhere. Values differ from the true
+    float cosine by O(1/scale) — disclosed, and symmetric across engines.
+    """
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.floor(
+            np.stack(a.to_numpy()).astype(np.float64) * scale + 0.5
+        ).astype(np.int64)
+        mb = np.floor(
+            np.stack(b.to_numpy()).astype(np.float64) * scale + 0.5
+        ).astype(np.int64)
+        dots = np.einsum("ij,ij->i", ma, mb).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma).astype(np.float64))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dots / (na * nb))
+
+    return _cos
+
+
+def portable_plane_signs(
+    *, planes: int, tables: int, dim: int, salt: str = "lsh-v1"
+) -> list[list[int]]:
+    """±1 hyperplane sign matrix derived from md5 of "salt:t:p:i" — fixed
+    CONSTANTS reproducible in any engine or language (the same trick as
+    operators/text.py's portable hash, applied at plan-build time: no
+    runtime hashing anywhere). Row order is t*planes + p; one row per
+    (table, plane), ``dim`` entries each."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{salt}:{t}:{p}:{i}".encode()).hexdigest()[:15], 16
+            )
+            & 1
+            else -1
+            for i in range(dim)
+        ]
+        for t in range(tables)
+        for p in range(planes)
+    ]
+
+
+def make_portable_lsh_signatures_udf(
+    *,
+    planes: int,
+    tables: int,
+    dim: int,
+    scale: int = 1_000_000,
+    salt: str = "lsh-v1",
+):
+    """Arrow-vectorized signature kernel whose every sign decision is EXACT
+    integer arithmetic — bit-identical to a SQL oracle running the same
+    formula.
+
+    Floating-point dot products are order-sensitive (numpy's SIMD matmul
+    sums in a different order than a sequential SQL fold), and hyperplane
+    LSH thresholds at dot==0 — exactly where reorderings flip signs. So
+    vectors are first quantized to integers (floor(v*scale + 0.5), the
+    round-half-up both engines express identically) and the plane dot is an
+    int64 matmul against the ±1 ``portable_plane_signs`` matrix: no FP
+    anywhere near the sign decision. 64 dims × |v|<10 × 1e6 scale keeps
+    every partial sum far inside int64.
+    """
+    import numpy as np
+
+    signs = np.array(
+        portable_plane_signs(planes=planes, tables=tables, dim=dim, salt=salt),
+        dtype=np.int64,
+    ).T  # dim × (tables·planes)
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.floor(
+            np.stack(vecs.to_numpy()).astype(np.float64) * scale + 0.5
+        ).astype(np.int64)
+        bits = (m @ signs) >= 0
+        per_table = bits.reshape(len(m), tables, planes)
+        sigs = (per_table * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
 def ann_lsh_topk_vectorized(
     queries: DataFrame,
     corpus: DataFrame,
@@ -556,6 +655,8 @@ def ann_lsh_topk_vectorized(
     tables: int = 8,
     seed: int = 42,
     sig_col: str | None = None,
+    exact_fold: bool = False,
+    quantized_scale: int | None = None,
 ) -> DataFrame:
     """Banded-LSH ANN with the signature stage vectorized (numpy matmul via
     Arrow batches); bucket semantics identical to ``ann_lsh_topk``. The
@@ -602,16 +703,36 @@ def ann_lsh_topk_vectorized(
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
+    if quantized_scale is not None:
+        # vectorized AND cross-engine exact (integer sums; see factory doc)
+        cos = make_cosine_quantized_udf(scale=quantized_scale)(
+            F.col("q_vec"), F.col("c_vec")
+        )
+    elif exact_fold:  # bit-identical to a sequential SQL fold (oracle form)
+        cos = cosine_fold(F.col("q_vec"), F.col("c_vec"), dim)
+    else:
+        cos = cosine_vectorized(F.col("q_vec"), F.col("c_vec"))
     scored = (
         candidates.join(F.broadcast(q_vecs), "q_id")
         .join(c_vecs, "vec_id")
-        .withColumn("cos_sim", cosine_vectorized(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos_sim", cos)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    if quantized_scale is not None:
+        # floor(x*1e6 + 0.5) on bit-identical doubles is exactly defined —
+        # unlike ROUND(double, 6), whose half-way behavior differs between
+        # engines (observed 1-ulp disagreements at the 6th decimal)
+        out_score = (
+            F.floor(F.col("cos_sim") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("cos_sim_e6")
+        )
+    else:
+        out_score = F.round("cos_sim", 6).alias("cos_sim")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+        .select("q_id", "vec_id", out_score, "rank")
     )
 
 

@@ -39,6 +39,7 @@ REPRESENTATIVES = [
     "audio_decode_wav",
     "video_frame_sample_y4m",
     "ann_lsh_cosine",
+    "ann_lsh_recall_contract",
     "ann_ivf_cosine",
     "txn_time_travel_read",
 ]

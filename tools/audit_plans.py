@@ -45,7 +45,7 @@ EXPECTED_NESTED_LOOP = {
     "dq_checks_orders",         # expectation-summary scalars crossjoin (1-row broadcasts)
     "triangle_count_copurchase",  # final scalar assembly: 3 crossjoins of 1-row aggs
     "temperature_mix_docs",     # min-stratum-size crossjoin (1-row broadcast)
-    "ann_lsh_cosine",           # recall-flag crossjoin (1-row broadcast agg)
+    "ann_lsh_recall_contract",  # recall-flag crossjoin (1-row broadcast agg)
     "kmeans_embeddings",        # convergence-flag crossjoin (1-row broadcast agg)
     "ann_ivf_persisted",        # recall-flag crossjoin (1-row broadcast agg)
     "importance_weight_docs",   # domain-totals crossjoin (1-row broadcast agg)
@@ -65,7 +65,8 @@ EXPECTED_PYTHON = {
     "enc_roundtrip_customers",
     "multimodal_feature_extract",
     "stream_stateful_user_totals",
-    "ann_lsh_cosine",   # numpy matmul signatures + einsum cosine (vectorized)
+    "ann_lsh_cosine",   # numpy matmul signatures (portable; exact-fold re-rank)
+    "ann_lsh_recall_contract",  # numpy signatures + einsum cosine (vectorized)
     "ann_ivf_cosine",   # einsum cosine for cell assignment + re-rank
     "dedup_embedding_lsh",  # numpy matmul LSH signatures (exact-fold re-rank)
     "bpe_encode_docs",      # Arrow-batched greedy rank-priority encode UDF
