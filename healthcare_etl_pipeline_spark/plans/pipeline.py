@@ -17,6 +17,7 @@ Re-expresses reference app/etl/pipeline.py:135-143 (factory wiring the fixed
 from __future__ import annotations
 
 import json
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,10 @@ RAW_PATIENT_SCHEMA = T.StructType(
 )
 
 MAX_BATCH_SIZE = 1000  # reference app/schemas/api.py:28
+
+# Serializes the OCC validate+commit critical section for concurrent
+# ingests in this driver (the API's threading server shares one session).
+_OCC_COMMIT_LOCK = threading.Lock()
 
 
 def records_to_df(spark: SparkSession, records: list[dict]) -> DataFrame:
@@ -215,31 +220,86 @@ def ingest_batch_atomic(
     round-2 design's documented deviation (SURVEY §7.6). Pass a stable
     ``batch_id`` for exactly-once re-runs: an already-committed batch is
     skipped, a crashed half-staged attempt is wiped and restaged.
+
+    Concurrent ingests (the API layer serves one shared session across
+    request threads) run optimistic concurrency control on the mrn
+    uniqueness invariant: each attempt records the patients snapshot it
+    validated against, and the validate+commit critical section is
+    serialized (process-wide lock). If another batch committed an
+    overlapping mrn meanwhile, this attempt ABORTS — publishing nothing —
+    and re-runs the pipeline, whose anti-join now sees the winner's rows
+    and routes the duplicate to the conflict side-output (or raises, in
+    strict mode) instead of silently double-inserting. Cross-process
+    writers get the same detection on a best-effort basis (the lock is
+    per-driver); strict multi-driver serialization belongs to a shared
+    metastore, as with any file-backed table format.
     """
-    txn = warehouse.begin(batch_id)
-    if warehouse.is_committed(txn.run_id):
-        return {
-            "status": "skipped",
-            "reason": "batch_id already committed",
-            "txn": {"run_id": txn.run_id, "committed": True},
-        }
-    dag = build_patient_ingestion_pipeline(
-        warehouse, actor=actor, strict=strict, txn=txn
-    )
-    try:
-        summary = dag.run({"raw_df": records_to_df(spark, records)})
-        summary["record_counts"] = harvest_record_counts(summary)
-        if summary["status"] != "success":
-            txn.abort()  # failed run: stage nothing, surface the summary
-            summary["txn"] = {"run_id": txn.run_id, "committed": False}
+    for _ in range(_OCC_MAX_RETRIES):
+        txn = warehouse.begin(batch_id)
+        if warehouse.is_committed(txn.run_id):
+            return {
+                "status": "skipped",
+                "reason": "batch_id already committed",
+                "txn": {"run_id": txn.run_id, "committed": True},
+            }
+        snapshot = set(warehouse.committed_runs_for("patients"))
+        dag = build_patient_ingestion_pipeline(
+            warehouse, actor=actor, strict=strict, txn=txn
+        )
+        try:
+            summary = dag.run({"raw_df": records_to_df(spark, records)})
+            summary["record_counts"] = harvest_record_counts(summary)
+            if summary["status"] != "success":
+                txn.abort()  # failed run: stage nothing, surface the summary
+                summary["txn"] = {"run_id": txn.run_id, "committed": False}
+                return summary
+            write_run_record(warehouse, dag, summary, txn=txn)
+            with _OCC_COMMIT_LOCK:
+                if _mrn_conflict_since(spark, warehouse, txn, snapshot):
+                    txn.abort()
+                    continue  # retry: the anti-join will route the dup away
+                committed = txn.commit()
+            summary["txn"] = {"run_id": txn.run_id, "committed": committed}
             return summary
-        write_run_record(warehouse, dag, summary, txn=txn)
-        committed = txn.commit()
-        summary["txn"] = {"run_id": txn.run_id, "committed": committed}
-        return summary
-    except Exception:
-        txn.abort()
-        raise
+        except Exception:
+            txn.abort()
+            raise
+    raise RuntimeError(
+        f"ingest lost the mrn-conflict race {_OCC_MAX_RETRIES} times in a row"
+    )
+
+
+_OCC_MAX_RETRIES = 4
+
+
+def _mrn_conflict_since(
+    spark: SparkSession, warehouse, txn, snapshot: set
+) -> bool:
+    """True when a patients run committed AFTER ``snapshot`` shares an mrn
+    with this transaction's staged patients — the cross-writer duplicate
+    the in-pipeline anti-join (which only sees COMMITTED rows at stage
+    time) cannot catch. Both sides are tiny targeted reads: the staged
+    batch (≤1000 rows by contract) and only the concurrently-committed
+    run dirs."""
+    import os
+
+    new_runs = [
+        r
+        for r in warehouse.committed_runs_for("patients")
+        if r not in snapshot
+    ]
+    if not new_runs or "patients" not in txn.staged_tables:
+        return False
+    staged_dir = txn._stage_dir("patients")
+    if not os.path.isdir(staged_dir):
+        return False
+    staged_mrns = spark.read.parquet(staged_dir).select("mrn")
+    concurrent_mrns = spark.read.parquet(
+        *[warehouse.run_dir("patients", r) for r in new_runs]
+    ).select("mrn")
+    return bool(
+        staged_mrns.join(concurrent_mrns, "mrn", "left_semi").take(1)
+    )
 
 
 def ingest_batch_observed(

@@ -495,3 +495,84 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 2)
     )
+
+
+@query(
+    "stream_txn_cdc",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    description="Restartable CDC consumer over the transactional "
+    "warehouse: events land in three separate commits; cdc_sync folds each "
+    "incremental read_changes window into a derived aggregate view whose "
+    "transactional commit IS the checkpoint (batch_id encodes the "
+    "processed seq window, so the cursor and the state are one atomic "
+    "write — exactly-once with no separate cursor file to drift). Syncs "
+    "run interleaved with the source commits, a drained consumer performs "
+    "zero work, and the final view must equal the batch recomputation "
+    "over all source rows — one double-counted or lost window flips the "
+    "hash. Kill-and-restart and vacuum-expiry recovery are exercised in "
+    "tests/test_cdc.py.",
+    tags=("streaming", "txn", "cdc", "exactly-once", "incremental"),
+)
+def stream_txn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_cdc_wh_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "event_log",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.register_table(
+        "event_agg",
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("value_sum", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    sync = lambda: cdc_sync(  # noqa: E731
+        wh, "event_log", "event_agg", group_cols=["event_type"], value_col="value"
+    )
+    # three source commits with syncs interleaved: the consumer must fold
+    # windows incrementally, not recompute from history
+    wh.append(ev.filter(F.col("event_id") % 3 == 0), "event_log")
+    assert sync() == 1
+    wh.append(ev.filter(F.col("event_id") % 3 == 1), "event_log")
+    wh.append(ev.filter(F.col("event_id") % 3 == 2), "event_log")
+    assert sync() == 1  # one window covering both pending commits
+    assert sync() == 0  # drained: current consumer does zero work
+
+    return wh.read("event_agg").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("value_sum", 2).alias("total_value"),
+    )

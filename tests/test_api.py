@@ -112,3 +112,49 @@ def test_query_endpoint(api_server):
 
     status, body = _post(f"{base}/query/nope", {})
     assert status == 404
+
+
+def test_concurrent_ingest_isolates_batches_and_mrn_uniqueness(api_server):
+    """Round-4 hardening: N threads POST /ingest at once through the one
+    shared session. Every batch must commit atomically, and an mrn that
+    appears in TWO concurrent batches must be inserted exactly once — the
+    OCC loser re-runs its pipeline and routes the duplicate to the
+    conflict side-output instead of double-inserting or losing the rest
+    of its batch."""
+    import threading
+
+    base, wh = api_server
+    results = {}
+
+    def post(i):
+        # every batch carries a private mrn AND the contested one
+        records = [
+            make_patient(mrn=f"MRN-T{i}"),
+            make_patient(mrn="MRN-SHARED"),
+        ]
+        results[i] = _post(f"{base}/ingest", {"records": records})
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(status == 200 for status, _ in results.values()), results
+    assert all(body["status"] == "success" for _, body in results.values())
+
+    patients = wh.read("patients")
+    mrns = [r["mrn"] for r in patients.select("mrn").collect()]
+    # every private mrn exactly once, the contested mrn exactly once
+    assert sorted(mrns) == sorted([f"MRN-T{i}" for i in range(4)] + ["MRN-SHARED"])
+    # exactly one batch won the contested mrn; the rest routed it to the
+    # duplicate side-output (loaded 1 instead of 2)
+    loaded = [
+        body["record_counts"]["load_count"] for _, body in results.values()
+    ]
+    assert sorted(loaded) == [1, 1, 1, 2]
+    # all four commits are present and serialized
+    runs = [r for r in wh.committed_run_ids()]
+    assert len(runs) == 4
+    seqs = [s["seq"] for s in wh.snapshots()]
+    assert len(set(seqs)) == 4
