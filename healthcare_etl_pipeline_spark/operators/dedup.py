@@ -193,8 +193,51 @@ def _band_bucket_cols(k: int, bands: int) -> list[Column]:
     ]
 
 
+#: Target candidate comparisons per reducer task before the band join
+#: spreads a hot bucket over salts (~250k id-pair rows is well under a
+#: task's memory at 16 bytes/pair, and small enough that a straggler task
+#: stays in the seconds range at 100 TB).
+_SALT_PAIRS_PER_TASK = 250_000
+_SALT_MAX = 32
+
+
+def _probe_salt_buckets(
+    hot_pairs: int,
+    pairs_per_task: int = _SALT_PAIRS_PER_TASK,
+    max_salt: int = _SALT_MAX,
+) -> int:
+    """Salt count for a hottest-bucket workload of ``hot_pairs``
+    comparisons: 1 (off) below the per-task target, else enough salts to
+    spread the hot bucket to ~``pairs_per_task`` per reducer, capped (the
+    right side replicates ×salt through the shuffle, so unbounded salt
+    trades a straggler for shuffle volume)."""
+    if hot_pairs <= pairs_per_task:
+        return 1
+    return min(max_salt, -(-hot_pairs // pairs_per_task))
+
+
+def _hottest_bucket_size(buckets: DataFrame) -> int:
+    """Max per-bucket doc count — the skew probe. One map-side-combined
+    aggregation over the (already persisted-signature-derived) bucket
+    frame with a k-byte shuffle of per-bucket counts; cost is one cheap
+    extra job, paid once per band join to decide the salting plan (the
+    runtime analogue of AQE's skew stats, usable on AQE-off and streaming
+    paths too)."""
+    row = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m").alias("m"))
+        .first()
+    )
+    return int(row["m"] or 0) if row else 0
+
+
 def _band_pairs(
-    sigs: DataFrame, id_col: str, k: int, bands: int, salt_buckets: int = 1
+    sigs: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    salt_buckets: int | str = "auto",
 ) -> DataFrame:
     """(id_a < id_b) pairs sharing ≥1 (band, band-signature) bucket.
 
@@ -212,10 +255,18 @@ def _band_pairs(
     emitted exactly once (at the left doc's salt). Cost: the right side is
     replicated ×``salt_buckets`` through the shuffle — pay it when bucket
     skew is expected, keep the default for uniform corpora.
+
+    ``salt_buckets="auto"`` (the default) probes the hottest bucket's
+    cardinality first and salts only when its m·(m-1)/2 comparisons exceed
+    the per-task target — so the Zipfian guard engages without the caller
+    knowing about it, and uniform corpora pay nothing beyond the probe.
     """
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*_band_bucket_cols(k, bands))).alias("bucket")
     )
+    if salt_buckets == "auto":
+        m = _hottest_bucket_size(buckets)
+        salt_buckets = _probe_salt_buckets(m * (m - 1) // 2)
     if salt_buckets > 1:
         left = buckets.withColumn(
             "__salt",
@@ -252,7 +303,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     n: int = 3,
     hash_mode: str = "portable",
-    salt_buckets: int = 1,
+    salt_buckets: int | str = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs: docs agreeing on at least one LSH band.
 
@@ -261,6 +312,7 @@ def lsh_candidate_pairs(
     join is an equi-join → shuffle on the bucket key, never O(n²).
     ``salt_buckets``: spread Zipfian-hot buckets over that many reducers
     (see ``_band_pairs``) — identical result set, bounded task skew.
+    Default ``"auto"`` probes bucket skew and salts only when needed.
     """
     sigs = _banded_signatures(df, id_col, text_col, k, bands, n, hash_mode)
     return _band_pairs(sigs, id_col, k, bands, salt_buckets)
@@ -794,7 +846,7 @@ def lsh_cross_candidates(
     bands: int = 4,
     n: int = 3,
     hash_mode: str = "portable",
-    salt_buckets: int = 1,
+    salt_buckets: int | str = "auto",
 ) -> DataFrame:
     """Bipartite MinHash-LSH: near-dup candidates BETWEEN two corpora —
     the benchmark-decontamination shape (training docs vs an eval set),
@@ -826,6 +878,18 @@ def lsh_cross_candidates(
 
     lb = buckets(ls, "left_id")
     rb = buckets(rs, "right_id")
+    if salt_buckets == "auto":
+        # bipartite hot-bucket work is m_left × m_right: join the two
+        # per-bucket count frames (small: one row per non-empty bucket)
+        # and take the max product. Same probe economics as _band_pairs.
+        lc = lb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ml"))
+        rc = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("mr"))
+        row = (
+            lc.join(rc, "bucket")
+            .agg(F.max(F.col("ml") * F.col("mr")).alias("p"))
+            .first()
+        )
+        salt_buckets = _probe_salt_buckets(int(row["p"] or 0) if row else 0)
     if salt_buckets > 1:
         lb = lb.withColumn(
             "__salt",

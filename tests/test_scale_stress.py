@@ -222,12 +222,45 @@ def test_salted_band_join_identical_pairs(spark, adversarial_docs):
     from healthcare_etl_pipeline_spark.operators.dedup import lsh_candidate_pairs
 
     slice_df = adversarial_docs.filter(F.col("doc_id") < 3000)
-    plain = lsh_candidate_pairs(slice_df, "doc_id", "text")
+    plain = lsh_candidate_pairs(slice_df, "doc_id", "text", salt_buckets=1)
     salted = lsh_candidate_pairs(slice_df, "doc_id", "text", salt_buckets=8)
     n_plain, n_salted = plain.count(), salted.count()
     assert n_plain == n_salted and n_plain > 0
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_auto_salting_engages_on_skew_with_flag_unset(spark, adversarial_docs):
+    """Round-4 hardening (verdict #6): with salt_buckets UNSET the band
+    join must detect the ~900-doc hot bucket itself, choose >1 salts, and
+    still emit exactly the unsalted pair set — the Zipfian guard no longer
+    depends on the caller knowing the flag exists."""
+    from healthcare_etl_pipeline_spark.operators.dedup import (
+        _band_bucket_cols,
+        _hottest_bucket_size,
+        _banded_signatures,
+        _probe_salt_buckets,
+        lsh_candidate_pairs,
+    )
+
+    slice_df = adversarial_docs.filter(F.col("doc_id") < 3000)
+    # the probe itself: hottest bucket is the duplicate cluster (~900 docs
+    # per band), whose pair load crosses the per-task target -> salts on
+    sigs = _banded_signatures(slice_df, "doc_id", "text", 8, 4, 3, "portable")
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*_band_bucket_cols(8, 4))).alias("bucket")
+    )
+    m = _hottest_bucket_size(buckets)
+    assert m > 800
+    assert _probe_salt_buckets(m * (m - 1) // 2) > 1
+    # uniform workload: probe stays off
+    assert _probe_salt_buckets(10 * 9 // 2) == 1
+    # default (auto) result set identical to the explicit unsalted join
+    auto = lsh_candidate_pairs(slice_df, "doc_id", "text")
+    plain = lsh_candidate_pairs(slice_df, "doc_id", "text", salt_buckets=1)
+    assert auto.count() == plain.count() > 0
+    assert auto.exceptAll(plain).count() == 0
+    assert plain.exceptAll(auto).count() == 0
 
 
 def test_salted_cross_candidates_identical(spark, adversarial_docs):
@@ -242,7 +275,7 @@ def test_salted_cross_candidates_identical(spark, adversarial_docs):
     eval_set = adversarial_docs.filter(F.col("doc_id") % 7 >= 5).filter(
         F.col("doc_id") < 5000
     )
-    plain = lsh_cross_candidates(train, eval_set, "doc_id", "text")
+    plain = lsh_cross_candidates(train, eval_set, "doc_id", "text", salt_buckets=1)
     salted = lsh_cross_candidates(
         train, eval_set, "doc_id", "text", salt_buckets=8
     )
