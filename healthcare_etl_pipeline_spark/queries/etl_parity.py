@@ -585,6 +585,79 @@ def txn_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_schema_evolution_read",
+    oracle="""
+    SELECT 's1' AS snapshot, c_custkey AS custkey, c_name AS name,
+           CAST(NULL AS DOUBLE) AS acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'current' AS snapshot, c_custkey AS custkey, c_name AS name,
+           CASE WHEN c_custkey % 2 = 1 THEN round(c_acctbal, 2) END AS acctbal
+    FROM customer
+    """,
+    description="Additive schema evolution across transactional snapshots: "
+    "batch 1 commits under the v1 schema (custkey, name); the table is then "
+    "re-registered with a nullable acctbal column and batch 2 commits under "
+    "v2. The current read reconciles BOTH committed snapshots under the v2 "
+    "schema — v1 rows null-fill acctbal at the parquet projection, no "
+    "rewrite of old runs — and time travel as_of the v1 commit also reads "
+    "through the evolved schema (Iceberg's read-side evolution rule). Any "
+    "dropped/doubled row or a mis-filled column flips the hash.",
+    tags=("txn", "schema-evolution", "etl"),
+)
+def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_evo_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    v1 = T.StructType(
+        [
+            T.StructField("custkey", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    wh.register_table("cust_log", v1)
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+    )
+    txn = wh.begin("evo-v1")
+    txn.stage(cust.filter(F.col("custkey") % 2 == 0).drop("acctbal"), "cust_log")
+    txn.commit()
+
+    v2 = T.StructType(
+        v1.fields + [T.StructField("acctbal", T.DoubleType(), True)]
+    )
+    wh.register_table("cust_log", v2)
+    txn = wh.begin("evo-v2")
+    txn.stage(cust.filter(F.col("custkey") % 2 == 1), "cust_log")
+    txn.commit()
+
+    s1 = next(s["seq"] for s in wh.snapshots() if s["run_id"] == "evo-v1")
+    old = wh.read("cust_log", as_of=s1).select(
+        F.lit("s1").alias("snapshot"), "custkey", "name", "acctbal"
+    )
+    cur = wh.read("cust_log").select(
+        F.lit("current").alias("snapshot"), "custkey", "name", "acctbal"
+    )
+    return old.unionByName(cur)
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,
