@@ -658,6 +658,74 @@ def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_merge_upsert",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           CASE WHEN c_custkey % 3 = 0 THEN 'base' ELSE 'merged' END AS src
+    FROM customer
+    """,
+    description="Copy-on-write MERGE (upsert) on the transactional "
+    "warehouse: the base state lands as TWO separate commits (custkey%3=0 "
+    "and %3=1); a merge keyed on custkey then updates every %3=1 row and "
+    "inserts the %3=2 rows in ONE atomic commit. Run-granularity pruning "
+    "is asserted in-query: only the run containing matched keys is "
+    "rewritten — the %3=0 run keeps its files (rewriting it would be the "
+    "full-table-rewrite anti-pattern at 100 TB). The final read must show "
+    "update+insert+untouched rows exactly once each.",
+    tags=("txn", "merge", "upsert", "etl"),
+)
+def txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_merge_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_state",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+                T.StructField("src", T.StringType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    for label, parity in (("base-0", 0), ("base-1", 1)):
+        txn = wh.begin(label)
+        txn.stage(
+            cust.filter(F.col("custkey") % 3 == parity).withColumn(
+                "src", F.lit("base")
+            ),
+            "cust_state",
+        )
+        txn.commit()
+
+    res = wh.merge(
+        cust.filter(F.col("custkey") % 3 != 0).withColumn("src", F.lit("merged")),
+        "cust_state",
+        ["custkey"],
+    )
+    assert res["rewritten_runs"] == ["base-1"], res
+    assert res["untouched_runs"] == ["base-0"], res
+    return wh.read("cust_state")
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

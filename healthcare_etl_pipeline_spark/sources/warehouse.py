@@ -201,6 +201,12 @@ def _sanitize_run_id(raw: str) -> str:
     return _RUN_ID_RE.sub("_", raw)[:128]
 
 
+class ConcurrentMergeError(RuntimeError):
+    """The target table's live-run set changed between a merge's key scan
+    and its commit — the rewrite would retire runs it never read. The
+    merge publishes nothing; retry against the new snapshot."""
+
+
 class IncrementalWindowExpiredError(RuntimeError):
     """An incremental (CDC) read window references runs whose files were
     reclaimed by ``vacuum`` after a compaction superseded them — the same
@@ -736,6 +742,94 @@ class TransactionalWarehouse(Warehouse):
             raise
         txn.commit()
         return erased
+
+    def merge(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        *,
+        batch_id: str | None = None,
+    ) -> dict:
+        """Copy-on-write MERGE (upsert): rows of ``source`` REPLACE target
+        rows sharing the same ``key_cols`` value; unmatched source rows
+        INSERT. One atomic commit publishes both effects.
+
+        Scale shape — run-granularity pruning, the Delta/Iceberg
+        copy-on-write strategy at this warehouse's file-group unit: a
+        cheap semi-join of the run-id-tagged table against the (distinct)
+        source keys finds which committed runs contain matched keys; ONLY
+        those runs are rewritten (their surviving rows anti-join the
+        source keys and restage alongside the full source), and the
+        commit's ``replaces`` retires exactly them. Runs untouched by the
+        merge keep their files — a merge that hits 1% of runs rewrites 1%
+        of the table, not all of it.
+
+        Keys must be non-null on both sides (null never matches null, as
+        in SQL MERGE), and ``source`` should be key-unique — duplicate
+        source keys all insert (SQL MERGE raises on multiple matches;
+        dedup upstream when that matters). Concurrency: the live-run set is re-checked right
+        before commit and a concurrent change raises
+        :class:`ConcurrentMergeError` with nothing published — optimistic
+        concurrency, best-effort across processes (same stance as the OCC
+        ingest path; strict cross-driver serialization belongs to a shared
+        metastore). ``batch_id`` makes the merge idempotent: a replay of a
+        committed merge is a no-op.
+
+        Returns {"committed", "rewritten_runs", "untouched_runs"}.
+        """
+        schema = self.table_schema(table)
+        live = self.committed_runs_for(table)
+        keys = source.select(*key_cols).distinct()
+        affected: list[str] = []
+        if live:
+            with_run = T.StructType(
+                schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+            )
+            tagged = (
+                self.spark.read.schema(with_run)
+                .parquet(self.path(table))
+                .filter(F.col(RUN_ID_COL).isin(live))
+            )
+            affected = sorted(
+                r[RUN_ID_COL]
+                for r in tagged.join(keys, key_cols, "left_semi")
+                .select(RUN_ID_COL)
+                .distinct()
+                .collect()
+            )
+        txn = self.begin(batch_id)
+        if txn._already_committed:
+            return {
+                "committed": False,
+                "rewritten_runs": [],
+                "untouched_runs": live,
+            }
+        try:
+            if affected:
+                surviving = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[self.run_dir(table, r) for r in affected])
+                    .join(keys, key_cols, "left_anti")
+                )
+                txn.stage(surviving, table)
+            txn.stage(source, table)
+        except Exception:
+            txn.abort()
+            raise
+        txn.replaces[table] = affected
+        if self.committed_runs_for(table) != live:
+            txn.abort()
+            raise ConcurrentMergeError(
+                f"table {table!r} changed during merge — retry against the "
+                "new snapshot"
+            )
+        committed = txn.commit()
+        return {
+            "committed": committed,
+            "rewritten_runs": affected,
+            "untouched_runs": sorted(set(live) - set(affected)),
+        }
 
     def compact(
         self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
