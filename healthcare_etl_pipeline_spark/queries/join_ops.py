@@ -102,27 +102,26 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    points = ev.select(
-        "event_id",
+    # microsecond precision: unix_timestamp() truncates to whole seconds,
+    # which silently widens the window by up to 1s at both edges — at
+    # sf0.1 one event sits inside the truncated window but outside the
+    # true one (sub-second ts fractions are real in this data)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    half_hour_us = 1800 * 1_000_000
+    points = ev.select("event_id", "user_id", us.alias("ts_us"))
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
-    )
-    windows = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            (F.unix_timestamp(F.col("ts").cast("timestamp")) - 1800).alias("lo"),
-            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("hi"),
-        )
+        (us - half_hour_us).alias("lo"),
+        us.alias("hi"),
     )
     joined = J.range_join_binned(
         points,
         windows,
-        left_point="ts_s",
+        left_point="ts_us",
         right_lo="lo",
         right_hi="hi",
-        bin_width=1800,
+        bin_width=half_hour_us,
         key="user_id",
         extra_cond=F.col("event_id") != F.col("purchase_id"),
     )
