@@ -576,3 +576,113 @@ def stream_txn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.round("value_sum", 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_txn_cdc_multi_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value) / count(*), 2) AS avg_value,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS users_within_tolerance
+    FROM events GROUP BY event_type
+    """,
+    description="Incremental view maintenance with the full mergeable "
+    "algebra: the CDC consumer folds three warehouse commits into a view "
+    "carrying count, min, max, avg (sum+count state, finalized on read) "
+    "and an HLL approx-distinct whose BINARY SKETCH is the persisted "
+    "state — hll_sketch_agg partials hll_union-merged per window, "
+    "estimated only at read, so distinct counting never rescans history. "
+    "Exact aggregates value-match the batch oracle; the sketch is an "
+    "accuracy contract (exact count + within-5%-tolerance boolean).",
+    tags=("streaming", "txn", "cdc", "incremental", "sketch"),
+)
+def stream_txn_cdc_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+        AggSpec,
+        finalize_exprs,
+    )
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    specs = [
+        AggSpec("n", "count"),
+        AggSpec("min_value", "min", "value"),
+        AggSpec("max_value", "max", "value"),
+        AggSpec("avg_value", "avg", "value"),
+        AggSpec("users", "approx_distinct", "user_id"),
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_cdc_ma_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "event_log",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.register_table(
+        "event_agg",
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("min_value", T.DoubleType()),
+                T.StructField("max_value", T.DoubleType()),
+                T.StructField("avg_value__sum", T.DoubleType()),
+                T.StructField("avg_value__n", T.LongType()),
+                T.StructField("users", T.BinaryType()),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    sync = lambda: cdc_sync(  # noqa: E731
+        wh, "event_log", "event_agg",
+        group_cols=["event_type"], value_col="value", aggs=specs,
+    )
+    wh.append(ev.filter(F.col("event_id") % 3 == 0), "event_log")
+    assert sync() == 1
+    wh.append(ev.filter(F.col("event_id") % 3 == 1), "event_log")
+    wh.append(ev.filter(F.col("event_id") % 3 == 2), "event_log")
+    assert sync() == 1
+    assert sync() == 0
+
+    view = wh.read("event_agg").select(*finalize_exprs(specs, ["event_type"]))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return view.join(exact, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("avg_value", 2).alias("avg_value"),
+        "exact_users",
+        (
+            F.abs(F.col("users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("users_within_tolerance"),
+    )

@@ -38,9 +38,13 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
+from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+    AggSpec,
+    merge_state,
+    partial_exprs,
+)
 from healthcare_etl_pipeline_spark.sources.warehouse import (
     IncrementalWindowExpiredError,
     TransactionalWarehouse,
@@ -73,42 +77,34 @@ def source_watermark(wh: TransactionalWarehouse, source_table: str) -> int:
     )
 
 
+def default_aggs(value_col: str) -> list[AggSpec]:
+    """The historical (n, value_sum) view shape, as algebra specs."""
+    return [AggSpec("n", "count"), AggSpec("value_sum", "sum", value_col)]
+
+
 def merge_partials(
     state: DataFrame | None,
     partial: DataFrame,
     group_cols: list[str],
+    aggs: list[AggSpec] | None = None,
 ) -> DataFrame:
-    """Full-outer delta merge of (group → n, value_sum) partials — the
-    DataFrame form of ``MERGE INTO`` (same algebra as
-    streaming/incremental.py's IncrementalAggView, stateless)."""
-    if state is None:
-        return partial
-    s = state.alias("s")
-    p = partial.alias("p")
-    cond: Column | None = None
-    for c in group_cols:
-        eq = F.col(f"s.{c}").eqNullSafe(F.col(f"p.{c}"))
-        cond = eq if cond is None else cond & eq
-    return s.join(p, cond, "full_outer").select(
-        *[
-            F.coalesce(F.col(f"s.{c}"), F.col(f"p.{c}")).alias(c)
-            for c in group_cols
-        ],
-        (
-            F.coalesce(F.col("s.n"), F.lit(0))
-            + F.coalesce(F.col("p.n"), F.lit(0))
-        ).alias("n"),
-        (
-            F.coalesce(F.col("s.value_sum"), F.lit(0.0))
-            + F.coalesce(F.col("p.value_sum"), F.lit(0.0))
-        ).alias("value_sum"),
+    """Full-outer delta merge of per-group partials — the DataFrame form
+    of ``MERGE INTO``, delegating per-aggregate merge expressions to the
+    mergeable algebra (operators/incremental_agg.py). Default specs keep
+    the historical (n, value_sum) shape."""
+    return merge_state(
+        state, partial, group_cols, aggs or default_aggs("value")
     )
 
 
-def _partial(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+def _partial(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    aggs: list[AggSpec] | None = None,
+) -> DataFrame:
     return df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value_col).cast("double")).alias("value_sum"),
+        *partial_exprs(aggs or default_aggs(value_col))
     )
 
 
@@ -142,25 +138,32 @@ def cdc_sync_once(
     group_cols: list[str],
     value_col: str,
     prefix: str | None = None,
+    aggs: list[AggSpec] | None = None,
 ) -> tuple[int, int] | None:
     """Fold one incremental window of ``source_table`` changes into the
     ``view_table`` aggregate. Returns the processed (lo, hi] window, or
     None when the view is already current.
 
+    ``aggs`` selects the maintained aggregates (default: count + sum of
+    ``value_col``); any mergeable-algebra spec works, including HLL
+    approx-distinct whose binary sketch state round-trips through the
+    view table's parquet.
+
     Exactly-once: the window is derived from committed consumer run_ids
     and published under a window-keyed batch_id — see module docstring.
     """
     prefix = prefix or f"cdc_{source_table}_{view_table}"
+    specs = aggs or default_aggs(value_col)
     lo = cdc_cursor(wh, prefix)
     hi = source_watermark(wh, source_table)
     if hi <= lo:
         return None
     changes = wh.read_changes(source_table, since=lo, until=hi)
-    partial = _partial(changes, group_cols, value_col)
+    partial = _partial(changes, group_cols, value_col, specs)
     state = (
         wh.read(view_table) if wh.committed_runs_for(view_table) else None
     )
-    merged = merge_partials(state, partial, group_cols)
+    merged = merge_partials(state, partial, group_cols, specs)
     _publish_view(wh, view_table, merged, f"{prefix}__{lo}__{hi}")
     return (lo, hi)
 
@@ -173,6 +176,7 @@ def cdc_full_refresh(
     group_cols: list[str],
     value_col: str,
     prefix: str | None = None,
+    aggs: list[AggSpec] | None = None,
 ) -> int:
     """Rebuild the view from the CURRENT source snapshot — the recovery
     path after the incremental window expired (vacuum past an unconsumed
@@ -180,7 +184,7 @@ def cdc_full_refresh(
     advances to ``hi`` atomically with the rebuilt state."""
     prefix = prefix or f"cdc_{source_table}_{view_table}"
     hi = source_watermark(wh, source_table)
-    merged = _partial(wh.read(source_table), group_cols, value_col)
+    merged = _partial(wh.read(source_table), group_cols, value_col, aggs)
     _publish_view(wh, view_table, merged, f"{prefix}__refresh__{hi}")
     return hi
 
@@ -193,6 +197,7 @@ def cdc_sync(
     group_cols: list[str],
     value_col: str,
     prefix: str | None = None,
+    aggs: list[AggSpec] | None = None,
     max_rounds: int = 1000,
 ) -> int:
     """Drain all pending source changes into the view (poll-until-current).
@@ -208,6 +213,7 @@ def cdc_sync(
                 group_cols=group_cols,
                 value_col=value_col,
                 prefix=prefix,
+                aggs=aggs,
             )
         except IncrementalWindowExpiredError:
             cdc_full_refresh(
@@ -217,6 +223,7 @@ def cdc_sync(
                 group_cols=group_cols,
                 value_col=value_col,
                 prefix=prefix,
+                aggs=aggs,
             )
             rounds += 1
             continue

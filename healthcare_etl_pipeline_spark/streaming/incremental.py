@@ -18,59 +18,54 @@ sink is a one-line change in ``process``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
+
+from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+    AggSpec,
+    finalize_exprs,
+    merge_state,
+    partial_exprs,
+)
 
 
 class IncrementalAggView:
-    """Running (group_cols → count, sum(value_col)) view maintained by
-    merging per-batch partial aggregates."""
+    """Running per-group aggregate view maintained by merging per-batch
+    partials. Default shape: (group_cols → n, value_sum); pass ``aggs``
+    for any mergeable-algebra spec set (min/max/avg/HLL distinct — see
+    operators/incremental_agg.py)."""
 
-    def __init__(self, group_cols: list[str], value_col: str):
+    def __init__(
+        self,
+        group_cols: list[str],
+        value_col: str,
+        aggs: list[AggSpec] | None = None,
+    ):
         self.group_cols = group_cols
-        self.value_col = value_col
+        self.specs = aggs or [
+            AggSpec("n", "count"),
+            AggSpec("value_sum", "sum", value_col),
+        ]
         self.state: DataFrame | None = None
         self.n_batches = 0
 
     def _partial(self, batch_df: DataFrame) -> DataFrame:
         return batch_df.groupBy(*self.group_cols).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(self.value_col).alias("value_sum"),
+            *partial_exprs(self.specs)
         )
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        part = self._partial(batch_df)
-        if self.state is None:
-            merged = part
-        else:
-            s = self.state.alias("s")
-            p = part.alias("p")
-            cond: Column | None = None
-            for c in self.group_cols:
-                eq = F.col(f"s.{c}").eqNullSafe(F.col(f"p.{c}"))
-                cond = eq if cond is None else cond & eq
-            merged = s.join(p, cond, "full_outer").select(
-                *[
-                    F.coalesce(F.col(f"s.{c}"), F.col(f"p.{c}")).alias(c)
-                    for c in self.group_cols
-                ],
-                (
-                    F.coalesce(F.col("s.n"), F.lit(0))
-                    + F.coalesce(F.col("p.n"), F.lit(0))
-                ).alias("n"),
-                (
-                    F.coalesce(F.col("s.value_sum"), F.lit(0.0))
-                    + F.coalesce(F.col("p.value_sum"), F.lit(0.0))
-                ).alias("value_sum"),
-            )
+        merged = merge_state(
+            self.state, self._partial(batch_df), self.group_cols, self.specs
+        )
         # eager checkpoint: state must not chain lineage across batches
         self.state = merged.localCheckpoint(eager=True)
         self.n_batches += 1
 
     def result(self) -> DataFrame:
+        """Finalized view: derived aggregates computed, sketches estimated."""
         if self.state is None:
             raise RuntimeError("no batches processed")
-        return self.state
+        return self.state.select(*finalize_exprs(self.specs, self.group_cols))
 
 
 def maintain_incremental_view(

@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from healthcare_etl_pipeline_spark.operators.timeseries import resample_ffill
@@ -47,6 +49,40 @@ def test_incremental_view_merge_equals_batch(spark):
     out = {r.k: (r.n, r.value_sum) for r in view.result().collect()}
     assert out == {"a": (2, 3.0), "b": (2, 6.0), "c": (1, 4.0)}
     assert view.n_batches == 2
+
+
+def test_incremental_view_full_mergeable_algebra(spark):
+    """min/max/avg/HLL-distinct maintained incrementally must equal the
+    batch recomputation — including the merge paths where a group is
+    absent from one side (state-only and partial-only groups)."""
+    from healthcare_etl_pipeline_spark.operators.incremental_agg import AggSpec
+
+    b1 = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 5.0, 11), ("b", 2.0, 10)],
+        "k string, value double, uid long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3.0, 10), ("c", 7.0, 12)], "k string, value double, uid long"
+    )
+    specs = [
+        AggSpec("n", "count"),
+        AggSpec("lo", "min", "value"),
+        AggSpec("hi", "max", "value"),
+        AggSpec("mean", "avg", "value"),
+        AggSpec("users", "approx_distinct", "uid"),
+    ]
+    view = IncrementalAggView(["k"], "value", aggs=specs)
+    view.merge_batch(b1, 0)
+    view.merge_batch(b2, 1)
+    out = {r.k: r for r in view.result().collect()}
+    assert out["a"].n == 3 and out["a"].lo == 1.0 and out["a"].hi == 5.0
+    assert out["a"].mean == pytest.approx(3.0)
+    assert out["b"].n == 1 and out["b"].lo == out["b"].hi == 2.0
+    assert out["c"].n == 1 and out["c"].mean == pytest.approx(7.0)
+    # tiny cardinalities: the HLL estimate is exact in practice; allow
+    # the sketch's error bound anyway
+    assert abs(out["a"].users - 2) <= 1
+    assert abs(out["c"].users - 1) <= 1
 
 
 def test_time_decay_halves_per_half_life(spark):
