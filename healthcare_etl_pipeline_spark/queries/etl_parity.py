@@ -726,6 +726,85 @@ def txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_overwrite_backfill",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           CASE WHEN month(o_orderdate) = 3 THEN 'backfill' ELSE 'base' END AS src
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    """,
+    description="Predicate-scoped overwrite (replaceWhere) as an "
+    "idempotent backfill: 1995 orders land as two commits (first half / "
+    "second half of the year); overwrite_where(month=3) atomically "
+    "deletes-and-reinserts exactly March in one commit. Run-granularity "
+    "pruning asserted in-query — only the H1 run is rewritten, the H2 "
+    "run keeps its files. The final read must show the backfilled March "
+    "rows exactly once alongside untouched months.",
+    tags=("txn", "overwrite", "backfill", "etl"),
+)
+def txn_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_bf_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_state",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("totalprice", T.DoubleType(), True),
+                T.StructField("src", T.StringType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        )
+    )
+    for label, lo, hi in (("h1", 1, 6), ("h2", 7, 12)):
+        txn = wh.begin(label)
+        txn.stage(
+            ord95.filter(F.col("month").between(lo, hi)).withColumn(
+                "src", F.lit("base")
+            ),
+            "ord_state",
+        )
+        txn.commit()
+
+    res = wh.overwrite_where(
+        ord95.filter(F.col("month") == 3).withColumn("src", F.lit("backfill")),
+        "ord_state",
+        F.col("month") == 3,
+    )
+    assert res["rewritten_runs"] == ["h1"], res
+    assert res["untouched_runs"] == ["h2"], res
+    return wh.read("ord_state").select("orderkey", "totalprice", "src")
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

@@ -831,6 +831,81 @@ class TransactionalWarehouse(Warehouse):
             "untouched_runs": sorted(set(live) - set(affected)),
         }
 
+    def overwrite_where(
+        self,
+        source: DataFrame,
+        table: str,
+        predicate: "Column",
+        *,
+        batch_id: str | None = None,
+    ) -> dict:
+        """Predicate-scoped overwrite (Delta's ``replaceWhere`` / dynamic
+        partition overwrite, generalized to any predicate): atomically
+        DELETE every committed row matching ``predicate`` and INSERT
+        ``source`` in its place. The idempotent-backfill primitive —
+        re-running "rebuild March" converges instead of duplicating.
+
+        Same run-granularity copy-on-write as :meth:`merge`: only runs
+        containing a matching row are rewritten (their non-matching rows
+        survive); runs the predicate never touches keep their files. The
+        caller is trusted that ``source`` rows satisfy ``predicate`` —
+        rows outside it are inserted anyway (as with replaceWhere's
+        unchecked mode), so validate upstream when that matters.
+
+        Returns {"committed", "rewritten_runs", "untouched_runs"}.
+        """
+        schema = self.table_schema(table)
+        live = self.committed_runs_for(table)
+        affected: list[str] = []
+        if live:
+            with_run = T.StructType(
+                schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+            )
+            tagged = (
+                self.spark.read.schema(with_run)
+                .parquet(self.path(table))
+                .filter(F.col(RUN_ID_COL).isin(live))
+            )
+            affected = sorted(
+                r[RUN_ID_COL]
+                for r in tagged.filter(predicate)
+                .select(RUN_ID_COL)
+                .distinct()
+                .collect()
+            )
+        txn = self.begin(batch_id)
+        if txn._already_committed:
+            return {
+                "committed": False,
+                "rewritten_runs": [],
+                "untouched_runs": live,
+            }
+        try:
+            if affected:
+                surviving = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[self.run_dir(table, r) for r in affected])
+                    .filter(~predicate | predicate.isNull())
+                )
+                txn.stage(surviving, table)
+            txn.stage(source, table)
+        except Exception:
+            txn.abort()
+            raise
+        txn.replaces[table] = affected
+        if self.committed_runs_for(table) != live:
+            txn.abort()
+            raise ConcurrentMergeError(
+                f"table {table!r} changed during overwrite_where — retry "
+                "against the new snapshot"
+            )
+        committed = txn.commit()
+        return {
+            "committed": committed,
+            "rewritten_runs": affected,
+            "untouched_runs": sorted(set(live) - set(affected)),
+        }
+
     def compact(
         self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
     ) -> int:

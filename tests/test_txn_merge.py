@@ -90,6 +90,36 @@ def test_merge_time_travel_sees_pre_merge_state(spark, wh):
     assert _state(wh) == {1: "a", 2: "B"}
 
 
+def test_overwrite_where_replaces_matching_rows_atomically(spark, wh):
+    """replaceWhere semantics: matching rows deleted + source inserted in
+    one commit; runs the predicate never touches keep their files."""
+    from pyspark.sql import functions as F
+
+    txn = wh.begin("low")
+    txn.stage(_df(spark, [(1, "a"), (2, "b")]), "kv")
+    txn.commit()
+    txn = wh.begin("high")
+    txn.stage(_df(spark, [(10, "x"), (11, "y")]), "kv")
+    txn.commit()
+
+    res = wh.overwrite_where(
+        _df(spark, [(10, "X"), (12, "Z")]), "kv", F.col("k") >= 10
+    )
+    assert res["rewritten_runs"] == ["high"]
+    assert res["untouched_runs"] == ["low"]
+    # 11 deleted by the predicate (not re-inserted), 10 replaced, 12 new
+    assert _state(wh) == {1: "a", 2: "b", 10: "X", 12: "Z"}
+    # idempotent backfill: replaying under the same batch_id is a no-op
+    wh.overwrite_where(
+        _df(spark, [(10, "X2")]), "kv", F.col("k") >= 10, batch_id="bf"
+    )
+    r2 = wh.overwrite_where(
+        _df(spark, [(10, "LOST")]), "kv", F.col("k") >= 10, batch_id="bf"
+    )
+    assert r2["committed"] is False
+    assert _state(wh)[10] == "X2"
+
+
 def test_concurrent_append_during_merge_raises_and_publishes_nothing(
     spark, wh, monkeypatch
 ):
