@@ -668,7 +668,9 @@ def _spark_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q2_min_cost_supplier",
     oracle=f"""
     WITH {_DUCK_PARTSUPP.strip()}
-    SELECT p.p_partkey, p.p_brand, round(ps.ps_supplycost, 4) AS best_cost,
+    SELECT p.p_partkey, p.p_brand,
+           CAST(round(CAST(ps.ps_supplycost AS DECIMAL(18,8)), 4) AS DOUBLE)
+               AS best_cost,
            s.s_name, n.n_name
     FROM part p
     JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
@@ -713,7 +715,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_brand",
-            F.round("ps_supplycost", 4).alias("best_cost"),
+            # round via DECIMAL(18,8): double round() disagrees between
+            # engines when the quotient's shortest repr sits on a .5
+            # boundary at the 4th decimal (e.g. 478.40074999999996); the
+            # 8-digit decimal cast collapses the wobble identically on
+            # both sides before the visible rounding
+            F.round(F.col("ps_supplycost").cast("decimal(18,8)"), 4)
+            .cast("double")
+            .alias("best_cost"),
             "s_name",
             "n_name",
         )
