@@ -942,6 +942,63 @@ class TransactionalWarehouse(Warehouse):
         txn.commit()
         return n_files
 
+    def optimize(
+        self,
+        table: str,
+        *,
+        zorder_by: tuple[str, str] | None = None,
+        target_file_mb: int = 128,
+        zorder_bits: int = 16,
+    ) -> int:
+        """Layout-as-operation: transactional compaction with an optional
+        Z-order clustering pass — the lakehouse ``OPTIMIZE ... ZORDER BY``
+        verb, separating write-time layout work from read-time queries.
+
+        With ``zorder_by=(a, b)`` the rewrite range-partitions and sorts
+        by the Morton interleave of the two columns' low ``zorder_bits``
+        bits (operators/layout.py), so parquet row-group min/max stats
+        become selective on BOTH columns at once — point/range predicates
+        on either column prune row groups after the rewrite, where a
+        single-column sort helps only its own column. Without
+        ``zorder_by`` this is plain :meth:`compact`. Publication is the
+        same single-marker atomic swap either way; time travel to
+        pre-optimize snapshots survives until :meth:`vacuum`.
+        """
+        if zorder_by is None:
+            return self.compact(table, target_file_mb=target_file_mb)
+        import math
+        import pathlib
+
+        from healthcare_etl_pipeline_spark.operators.layout import zvalue
+
+        a, b = zorder_by
+        old_runs = self.committed_runs_for(table)
+        current = self.read(table)
+        n_bytes = sum(
+            f.stat().st_size
+            for run in old_runs
+            for f in pathlib.Path(self.run_dir(table, run)).rglob("*.parquet")
+        )
+        n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+        z = zvalue(
+            F.col(a).cast("long"), F.col(b).cast("long"), bits=zorder_bits
+        )
+        clustered = (
+            current.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        txn = self.begin()
+        try:
+            txn.stage(clustered, table)
+        except Exception:
+            txn.abort()
+            raise
+        txn.replaces[table] = old_runs
+        txn.commit()
+        return n_files
+
     def vacuum(self, *, staging_retention_sec: float = 0.0) -> list[str]:
         """Remove run dirs that are dead for their table: never committed
         (crashed/aborted stage, including orphaned ``.staging`` attempts)

@@ -120,6 +120,26 @@ def test_overwrite_where_replaces_matching_rows_atomically(spark, wh):
     assert _state(wh)[10] == "X2"
 
 
+def test_optimize_zorder_rewrites_atomically_preserving_data(spark, wh):
+    """OPTIMIZE ZORDER as a transactional rewrite: same rows, one new
+    clustered run replacing the old ones, pre-optimize snapshot still
+    time-travelable."""
+    rows = [(i, f"v{i}") for i in range(100)]
+    wh.append(_df(spark, rows[:50]), "kv")
+    wh.append(_df(spark, rows[50:]), "kv")
+    pre = wh.snapshots()[-1]["seq"]
+
+    n_files = wh.optimize("kv", zorder_by=("k", "k"), target_file_mb=1)
+    assert n_files >= 1
+    assert _state(wh) == dict(rows)
+    # one live run now (the rewrite), old runs retired
+    assert len(wh.committed_runs_for("kv")) == 1
+    # time travel to the pre-optimize snapshot still serves the old runs
+    assert {
+        r["k"] for r in wh.read("kv", as_of=pre).collect()
+    } == {k for k, _ in rows}
+
+
 def test_concurrent_append_during_merge_raises_and_publishes_nothing(
     spark, wh, monkeypatch
 ):
