@@ -805,6 +805,86 @@ def txn_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_stats_skipping_read",
+    oracle="""
+    SELECT month(o_orderdate) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      AND month(o_orderdate) BETWEEN 4 AND 6
+    GROUP BY month(o_orderdate)
+    """,
+    description="File-level data skipping (zone-map pruning at the "
+    "warehouse's file granularity): 1995 orders land as four quarterly "
+    "commits, a min/max stats index is built over the month column, and "
+    "the month-in-[4,6] read consults the index — the report must show "
+    "FEWER files read than the table holds (asserted in-query: only the "
+    "Q2 run's files can contain matches), with the exact predicate "
+    "re-applied on top. The aggregate must equal the full-scan oracle: "
+    "one wrongly skipped file loses rows and flips the hash.",
+    tags=("txn", "stats", "data-skipping", "scale"),
+)
+def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_skip_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_log",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("totalprice", T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+    for q, lo, hi in ((1, 1, 3), (2, 4, 6), (3, 7, 9), (4, 10, 12)):
+        txn = wh.begin(f"q{q}")
+        txn.stage(ord95.filter(F.col("month").between(lo, hi)), "ord_log")
+        txn.commit()
+
+    wh.build_stats_index("ord_log", ["month"])
+    df, report = wh.read_skipping("ord_log", {"month": (4, 6)})
+    assert report["files_read"] < report["files_total"], report
+    assert report["runs_uncovered"] == [], report
+    return (
+        df.filter(F.col("month").between(4, 6))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

@@ -942,6 +942,124 @@ class TransactionalWarehouse(Warehouse):
         txn.commit()
         return n_files
 
+    def _stats_dir(self, table: str) -> str:
+        return os.path.join(self.root, "_stats", table)
+
+    def build_stats_index(self, table: str, cols: list[str]) -> int:
+        """Build (or rebuild) a file-level min/max stats index for
+        ``table`` — the data-skipping manifest (Iceberg's per-file column
+        bounds, Delta's file stats) for this warehouse's unit of work.
+
+        One distributed scan groups the table by ``_metadata.file_path``
+        and records per-file row count and per-column min/max; the tiny
+        result lands under ``_stats/<table>/`` with a manifest noting
+        which run_ids it covers. The index is ADVISORY: :meth:`read_skipping`
+        consults it for covered runs and falls back to full reads for runs
+        committed after the build, so a stale index can never lose rows.
+
+        At 100 TB the stats scan is one pass (column-pruned to the indexed
+        columns) and the index is KB-scale — the listing that replaces
+        opening every file at query time. Returns the number of files
+        indexed.
+        """
+        live = self.committed_runs_for(table)
+        sdir = self._stats_dir(table)
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(sdir, exist_ok=True)
+        if live:
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            for c in cols:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            stats = (
+                self.read(table)
+                .select(
+                    F.col("_metadata.file_path").alias("file_path"), *cols
+                )
+                .groupBy("file_path")
+                .agg(*aggs)
+            )
+            stats.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(sdir, "files")
+            )
+        n_files = (
+            self.spark.read.parquet(os.path.join(sdir, "files")).count()
+            if live
+            else 0
+        )
+        manifest = {"covered_runs": live, "cols": cols, "n_files": n_files}
+        tmp = os.path.join(sdir, ".manifest.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(sdir, "manifest.json"))
+        return n_files
+
+    def read_skipping(
+        self, table: str, bounds: dict[str, tuple]
+    ) -> tuple[DataFrame, dict]:
+        """Data-skipping read: serve only the files whose stats ranges can
+        contain rows satisfying ``bounds`` (col → (lo, hi), either side
+        None for unbounded), plus FULL runs committed after the stats
+        build (the index never lies by omission). Returns (df, report)
+        where report = {files_total, files_read, runs_uncovered}.
+
+        The returned frame still carries every row of the selected files —
+        apply the exact predicate on top (as with any zone-map/row-group
+        skipping, stats prune I/O, predicates prune rows). Combine with
+        :meth:`optimize` Z-ordering: clustering is what makes the per-file
+        ranges tight enough to skip most files.
+        """
+        schema = self.table_schema(table)
+        live = self.committed_runs_for(table)
+        mpath = os.path.join(self._stats_dir(table), "manifest.json")
+        if not os.path.exists(mpath):
+            raise RuntimeError(
+                f"no stats index for {table!r} — build_stats_index first"
+            )
+        with open(mpath, encoding="utf-8") as fh:
+            manifest = json.load(fh)
+        for c in bounds:
+            if c not in manifest["cols"]:
+                raise KeyError(f"column {c!r} is not in the stats index")
+        covered = [r for r in live if r in set(manifest["covered_runs"])]
+        uncovered = [r for r in live if r not in set(manifest["covered_runs"])]
+
+        stats = self.spark.read.parquet(
+            os.path.join(self._stats_dir(table), "files")
+        )
+        keep = F.lit(True)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                keep = keep & (F.col(f"max_{c}") >= F.lit(lo))
+            if hi is not None:
+                keep = keep & (F.col(f"min_{c}") <= F.lit(hi))
+        covered_prefixes = tuple(
+            os.path.abspath(self.run_dir(table, r)) for r in covered
+        )
+        all_files = [r["file_path"] for r in stats.select("file_path").collect()]
+        kept_files = [
+            r["file_path"] for r in stats.filter(keep).select("file_path").collect()
+        ]
+
+        def _strip(p: str) -> str:
+            # normalize "file:/x", "file://x", "file:///x" URIs to "/x"
+            return re.sub(r"^file:/+", "/", p)
+
+        selected = [
+            f for f in kept_files if _strip(f).startswith(covered_prefixes)
+        ]
+        paths = selected + [self.run_dir(table, r) for r in uncovered]
+        report = {
+            "files_total": len(all_files),
+            "files_read": len(selected),
+            "runs_uncovered": uncovered,
+        }
+        if not paths:
+            return self.spark.createDataFrame([], schema), report
+        return self.spark.read.schema(schema).parquet(*paths), report
+
     def optimize(
         self,
         table: str,
