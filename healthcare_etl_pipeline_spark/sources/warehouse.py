@@ -234,6 +234,7 @@ class Transaction:
         self.nonce = uuid.uuid4().hex[:12]
         self.staged_tables: list[str] = []
         self.replaces: dict[str, list[str]] = {}
+        self.restores: dict[str, list[str]] = {}
         self._done = False
         self._already_committed = False  # set by begin() for committed ids
 
@@ -316,8 +317,12 @@ class Transaction:
             # per-table run_ids this commit logically supersedes (compaction):
             # readers drop them the same instant this marker appears
             "replaces": self.replaces,
+            # per-table run_ids this commit brings BACK to the live set
+            # (rollback across a compaction boundary); applied at this
+            # commit's snapshot position in the sequential fold
+            "restores": self.restores,
             "seq": seq,
-            "format_version": 3,
+            "format_version": 4,
         }
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = os.path.join(
@@ -562,13 +567,17 @@ class TransactionalWarehouse(Warehouse):
                     raise KeyError(f"unknown snapshot run_id {as_of!r}")
                 as_of = seqs[0]
             manifests = [m for m in manifests if m.get("seq", 0) <= as_of]
-        included: list[str] = []
-        replaced: set[str] = set()
+        # sequential fold in snapshot order: adds, then retirements, then
+        # restorations (rollback markers) apply at their commit point —
+        # so a run replaced by a compaction can be re-added by a later
+        # rollback without resurrecting anything retroactively
+        live: set[str] = set()
         for m in manifests:
             if table in m.get("tables", ()):
-                included.append(m["run_id"])
-            replaced.update(m.get("replaces", {}).get(table, ()))
-        return sorted(r for r in included if r not in replaced)
+                live.add(m["run_id"])
+            live.difference_update(m.get("replaces", {}).get(table, ()))
+            live.update(m.get("restores", {}).get(table, ()))
+        return sorted(live)
 
     def changed_runs_for(
         self, table: str, since: int | str, until: int | str | None = None
@@ -996,6 +1005,102 @@ class TransactionalWarehouse(Warehouse):
         os.replace(tmp, os.path.join(sdir, "manifest.json"))
         return n_files
 
+    def update_stats_index(self, table: str) -> int:
+        """Incrementally extend the stats index to runs committed after
+        the last build/update — the commit-path maintenance real table
+        formats do inline. Scans ONLY the uncovered runs (partition-pruned
+        file listing), appends their per-file stats, and atomically
+        replaces the manifest; entries for runs that are no longer live
+        (compacted/vacuumed) are dropped from the covered set on the same
+        write. Cost is proportional to the CHANGE, like read_changes.
+        Returns the number of newly indexed files.
+        """
+        sdir = self._stats_dir(table)
+        mpath = os.path.join(sdir, "manifest.json")
+        if not os.path.exists(mpath):
+            raise RuntimeError(
+                f"no stats index for {table!r} — build_stats_index first"
+            )
+        with open(mpath, encoding="utf-8") as fh:
+            manifest = json.load(fh)
+        cols = manifest["cols"]
+        live = self.committed_runs_for(table)
+        covered = [r for r in manifest["covered_runs"] if r in set(live)]
+        new_runs = [r for r in live if r not in set(covered)]
+        n_new = 0
+        if new_runs:
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
+            for c in cols:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            schema = self.table_schema(table)
+            fresh = (
+                self.spark.read.schema(schema)
+                .parquet(*[self.run_dir(table, r) for r in new_runs])
+                .select(
+                    F.col("_metadata.file_path").alias("file_path"), *cols
+                )
+                .groupBy("file_path")
+                .agg(*aggs)
+            )
+            fresh.coalesce(1).write.mode("append").parquet(
+                os.path.join(sdir, "files")
+            )
+            n_new = fresh.count()
+        manifest = {
+            "covered_runs": sorted(set(covered) | set(new_runs)),
+            "cols": cols,
+            "n_files": manifest.get("n_files", 0) + n_new,
+        }
+        tmp = os.path.join(sdir, ".manifest.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, mpath)
+        return n_new
+
+    def rollback(self, table: str, to: int | str) -> list[str]:
+        """Roll ``table`` back to snapshot ``to`` (seq or run_id): commits
+        a marker whose ``replaces`` retires every run added to the table
+        AFTER that snapshot, so the current read equals ``read(table,
+        as_of=to)`` from the next instant on — metadata-only, no data
+        rewrite, same single atomic marker as every other commit (the
+        Iceberg ``rollback`` verb). The retired runs' files stay on disk
+        for time travel until :meth:`vacuum`. Returns the retired run_ids.
+
+        Rolling back ACROSS a compaction/overwrite boundary restores the
+        superseded runs via the marker's ``restores`` entry — provided
+        their files still exist; if :meth:`vacuum` already reclaimed them
+        the rollback raises (snapshot expiry limits rollback reach, as in
+        any table format).
+
+        Incremental consumers: a rollback is NOT an append — ``read_changes``
+        windows skip the marker, so a CDC-maintained view diverges from a
+        rolled-back source until its next full refresh (the same contract
+        as Iceberg's incremental append scan over non-append snapshots).
+        """
+        target = set(self.committed_runs_for(table, as_of=to))
+        current = set(self.committed_runs_for(table))
+        to_retire = sorted(current - target)
+        to_restore = sorted(target - current)
+        if not to_retire and not to_restore:
+            return []
+        gone = [
+            r for r in to_restore if not os.path.isdir(self.run_dir(table, r))
+        ]
+        if gone:
+            raise IncrementalWindowExpiredError(
+                f"rollback of {table!r} to {to!r} needs vacuumed runs {gone}"
+            )
+        txn = self.begin()
+        if to_retire:
+            txn.replaces[table] = to_retire
+        if to_restore:
+            txn.restores[table] = to_restore
+        txn.commit()
+        return to_retire
+
     def read_skipping(
         self, table: str, bounds: dict[str, tuple]
     ) -> tuple[DataFrame, dict]:
@@ -1117,10 +1222,21 @@ class TransactionalWarehouse(Warehouse):
         txn.commit()
         return n_files
 
-    def vacuum(self, *, staging_retention_sec: float = 0.0) -> list[str]:
+    def vacuum(
+        self,
+        *,
+        staging_retention_sec: float = 0.0,
+        dead_run_retention_sec: float = 0.0,
+    ) -> list[str]:
         """Remove run dirs that are dead for their table: never committed
         (crashed/aborted stage, including orphaned ``.staging`` attempts)
         or superseded by a compaction commit.
+
+        ``dead_run_retention_sec`` keeps superseded/retired run dirs on
+        disk until they are older than the retention — the ``VACUUM ...
+        RETAIN`` window that preserves time travel, :meth:`rollback`
+        reach, and in-flight incremental reads over recent history
+        (production: hours-to-days; the 0 default suits tests/tools).
 
         ``staging_retention_sec`` guards the one racy case: a ``.staging``
         dir whose run_id is uncommitted might belong to a LIVE in-flight
@@ -1140,8 +1256,11 @@ class TransactionalWarehouse(Warehouse):
         :class:`IncrementalWindowExpiredError` instead of silently
         returning a partial changeset.
         """
+        import time
+
         reclaimed: set[str] = set()
         prefix = f"{RUN_ID_COL}="
+        run_cutoff = time.time() - dead_run_retention_sec
         for table in self.all_tables():
             tdir = self.path(table)
             if not os.path.isdir(tdir):
@@ -1150,13 +1269,16 @@ class TransactionalWarehouse(Warehouse):
             for entry in os.listdir(tdir):
                 if entry.startswith(prefix):
                     run_id = entry[len(prefix):]
-                    if run_id not in live:
-                        shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                    path = os.path.join(tdir, entry)
+                    try:
+                        old_enough = os.path.getmtime(path) <= run_cutoff
+                    except OSError:
+                        old_enough = True
+                    if run_id not in live and old_enough:
+                        shutil.rmtree(path, ignore_errors=True)
                         reclaimed.add(run_id)
             staging = os.path.join(tdir, STAGING_DIR)
             if os.path.isdir(staging):
-                import time
-
                 cutoff = time.time() - staging_retention_sec
                 for entry in os.listdir(staging):
                     run_id = entry.rsplit(".", 1)[0]

@@ -87,3 +87,66 @@ def test_unindexed_column_raises(spark, wh):
     wh.build_stats_index("kv", ["k"])
     with pytest.raises(KeyError):
         wh.read_skipping("kv", {"v": (None, "x")})
+
+
+def test_incremental_stats_update_covers_new_runs(spark, wh):
+    """update_stats_index scans ONLY uncovered runs and extends the
+    index; after the update, skipping prunes with zero uncovered runs."""
+    _append_range(spark, wh, 0, 50)
+    wh.build_stats_index("kv", ["k"])
+    _append_range(spark, wh, 50, 100)
+    n_new = wh.update_stats_index("kv")
+    assert n_new >= 1
+    df, report = wh.read_skipping("kv", {"k": (60, 70)})
+    assert report["runs_uncovered"] == []
+    assert report["files_read"] < report["files_total"]
+    got = sorted(r["k"] for r in df.filter(F.col("k").between(60, 70)).collect())
+    assert got == list(range(60, 71))
+    # idempotent when current
+    assert wh.update_stats_index("kv") == 0
+
+
+def test_rollback_restores_snapshot_metadata_only(spark, wh):
+    """rollback retires post-snapshot runs in one marker; a second
+    rollback across a compaction boundary restores the superseded runs."""
+    _append_range(spark, wh, 0, 10, n_files=1)
+    s1 = wh.snapshots()[-1]["seq"]
+    _append_range(spark, wh, 10, 20, n_files=1)
+    retired = wh.rollback("kv", s1)
+    assert len(retired) == 1
+    assert {r["k"] for r in wh.read("kv").collect()} == set(range(10))
+
+    # across a compaction: rollback must RESTORE the compacted-away runs
+    _append_range(spark, wh, 100, 105, n_files=1)
+    pre_compact = wh.snapshots()[-1]["seq"]
+    wh.compact("kv")
+    wh.rollback("kv", pre_compact)
+    assert {r["k"] for r in wh.read("kv").collect()} == (
+        set(range(10)) | set(range(100, 105))
+    )
+
+
+def test_rollback_after_vacuum_raises(spark, wh):
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        IncrementalWindowExpiredError,
+    )
+
+    _append_range(spark, wh, 0, 10, n_files=1)
+    pre = wh.snapshots()[-1]["seq"]
+    wh.compact("kv")
+    wh.vacuum()  # reclaims the pre-compaction run
+    with pytest.raises(IncrementalWindowExpiredError):
+        wh.rollback("kv", pre)
+
+
+def test_vacuum_dead_run_retention_preserves_recent_history(spark, wh):
+    """dead_run_retention_sec keeps freshly retired runs on disk (time
+    travel + rollback reach), while retention=0 reclaims them."""
+    _append_range(spark, wh, 0, 10, n_files=1)
+    pre = wh.snapshots()[-1]["seq"]
+    wh.compact("kv")
+    assert wh.vacuum(dead_run_retention_sec=3600.0) == []
+    # the retained run still serves time travel AND rollback
+    assert {r["k"] for r in wh.read("kv", as_of=pre).collect()} == set(range(10))
+    wh.rollback("kv", pre)
+    assert {r["k"] for r in wh.read("kv").collect()} == set(range(10))
