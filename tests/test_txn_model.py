@@ -1,0 +1,116 @@
+"""Model-based randomized testing of the transactional warehouse: a
+seeded random walk over append / merge / overwrite_where / compact /
+optimize / rollback, checked after EVERY operation against a pure-Python
+reference model of the table state and its snapshot history.
+
+This is the cross-operation interaction coverage unit tests can't reach:
+a rollback landing after a compaction that followed a merge that rewrote
+an overwritten run, etc. Any divergence between the warehouse read and
+the model — rows lost, duplicated, or resurrected — fails immediately
+with the op trace.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_pipeline_spark.sources.warehouse import (
+    TransactionalWarehouse,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+KEYS = range(20)
+N_OPS = 12
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in rows], SCHEMA)
+
+
+def _read_state(wh):
+    out = {}
+    for r in wh.read("kv").collect():
+        assert r["k"] not in out, f"duplicate key {r['k']} in read"
+        out[r["k"]] = r["v"]
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_random_walk_matches_reference_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    wh = TransactionalWarehouse(spark, str(tmp_path / f"model_wh_{seed}"))
+    wh.register_table("kv", SCHEMA)
+    wh.create_all()
+
+    state: dict[int, int] = {}
+    history: dict[int, dict[int, int]] = {}  # seq -> state copy
+    trace: list[str] = []
+    counter = 0
+
+    def snap():
+        seqs = wh.snapshots()
+        if seqs:
+            history[seqs[-1]["seq"]] = dict(state)
+
+    for _ in range(N_OPS):
+        op = rng.choice(
+            ["append", "append", "merge", "overwrite", "compact", "optimize",
+             "rollback"]
+        )
+        counter += 1
+        if op == "append":
+            # fresh keys only (append does not deduplicate)
+            fresh = [k for k in KEYS if k not in state]
+            ks = rng.sample(fresh, min(len(fresh), rng.randint(1, 4)))
+            if not ks:
+                continue
+            rows = [(k, counter) for k in ks]
+            wh.append(_df(spark, rows), "kv")
+            state.update(dict(rows))
+            trace.append(f"append{ks}")
+        elif op == "merge":
+            ks = rng.sample(list(KEYS), rng.randint(1, 4))
+            rows = [(k, counter) for k in ks]
+            wh.merge(_df(spark, rows), "kv", ["k"])
+            state.update(dict(rows))
+            trace.append(f"merge{ks}")
+        elif op == "overwrite":
+            lo = rng.randint(0, 15)
+            hi = lo + rng.randint(1, 5)
+            kept = [k for k in range(lo, hi + 1) if rng.random() < 0.5]
+            rows = [(k, counter) for k in kept]
+            wh.overwrite_where(
+                _df(spark, rows), "kv", F.col("k").between(lo, hi)
+            )
+            for k in range(lo, hi + 1):
+                state.pop(k, None)
+            state.update(dict(rows))
+            trace.append(f"overwrite[{lo},{hi}]->{kept}")
+        elif op == "compact":
+            wh.compact("kv")
+            trace.append("compact")
+        elif op == "optimize":
+            wh.optimize("kv", zorder_by=("k", "v"))
+            trace.append("optimize")
+        elif op == "rollback":
+            if not history:
+                continue
+            to = rng.choice(sorted(history))
+            wh.rollback("kv", to)
+            state = dict(history[to])
+            trace.append(f"rollback->{to}")
+        snap()
+        got = _read_state(wh)
+        assert got == state, f"divergence after {' | '.join(trace)}"
+
+    # end-of-walk maintenance must not change the current read
+    wh.vacuum(dead_run_retention_sec=3600.0)
+    assert _read_state(wh) == state, f"vacuum changed state after {trace}"
