@@ -85,6 +85,51 @@ def test_incremental_view_full_mergeable_algebra(spark):
     assert abs(out["c"].users - 1) <= 1
 
 
+@pytest.mark.parametrize("seed", [3, 41])
+def test_mergeable_algebra_is_split_invariant(spark, seed):
+    """The algebra's defining property: folding a dataset in ANY batch
+    split must equal the single-batch aggregate — including null values,
+    empty batches, and groups confined to one side of the split."""
+    import random
+
+    from healthcare_etl_pipeline_spark.operators.incremental_agg import AggSpec
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice(["a", "b", "c", "d"]),
+            rng.choice([None, float(rng.randint(-50, 50))]),
+            rng.randint(1, 6),
+        )
+        for _ in range(60)
+    ]
+    schema = "k string, value double, uid long"
+    specs = [
+        AggSpec("n", "count"),
+        AggSpec("total", "sum", "value"),
+        AggSpec("lo", "min", "value"),
+        AggSpec("hi", "max", "value"),
+        AggSpec("users", "approx_distinct", "uid"),
+    ]
+
+    whole = IncrementalAggView(["k"], "value", aggs=specs)
+    whole.merge_batch(spark.createDataFrame(rows, schema), 0)
+    expect = {r.k: r for r in whole.result().collect()}
+
+    split = IncrementalAggView(["k"], "value", aggs=specs)
+    cut1, cut2 = sorted(rng.sample(range(len(rows)), 2))
+    for i, chunk in enumerate((rows[:cut1], rows[cut1:cut2], rows[cut2:])):
+        split.merge_batch(spark.createDataFrame(chunk, schema), i)
+    got = {r.k: r for r in split.result().collect()}
+
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k].n == expect[k].n, k
+        assert got[k].total == expect[k].total, k
+        assert got[k].lo == expect[k].lo and got[k].hi == expect[k].hi, k
+        assert got[k].users == expect[k].users, k  # HLL merge is exact-split-invariant
+
+
 def test_time_decay_halves_per_half_life(spark):
     from healthcare_etl_pipeline_spark.operators.timeseries import (
         time_decay_agg,
