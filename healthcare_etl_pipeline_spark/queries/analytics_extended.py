@@ -234,6 +234,60 @@ def json_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_corrupt_routing",
+    oracle="""
+    SELECT event_id,
+           event_id % 89 <> 0 AS is_valid,
+           CASE WHEN event_id % 89 <> 0 THEN event_type END AS event_type,
+           CASE WHEN event_id % 89 <> 0 THEN value END AS value
+    FROM events
+    """,
+    description="CSV source with corrupt-record routing: each event is "
+    "serialized to a delimited line (value mangled to a non-numeric token "
+    "on event_id % 89), then parsed back with from_csv against a pinned "
+    "DDL schema in PERMISSIVE mode — corrupt lines route to a quarantine "
+    "side with the raw text preserved, well-formed lines re-emerge typed "
+    "and must round-trip the original values exactly (shortest-repr "
+    "double→string→double is lossless). The delimited-feed sibling of "
+    "json_corrupt_routing.",
+    tags=("csv", "source", "etl"),
+)
+def csv_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.sources.csv_source import (
+        parse_csv_column,
+    )
+
+    lines = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.when(
+                F.col("event_id") % 89 == 0,
+                F.concat(F.col("value").cast("string"), F.lit("x")),
+            ).otherwise(F.col("value").cast("string")),
+        ).alias("line"),
+    )
+    split = parse_csv_column(
+        lines, "line", "csv_event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    good = split.parsed.select(
+        "event_id",
+        F.lit(True).alias("is_valid"),
+        F.col("parsed.event_type").alias("event_type"),
+        F.col("parsed.value").alias("value"),
+    )
+    bad = split.corrupt.select(
+        "event_id",
+        F.lit(False).alias("is_valid"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    return good.unionByName(bad)
+
+
+@query(
     "sql_interface_revenue_rank",
     oracle="""
     WITH nation_rev AS (

@@ -113,6 +113,26 @@ def test_parse_json_column_routes_corrupt(spark):
     assert got == {1: 5, 3: None, 4: None}
 
 
+def test_parse_csv_column_routes_corrupt(spark):
+    from healthcare_etl_pipeline_spark.sources.csv_source import (
+        parse_csv_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "10,alpha,1.5"), (2, "11,beta,notanumber"), (3, "12,gamma,2.0")],
+        ["id", "line"],
+    )
+    parsed, corrupt = parse_csv_column(
+        df, "line", "k BIGINT, name STRING, v DOUBLE"
+    )
+    # corrupt side: routed line-level, raw text preserved for replay
+    bad = corrupt.collect()
+    assert [r.id for r in bad] == [2]
+    assert bad[0].line == "11,beta,notanumber"
+    got = {r.id: (r.parsed["k"], r.parsed["name"], r.parsed["v"]) for r in parsed.collect()}
+    assert got == {1: (10, "alpha", 1.5), 3: (12, "gamma", 2.0)}
+
+
 def test_nested_rule_kinds(spark):
     """nested_required / array_item_required / closed_world semantics."""
     from healthcare_etl_pipeline_spark.operators.validation import (
