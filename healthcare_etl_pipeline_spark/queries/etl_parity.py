@@ -885,6 +885,63 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_rollback_read",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer WHERE c_custkey % 2 = 0
+    """,
+    description="Snapshot rollback as a metadata-only commit: two batches "
+    "commit (even then odd custkeys), a COMPACTION folds both into one "
+    "run, then rollback to the first snapshot must retire the compacted "
+    "run AND restore the even batch's original run through the marker's "
+    "restores field — the sequential live-run fold applies the "
+    "restoration at its commit position. The current read after rollback "
+    "must equal exactly the first batch; a resurrected odd row or a lost "
+    "even row flips the hash.",
+    tags=("txn", "rollback", "time-travel", "etl"),
+)
+def txn_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_rb_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_log",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    for label, parity in (("rb-even", 0), ("rb-odd", 1)):
+        txn = wh.begin(label)
+        txn.stage(cust.filter(F.col("custkey") % 2 == parity), "cust_log")
+        txn.commit()
+    s1 = next(s["seq"] for s in wh.snapshots() if s["run_id"] == "rb-even")
+    wh.compact("cust_log")  # rollback must cross this boundary
+    retired = wh.rollback("cust_log", s1)
+    assert retired, "rollback should retire the compaction + odd runs"
+    return wh.read("cust_log")
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,
