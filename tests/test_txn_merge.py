@@ -120,6 +120,39 @@ def test_overwrite_where_replaces_matching_rows_atomically(spark, wh):
     assert _state(wh)[10] == "X2"
 
 
+def test_merge_on_partitioned_table(spark, tmp_path):
+    """Run-granularity merge must survive hive-partitioned table layout:
+    partition values live in directory names, and the surviving-rows read
+    over bare run dirs must still recover them."""
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("part", T.StringType(), True),
+        ]
+    )
+    w = TransactionalWarehouse(spark, str(tmp_path / "pmerge_wh"))
+    w.register_table("pkv", schema, partition_by=("part",))
+    w.create_all()
+
+    def df(rows):
+        return spark.createDataFrame(
+            [Row(k=k, v=v, part=p) for k, v, p in rows], schema
+        )
+
+    w.append(df([(1, "a", "x"), (2, "b", "y")]), "pkv")
+    res = w.merge(df([(2, "B", "y"), (3, "C", "x")]), "pkv", ["k"])
+    assert res["committed"] is True
+    got = {r["k"]: (r["v"], r["part"]) for r in w.read("pkv").collect()}
+    assert got == {1: ("a", "x"), 2: ("B", "y"), 3: ("C", "x")}
+    # partition pruning still applies on the partition column
+    assert {
+        r["k"] for r in w.read("pkv").filter(F.col("part") == "x").collect()
+    } == {1, 3}
+
+
 def test_optimize_zorder_rewrites_atomically_preserving_data(spark, wh):
     """OPTIMIZE ZORDER as a transactional rewrite: same rows, one new
     clustered run replacing the old ones, pre-optimize snapshot still
