@@ -1163,7 +1163,15 @@ class TransactionalWarehouse(Warehouse):
         }
         if not paths:
             return self.spark.createDataFrame([], schema), report
-        return self.spark.read.schema(schema).parquet(*paths), report
+        # basePath: selected entries are FILE paths — without it, hive
+        # partition values encoded in directory names above each file
+        # would be lost (null-filled by the explicit schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", self.path(table))
+            .parquet(*paths),
+            report,
+        )
 
     def optimize(
         self,

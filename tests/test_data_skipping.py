@@ -89,6 +89,30 @@ def test_unindexed_column_raises(spark, wh):
         wh.read_skipping("kv", {"v": (None, "x")})
 
 
+def test_skipping_on_partitioned_table_recovers_partition_values(
+    spark, tmp_path
+):
+    """Stats entries are FILE paths; on a hive-partitioned table the read
+    must recover partition values from the directory names (basePath),
+    not null-fill them through the explicit schema."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("part", T.StringType(), True),
+        ]
+    )
+    w = TransactionalWarehouse(spark, str(tmp_path / "pskip_wh"))
+    w.register_table("pkv", schema, partition_by=("part",))
+    w.create_all()
+    rows = [Row(k=k, part="x" if k < 50 else "y") for k in range(100)]
+    w.append(spark.createDataFrame(rows, schema), "pkv")
+    w.build_stats_index("pkv", ["k"])
+    df, report = w.read_skipping("pkv", {"k": (10, 20)})
+    got = df.filter(F.col("k").between(10, 20)).collect()
+    assert sorted(r["k"] for r in got) == list(range(10, 21))
+    assert all(r["part"] == "x" for r in got)  # not null-filled
+
+
 def test_incremental_stats_update_covers_new_runs(spark, wh):
     """update_stats_index scans ONLY uncovered runs and extends the
     index; after the update, skipping prunes with zero uncovered runs."""
