@@ -579,6 +579,101 @@ def stream_txn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_txn_cdc_enriched",
+    oracle="""
+    SELECT CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'north'
+           WHEN 1 THEN 'south' WHEN 2 THEN 'east' ELSE 'west' END AS region,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    description="Incremental maintenance of an ENRICHED view (fact JOIN "
+    "dimension, then aggregate): users land in a dimension table, events "
+    "arrive as three fact commits, and each CDC sync joins ONLY the fact "
+    "delta to the broadcast dimension before folding per-region partials "
+    "into the transactional view — Δ(F⋈D) = ΔF⋈D under append-only "
+    "atomic ingest, so cost tracks the change, never fact history. Same "
+    "commit-is-the-checkpoint exactly-once bookkeeping as stream_txn_cdc. "
+    "The final view must equal the batch join-aggregate oracle.",
+    tags=("streaming", "txn", "cdc", "incremental", "join"),
+)
+def stream_txn_cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync_enriched
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"txn_cdc_en_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "event_log",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.register_table(
+        "user_dim",
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("region", T.StringType()),
+            ]
+        ),
+    )
+    wh.register_table(
+        "region_agg",
+        T.StructType(
+            [
+                T.StructField("region", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("value_sum", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = ev.select("user_id").distinct().select(
+        "user_id",
+        F.element_at(
+            F.array(F.lit("north"), F.lit("south"), F.lit("east"), F.lit("west")),
+            (F.col("user_id") % 4).cast("int") + 1,
+        ).alias("region"),
+    )
+    wh.append(dim, "user_dim")
+    sync = lambda: cdc_sync_enriched(  # noqa: E731
+        wh, "event_log", "user_dim", "region_agg",
+        join_key="user_id", group_cols=["region"], value_col="value",
+    )
+    wh.append(ev.filter(F.col("event_id") % 3 == 0), "event_log")
+    assert sync() == 1
+    wh.append(ev.filter(F.col("event_id") % 3 == 1), "event_log")
+    wh.append(ev.filter(F.col("event_id") % 3 == 2), "event_log")
+    assert sync() == 1
+    assert sync() == 0
+
+    return wh.read("region_agg").select(
+        "region",
+        F.col("n").alias("n_events"),
+        F.round("value_sum", 2).alias("total_value"),
+    )
+
+
+@query(
     "stream_txn_cdc_multi_agg",
     oracle="""
     SELECT event_type,

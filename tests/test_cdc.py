@@ -102,6 +102,57 @@ def test_replayed_window_commit_is_idempotent(spark, wh):
     assert _view(wh) == {"a": (2, 3.0)}
 
 
+def test_enriched_sync_joins_only_the_delta(spark, tmp_path):
+    """cdc_sync_enriched folds fact deltas joined to the dimension; a
+    dimension row added between syncs enriches only facts that arrive
+    after it (append-only referential pattern)."""
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync_enriched
+
+    w = TransactionalWarehouse(spark, str(tmp_path / "en_wh"))
+    w.register_table(
+        "f",
+        T.StructType(
+            [T.StructField("uid", T.LongType()), T.StructField("v", T.LongType())]
+        ),
+    )
+    w.register_table(
+        "d",
+        T.StructType(
+            [T.StructField("uid", T.LongType()), T.StructField("g", T.StringType())]
+        ),
+    )
+    w.register_table("agg", AGG_SCHEMA_G)
+    w.create_all()
+
+    def fdf(rows):
+        return spark.createDataFrame([Row(uid=u, v=v) for u, v in rows],
+                                     w.table_schema("f"))
+
+    w.append(spark.createDataFrame([Row(uid=1, g="a"), Row(uid=2, g="b")],
+                                   w.table_schema("d")), "d")
+    sync = lambda: cdc_sync_enriched(  # noqa: E731
+        w, "f", "d", "agg", join_key="uid", group_cols=["g"], value_col="v"
+    )
+    w.append(fdf([(1, 10), (2, 20)]), "f")
+    assert sync() == 1
+    w.append(fdf([(1, 5)]), "f")
+    assert sync() == 1
+    got = {r["g"]: (r["n"], r["value_sum"]) for r in w.read("agg").collect()}
+    assert got == {"a": (2, 15.0), "b": (1, 20.0)}
+    assert sync() == 0
+
+
+AGG_SCHEMA_G = T.StructType(
+    [
+        T.StructField("g", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("value_sum", T.DoubleType(), True),
+    ]
+)
+
+
 def test_vacuum_expired_window_triggers_full_refresh(spark, wh):
     """Consumer offline across compact+vacuum: the incremental window is
     gone, so cdc_sync must fall back to a full snapshot rebuild instead of
