@@ -5,6 +5,11 @@ Approximates the driver's t2 check so mismatches surface before a round ends.
 
 Usage:
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] --chunk I/N
+
+--chunk I/N runs the I-th of N alphabetical-interleave slices of the
+registry (I in 1..N) — lets long scale-factor drives run as several
+shorter sessions (see ORACLE_SF01.md).
 """
 
 from __future__ import annotations
@@ -49,8 +54,15 @@ def row_set(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    chunk = None
+    if "--chunk" in args:
+        i = args.index("--chunk")
+        num, den = args[i + 1].split("/")
+        chunk = (int(num), int(den))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark()
     con = duckdb.connect()
@@ -61,6 +73,9 @@ def main() -> int:
 
     specs = all_queries()
     names = [n for n in sorted(specs) if not only or n in only]
+    if chunk:
+        i, n = chunk
+        names = names[i - 1 :: n]
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         spec = specs[name]
