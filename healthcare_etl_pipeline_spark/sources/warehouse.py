@@ -201,6 +201,11 @@ def _sanitize_run_id(raw: str) -> str:
     return _RUN_ID_RE.sub("_", raw)[:128]
 
 
+class ConstraintViolationError(ValueError):
+    """A staged frame contains rows violating a table CHECK constraint;
+    nothing was published."""
+
+
 class ConcurrentMergeError(RuntimeError):
     """The target table's live-run set changed between a merge's key scan
     and its commit — the rewrite would retire runs it never read. The
@@ -261,6 +266,9 @@ class Transaction:
                     f"staged frame for {table!r} lacks required column {f.name!r}"
                 )
         aligned = df.select(*cols)
+        check = getattr(self._wh, "check_constraints", None)
+        if check is not None:
+            check(aligned, table)
         writer = aligned.write.mode("append")
         parts = self._wh.partition_columns(table)
         if parts:
@@ -350,6 +358,18 @@ class Transaction:
         self._drop_staging()
 
 
+class SnapshotReader:
+    """Reads pinned to one snapshot of a :class:`TransactionalWarehouse`
+    (see :meth:`TransactionalWarehouse.snapshot_reader`)."""
+
+    def __init__(self, wh: "TransactionalWarehouse", as_of: int | str):
+        self._wh = wh
+        self.as_of = as_of
+
+    def read(self, table: str) -> DataFrame:
+        return self._wh.read(table, as_of=self.as_of)
+
+
 class TransactionalWarehouse(Warehouse):
     """Warehouse with an atomic multi-table commit protocol.
 
@@ -383,6 +403,51 @@ class TransactionalWarehouse(Warehouse):
         super().__init__(spark, root)
         self._extra_schemas: dict[str, T.StructType] = {}
         self._extra_partitions: dict[str, list[str]] = {}
+        self._constraints: dict[str, dict[str, str]] = {}
+
+    # -- CHECK constraints ---------------------------------------------------
+
+    def add_constraint(self, table: str, name: str, predicate_sql: str) -> None:
+        """Declare a CHECK constraint (SQL boolean expression over the
+        table's columns, e.g. ``"value >= 0"``). Every subsequent
+        :meth:`Transaction.stage` for the table verifies the staged frame
+        in ONE aggregated pass (all constraints counted together) and
+        raises :class:`ConstraintViolationError` before anything is
+        written — the Delta ``ADD CONSTRAINT CHECK`` surface. NULL
+        predicate results count as violations (constraints must hold,
+        not merely not-fail, matching SQL CHECK with NULLs treated
+        strictly — declare ``col IS NULL OR …`` to allow them)."""
+        schema = self.table_schema(table)  # validates the table exists
+        # fail fast on bad syntax or unknown columns: analyze the
+        # predicate against an empty frame of the table schema (no job)
+        self.spark.createDataFrame([], schema).filter(
+            F.expr(predicate_sql)
+        ).schema
+        self._constraints.setdefault(table, {})[name] = predicate_sql
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        self._constraints.get(table, {}).pop(name, None)
+
+    def check_constraints(self, df: DataFrame, table: str) -> None:
+        """Raise unless every row of ``df`` satisfies every constraint
+        declared for ``table``; one aggregate job for all constraints."""
+        cons = self._constraints.get(table)
+        if not cons:
+            return
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.expr(sql) | F.expr(sql).isNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(name)
+            for name, sql in cons.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {name: int(row[name] or 0) for name in cons if row[name]}
+        if bad:
+            raise ConstraintViolationError(
+                f"staged frame for {table!r} violates constraints {bad}"
+            )
 
     # -- table registry -----------------------------------------------------
 
@@ -682,6 +747,36 @@ class TransactionalWarehouse(Warehouse):
         for table in self.all_tables():
             os.makedirs(self.path(table), exist_ok=True)
         os.makedirs(os.path.join(self.txn_root(), "commits"), exist_ok=True)
+
+    def resolve_timestamp(self, ts: float) -> int:
+        """Highest snapshot seq whose commit marker was published at or
+        before unix-time ``ts`` — the ``TIMESTAMP AS OF`` resolution.
+        Marker files are write-once (atomic link), so their mtime is the
+        commit instant. Returns 0 (empty snapshot) when ``ts`` predates
+        every commit."""
+        commits = os.path.join(self.txn_root(), "commits")
+        best = 0
+        if os.path.isdir(commits):
+            for m in self._manifests():
+                path = self.marker_path(m["run_id"])
+                try:
+                    if os.path.getmtime(path) <= ts:
+                        best = max(best, m.get("seq", 0))
+                except OSError:
+                    continue
+        return best
+
+    def snapshot_reader(self, as_of: int | str | None = None) -> "SnapshotReader":
+        """A reader PINNED to one snapshot across tables: every ``read``
+        through it sees the same commit prefix, so multi-table queries
+        (a join of patients and consents, say) stay transactionally
+        consistent even while writers keep committing — the repeatable-
+        read guarantee a shared ``as_of`` provides, captured once.
+        Defaults to the current snapshot at call time."""
+        if as_of is None:
+            seqs = self.snapshots()
+            as_of = seqs[-1]["seq"] if seqs else 0
+        return SnapshotReader(self, as_of)
 
     def read(self, table: str, as_of: int | str | None = None) -> DataFrame:
         """Committed-runs-only read (snapshot = commit set at plan time).

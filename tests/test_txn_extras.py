@@ -1,0 +1,83 @@
+"""CHECK constraints, TIMESTAMP AS OF resolution, and pinned snapshot
+readers on the transactional warehouse."""
+
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from healthcare_etl_pipeline_spark.sources.warehouse import (
+    ConstraintViolationError,
+    TransactionalWarehouse,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def wh(spark, tmp_path):
+    w = TransactionalWarehouse(spark, str(tmp_path / "extras_wh"))
+    w.register_table("kv", SCHEMA)
+    w.create_all()
+    return w
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(k=k, v=v) for k, v in rows], SCHEMA)
+
+
+def test_check_constraint_blocks_bad_stage_atomically(spark, wh):
+    wh.add_constraint("kv", "v_nonneg", "v >= 0")
+    wh.append(_df(spark, [(1, 5)]), "kv")
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        wh.append(_df(spark, [(2, 3), (3, -1)]), "kv")
+    # nothing from the failed batch is visible — not even the valid row
+    assert {r["k"] for r in wh.read("kv").collect()} == {1}
+    # NULL predicate results are violations (strict CHECK)
+    with pytest.raises(ConstraintViolationError):
+        wh.append(_df(spark, [(4, None)]), "kv")
+    wh.drop_constraint("kv", "v_nonneg")
+    wh.append(_df(spark, [(5, -9)]), "kv")
+    assert {r["k"] for r in wh.read("kv").collect()} == {1, 5}
+
+
+def test_constraint_declaration_validates_expression(spark, wh):
+    with pytest.raises(Exception):
+        wh.add_constraint("kv", "broken", "v >=== 0")
+    with pytest.raises(KeyError):
+        wh.add_constraint("nope", "c", "v >= 0")
+
+
+def test_timestamp_as_of_resolves_to_marker_time(spark, wh):
+    wh.append(_df(spark, [(1, 1)]), "kv")
+    s1 = wh.snapshots()[-1]["seq"]
+    time.sleep(0.05)
+    between = time.time()
+    time.sleep(0.05)
+    wh.append(_df(spark, [(2, 2)]), "kv")
+
+    assert wh.resolve_timestamp(between) == s1
+    assert wh.resolve_timestamp(time.time()) == wh.snapshots()[-1]["seq"]
+    assert wh.resolve_timestamp(between - 10) == 0
+    got = {
+        r["k"]
+        for r in wh.read("kv", as_of=wh.resolve_timestamp(between)).collect()
+    }
+    assert got == {1}
+
+
+def test_snapshot_reader_is_repeatable_across_commits(spark, wh):
+    wh.append(_df(spark, [(1, 1)]), "kv")
+    reader = wh.snapshot_reader()
+    wh.append(_df(spark, [(2, 2)]), "kv")
+    # the pinned reader still serves the old snapshot; a fresh read moves on
+    assert {r["k"] for r in reader.read("kv").collect()} == {1}
+    assert {r["k"] for r in wh.read("kv").collect()} == {1, 2}
+    # re-reading through the same reader is stable (repeatable read)
+    assert {r["k"] for r in reader.read("kv").collect()} == {1}
