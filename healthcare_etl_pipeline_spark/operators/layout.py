@@ -33,6 +33,27 @@ def zvalue(x: Column, y: Column, *, bits: int = 16) -> Column:
     return term.cast("long")
 
 
+def zvalue_n(cols: list[Column], *, bits: int = 16) -> Column:
+    """Morton interleave of the low ``bits`` of N non-negative ints:
+    bit i of column j lands at position ``i*N + j`` (round-robin bit
+    interleave — the N-dimensional generalization Delta's multi-column
+    ZORDER BY uses). With N columns the key spans ``bits*N`` bits, so
+    keep ``bits * len(cols) <= 63``. Still a pure per-row expression
+    (``bits*N`` shift/mask/or terms inside whole-stage codegen)."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zvalue_n needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"bits*N = {bits * n} exceeds a signed long")
+    term: Column | None = None
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            t = F.shiftleft(F.shiftright(c, i).bitwiseAND(1), i * n + j)
+            term = t if term is None else term + t
+    assert term is not None
+    return term.cast("long")
+
+
 def zvalue_sql(x: str, y: str, *, bits: int = 16) -> str:
     """The identical interleave in DuckDB SQL (same term order)."""
     terms = []

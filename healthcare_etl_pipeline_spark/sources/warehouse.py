@@ -1272,7 +1272,7 @@ class TransactionalWarehouse(Warehouse):
         self,
         table: str,
         *,
-        zorder_by: tuple[str, str] | None = None,
+        zorder_by: tuple[str, ...] | None = None,
         target_file_mb: int = 128,
         zorder_bits: int = 16,
     ) -> int:
@@ -1280,24 +1280,24 @@ class TransactionalWarehouse(Warehouse):
         Z-order clustering pass — the lakehouse ``OPTIMIZE ... ZORDER BY``
         verb, separating write-time layout work from read-time queries.
 
-        With ``zorder_by=(a, b)`` the rewrite range-partitions and sorts
-        by the Morton interleave of the two columns' low ``zorder_bits``
-        bits (operators/layout.py), so parquet row-group min/max stats
-        become selective on BOTH columns at once — point/range predicates
-        on either column prune row groups after the rewrite, where a
-        single-column sort helps only its own column. Without
-        ``zorder_by`` this is plain :meth:`compact`. Publication is the
-        same single-marker atomic swap either way; time travel to
-        pre-optimize snapshots survives until :meth:`vacuum`.
+        With ``zorder_by=(a, b, ...)`` (any arity, Delta-style) the
+        rewrite range-partitions and sorts by the Morton interleave of
+        the columns' low ``zorder_bits`` bits (operators/layout.py), so
+        parquet row-group min/max stats become selective on EVERY listed
+        column at once — point/range predicates on any of them prune row
+        groups after the rewrite, where a single-column sort helps only
+        its own column. Without ``zorder_by`` this is plain
+        :meth:`compact`. Publication is the same single-marker atomic
+        swap either way; time travel to pre-optimize snapshots survives
+        until :meth:`vacuum`.
         """
         if zorder_by is None:
             return self.compact(table, target_file_mb=target_file_mb)
         import math
         import pathlib
 
-        from healthcare_etl_pipeline_spark.operators.layout import zvalue
+        from healthcare_etl_pipeline_spark.operators.layout import zvalue_n
 
-        a, b = zorder_by
         old_runs = self.committed_runs_for(table)
         current = self.read(table)
         n_bytes = sum(
@@ -1306,8 +1306,9 @@ class TransactionalWarehouse(Warehouse):
             for f in pathlib.Path(self.run_dir(table, run)).rglob("*.parquet")
         )
         n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
-        z = zvalue(
-            F.col(a).cast("long"), F.col(b).cast("long"), bits=zorder_bits
+        bits = min(zorder_bits, 63 // len(zorder_by))
+        z = zvalue_n(
+            [F.col(c).cast("long") for c in zorder_by], bits=bits
         )
         clustered = (
             current.withColumn("__z", z)

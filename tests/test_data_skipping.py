@@ -82,6 +82,45 @@ def test_index_excludes_compacted_away_runs(spark, wh):
     assert got == list(range(10, 21))
 
 
+def test_zvalue_n_generalizes_two_column_morton(spark):
+    """zvalue_n([x, y]) must equal the original two-column zvalue bit
+    for bit, and three-column interleave must be a bijection on small
+    domains (no two distinct tuples share a key)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.operators.layout import (
+        zvalue,
+        zvalue_n,
+    )
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    same = df.select(
+        (zvalue(F.col("x"), F.col("y")) == zvalue_n([F.col("x"), F.col("y")]))
+        .alias("eq")
+    )
+    assert same.filter(~F.col("eq")).count() == 0
+
+    tri = spark.range(512).select(
+        (F.col("id") % 8).alias("a"),
+        ((F.col("id") / 8) % 8).cast("long").alias("b"),
+        (F.col("id") / 64).cast("long").alias("c"),
+    )
+    keys = tri.select(
+        zvalue_n([F.col("a"), F.col("b"), F.col("c")], bits=3).alias("z")
+    )
+    assert keys.distinct().count() == 512  # bijective on 8x8x8
+
+
+def test_optimize_zorder_three_columns(spark, wh):
+    rows = [Row(k=k, v=f"v{k}") for k in range(50)]
+    wh.append(spark.createDataFrame(rows, SCHEMA), "kv")
+    n = wh.optimize("kv", zorder_by=("k", "k", "k"))
+    assert n >= 1
+    assert {r["k"] for r in wh.read("kv").collect()} == set(range(50))
+
+
 def test_unindexed_column_raises(spark, wh):
     _append_range(spark, wh, 0, 10)
     wh.build_stats_index("kv", ["k"])
