@@ -23,7 +23,7 @@ from healthcare_etl_pipeline_spark.operators.validation import (
     PATIENT_RULES,
     validate_split,
 )
-from healthcare_etl_pipeline_spark.queries.helpers import t, td
+from healthcare_etl_pipeline_spark.queries.helpers import t, td, scratch_dir
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -492,9 +492,7 @@ def txn_committed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_wh_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_wh", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.create_all()
 
@@ -554,9 +552,7 @@ def txn_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_tt_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_tt", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.create_all()
 
@@ -617,9 +613,7 @@ def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_evo_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_evo", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     v1 = T.StructType(
         [
@@ -686,9 +680,7 @@ def txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_merge_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_merge", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "cust_state",
@@ -755,9 +747,7 @@ def txn_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_bf_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_bf", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "ord_state",
@@ -837,9 +827,7 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_skip_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_skip", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "ord_log",
@@ -912,9 +900,7 @@ def txn_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_rb_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_rb", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "cust_log",
@@ -1077,9 +1063,7 @@ def gdpr_forget_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_gdpr_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_gdpr", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.create_all()
 
@@ -1154,9 +1138,7 @@ def txn_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         TransactionalWarehouse,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_inc_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_inc", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.create_all()
 

@@ -2,9 +2,39 @@
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from healthcare_etl_pipeline_spark.catalog import load_table
+
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
+def scratch_dir(name: str, sf_dir: str) -> str:
+    """A per-(query, sf_dir) scratch directory for queries that
+    demonstrate WRITE-path operators (transactional warehouses, staged
+    layouts): wiped clean on allocation so repeated invocations start
+    fresh, and removed at interpreter exit so no state outlives the
+    session. Keeps side-effectful demo queries from accumulating /tmp
+    or warehouse leftovers."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"{name}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.add(d)
+    return d
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -19,7 +19,7 @@ from healthcare_etl_pipeline_spark.operators import dedup as D
 from healthcare_etl_pipeline_spark.operators import similarity as S
 from healthcare_etl_pipeline_spark.operators import text as X
 from healthcare_etl_pipeline_spark.operators.sampling import hash_bucket_sql
-from healthcare_etl_pipeline_spark.queries.helpers import t, td
+from healthcare_etl_pipeline_spark.queries.helpers import t, td, scratch_dir
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 MOD = X.MOD
@@ -2766,9 +2766,7 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_manifest,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(tempfile.gettempdir(), f"export_{tag}")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("export", sf_dir)
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     manifest = export_jsonl_shards(docs, out, n_shards=8)
 
@@ -2823,8 +2821,7 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    index_dir = scratch_dir("ivf_index", sf_dir)
 
     def approx(q, c):
         shutil.rmtree(index_dir, ignore_errors=True)

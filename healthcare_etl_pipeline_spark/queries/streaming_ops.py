@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_etl_pipeline_spark.operators.text import portable_char_hash_sql
+from healthcare_etl_pipeline_spark.queries.helpers import scratch_dir
 from healthcare_etl_pipeline_spark.queries.registry import query
 from healthcare_etl_pipeline_spark.streaming.windows import (
     run_stream_to_memory,
@@ -312,8 +313,7 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-stage the single events file as 8 files so availableNow +
     # maxFilesPerTrigger=2 yields 4 real micro-batches (a one-file source
     # would collapse to a single batch and demonstrate nothing).
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src = os.path.join(tempfile.gettempdir(), f"mv_src_{tag}")
+    src = scratch_dir("mv_src", sf_dir)
     if not os.path.isdir(src) or not any(
         f.endswith(".parquet") for f in os.listdir(src)
     ):
@@ -369,8 +369,7 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn_batch_sink,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    src = os.path.join(tempfile.gettempdir(), f"txn_stream_src_{tag}")
+    src = scratch_dir("txn_stream_src", sf_dir)
     if not os.path.isdir(src) or not any(
         f.endswith(".parquet") for f in os.listdir(src)
     ):
@@ -378,7 +377,7 @@ def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value"
         ).repartition(8).write.mode("overwrite").parquet(src)
 
-    root = os.path.join(tempfile.gettempdir(), f"txn_stream_wh_{tag}")
+    root = scratch_dir("txn_stream_wh", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
@@ -532,9 +531,7 @@ def stream_txn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_cdc_wh_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_cdc_wh", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "event_log",
@@ -611,9 +608,7 @@ def stream_txn_cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync_enriched
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_cdc_en_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_cdc_en", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "event_log",
@@ -720,9 +715,7 @@ def stream_txn_cdc_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         AggSpec("avg_value", "avg", "value"),
         AggSpec("users", "approx_distinct", "user_id"),
     ]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"txn_cdc_ma_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("txn_cdc_ma", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.register_table(
         "event_log",
