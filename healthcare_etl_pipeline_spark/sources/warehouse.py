@@ -240,6 +240,7 @@ class Transaction:
         self.staged_tables: list[str] = []
         self.replaces: dict[str, list[str]] = {}
         self.restores: dict[str, list[str]] = {}
+        self.operation = "write"  # history label: append/merge/compact/...
         self._done = False
         self._already_committed = False  # set by begin() for committed ids
 
@@ -329,6 +330,7 @@ class Transaction:
             # (rollback across a compaction boundary); applied at this
             # commit's snapshot position in the sequential fold
             "restores": self.restores,
+            "operation": self.operation,
             "seq": seq,
             "format_version": 4,
         }
@@ -611,9 +613,34 @@ class TransactionalWarehouse(Warehouse):
                 "seq": m.get("seq", 0),
                 "run_id": m["run_id"],
                 "tables": m.get("tables", []),
+                "operation": m.get("operation", "write"),
             }
             for m in self._manifests()
         ]
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one entry per commit in snapshot order with
+        the operation label (append/merge/overwrite/compact/optimize/
+        rollback/forget/write), affected tables, retired and restored
+        runs, and the commit instant (the write-once marker's mtime)."""
+        out = []
+        for m in self._manifests():
+            try:
+                ts = os.path.getmtime(self.marker_path(m["run_id"]))
+            except OSError:
+                ts = None
+            out.append(
+                {
+                    "seq": m.get("seq", 0),
+                    "run_id": m["run_id"],
+                    "operation": m.get("operation", "write"),
+                    "tables": m.get("tables", []),
+                    "replaces": m.get("replaces", {}),
+                    "restores": m.get("restores", {}),
+                    "committed_at": ts,
+                }
+            )
+        return out
 
     def committed_run_ids(self) -> list[str]:
         return sorted({m["run_id"] for m in self._manifests()})
@@ -714,7 +741,9 @@ class TransactionalWarehouse(Warehouse):
             .drop(RUN_ID_COL)
         )
 
-    def begin(self, batch_id: str | None = None) -> Transaction:
+    def begin(
+        self, batch_id: str | None = None, *, operation: str = "write"
+    ) -> Transaction:
         """Open a transaction; ``batch_id`` makes the ingest idempotent.
 
         If ``batch_id`` was already committed, the returned transaction's
@@ -735,6 +764,7 @@ class TransactionalWarehouse(Warehouse):
                                 os.path.join(staging, entry), ignore_errors=True
                             )
         txn = Transaction(self, run_id)
+        txn.operation = operation
         if self.is_committed(run_id):
             txn._already_committed = True  # stage() raises, commit() False
         return txn
@@ -804,7 +834,7 @@ class TransactionalWarehouse(Warehouse):
 
     def append(self, df: DataFrame, table: str) -> None:
         """Single-table append = a one-table transaction (auto-commit)."""
-        txn = self.begin()
+        txn = self.begin(operation="append")
         try:
             txn.stage(df, table)
         except Exception:
@@ -832,7 +862,7 @@ class TransactionalWarehouse(Warehouse):
         Scale shape: identical to compaction — one filtered scan + write
         per table; the filter prunes/pushes down like any other predicate.
         """
-        txn = self.begin()
+        txn = self.begin(operation="forget")
         erased: dict[str, int] = {}
         try:
             for table, pred in predicates.items():
@@ -902,7 +932,7 @@ class TransactionalWarehouse(Warehouse):
                 .distinct()
                 .collect()
             )
-        txn = self.begin(batch_id)
+        txn = self.begin(batch_id, operation="merge")
         if txn._already_committed:
             return {
                 "committed": False,
@@ -977,7 +1007,7 @@ class TransactionalWarehouse(Warehouse):
                 .distinct()
                 .collect()
             )
-        txn = self.begin(batch_id)
+        txn = self.begin(batch_id, operation="overwrite")
         if txn._already_committed:
             return {
                 "committed": False,
@@ -1036,7 +1066,7 @@ class TransactionalWarehouse(Warehouse):
         compacted = current.repartition(n_files)
         if sort_by:
             compacted = compacted.sortWithinPartitions(sort_by)
-        txn = self.begin()
+        txn = self.begin(operation="compact")
         try:
             txn.stage(compacted, table)
         except Exception:
@@ -1188,7 +1218,7 @@ class TransactionalWarehouse(Warehouse):
             raise IncrementalWindowExpiredError(
                 f"rollback of {table!r} to {to!r} needs vacuumed runs {gone}"
             )
-        txn = self.begin()
+        txn = self.begin(operation="rollback")
         if to_retire:
             txn.replaces[table] = to_retire
         if to_restore:
@@ -1316,7 +1346,7 @@ class TransactionalWarehouse(Warehouse):
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        txn = self.begin()
+        txn = self.begin(operation="optimize")
         try:
             txn.stage(clustered, table)
         except Exception:

@@ -118,7 +118,7 @@ def _publish_view(
     retires every previous view run in the same marker rename, so readers
     flip from old state to new atomically (and never see both)."""
     old_runs = wh.committed_runs_for(view_table)
-    txn = wh.begin(batch_id)
+    txn = wh.begin(batch_id, operation="cdc-sync")
     if txn._already_committed:
         return False  # this exact window already published (idempotent)
     try:

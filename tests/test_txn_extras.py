@@ -72,6 +72,28 @@ def test_timestamp_as_of_resolves_to_marker_time(spark, wh):
     assert got == {1}
 
 
+def test_history_records_operations_in_order(spark, wh):
+    """DESCRIBE HISTORY: every commit carries its operation label, the
+    commit instant, and its replaces/restores metadata."""
+    from pyspark.sql import functions as F
+
+    wh.append(_df(spark, [(1, 1), (2, 2)]), "kv")
+    wh.merge(_df(spark, [(2, 20)]), "kv", ["k"])
+    wh.overwrite_where(_df(spark, [(1, 10)]), "kv", F.col("k") == 1)
+    wh.compact("kv")
+    pre = wh.history()[0]["seq"]
+    wh.rollback("kv", pre)
+
+    hist = wh.history()
+    ops = [h["operation"] for h in hist]
+    assert ops == ["append", "merge", "overwrite", "compact", "rollback"]
+    assert all(h["committed_at"] is not None for h in hist)
+    assert [h["seq"] for h in hist] == sorted(h["seq"] for h in hist)
+    # the compact entry retires prior runs; the rollback entry restores one
+    assert hist[3]["replaces"]["kv"]
+    assert hist[4]["restores"]["kv"]
+
+
 def test_snapshot_reader_is_repeatable_across_commits(spark, wh):
     wh.append(_df(spark, [(1, 1)]), "kv")
     reader = wh.snapshot_reader()

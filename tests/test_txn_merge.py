@@ -182,8 +182,8 @@ def test_concurrent_append_during_merge_raises_and_publishes_nothing(
 
     original = TransactionalWarehouse.begin
 
-    def begin_and_race(self, batch_id=None):
-        txn = original(self, batch_id)
+    def begin_and_race(self, batch_id=None, **kw):
+        txn = original(self, batch_id, **kw)
         # interleave a concurrent append AFTER the merge read its live set
         monkeypatch.setattr(TransactionalWarehouse, "begin", original)
         wh.append(_df(spark, [(5, "e")]), "kv")
