@@ -482,10 +482,6 @@ def enc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "pipeline", "etl"),
 )
 def txn_committed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from healthcare_etl_pipeline_spark.operators.ingest import load_patients
     from healthcare_etl_pipeline_spark.sources.warehouse import (
@@ -542,10 +538,6 @@ def txn_committed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "time-travel", "etl"),
 )
 def txn_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from healthcare_etl_pipeline_spark.operators.ingest import load_patients
     from healthcare_etl_pipeline_spark.sources.warehouse import (
@@ -602,10 +594,7 @@ def txn_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "schema-evolution", "etl"),
 )
 def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -669,10 +658,6 @@ def txn_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "merge", "upsert", "etl"),
 )
 def txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -736,10 +721,6 @@ def txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "overwrite", "backfill", "etl"),
 )
 def txn_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -816,10 +797,7 @@ def txn_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "stats", "data-skipping", "scale"),
 )
 def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -889,10 +867,7 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "rollback", "time-travel", "etl"),
 )
 def txn_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -1053,10 +1028,7 @@ def deidentify_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "privacy", "gdpr", "etl"),
 )
 def gdpr_forget_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from healthcare_etl_pipeline_spark.operators.ingest import load_patients
     from healthcare_etl_pipeline_spark.sources.warehouse import (
@@ -1128,10 +1100,7 @@ def dp_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("txn", "cdc", "incremental", "etl"),
 )
 def txn_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from healthcare_etl_pipeline_spark.operators.ingest import load_patients
     from healthcare_etl_pipeline_spark.sources.warehouse import (

@@ -2753,10 +2753,7 @@ def importance_weight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("export", "sink", "llm"),
 )
 def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as TY
 
@@ -2816,10 +2813,8 @@ def export_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ivf", "index", "llm"),
 )
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     index_dir = scratch_dir("ivf_index", sf_dir)
 

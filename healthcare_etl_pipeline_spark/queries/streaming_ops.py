@@ -300,7 +300,6 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "incremental", "agg"),
 )
 def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import tempfile
 
@@ -353,10 +352,8 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "txn", "exactly-once"),
 )
 def stream_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -518,10 +515,7 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "txn", "cdc", "exactly-once", "incremental"),
 )
 def stream_txn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -595,10 +589,7 @@ def stream_txn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "txn", "cdc", "incremental", "join"),
 )
 def stream_txn_cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -691,10 +682,7 @@ def stream_txn_cdc_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "txn", "cdc", "incremental", "sketch"),
 )
 def stream_txn_cdc_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
