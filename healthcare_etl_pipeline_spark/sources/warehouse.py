@@ -348,6 +348,7 @@ class Transaction:
             return False  # concurrent committer published first
         finally:
             os.unlink(tmp)
+        self._wh._maybe_checkpoint()  # keep the marker tail short
         return True
 
     def _drop_staging(self) -> None:
@@ -540,18 +541,84 @@ class TransactionalWarehouse(Warehouse):
     def run_dir(self, table: str, run_id: str) -> str:
         return os.path.join(self.path(table), f"{RUN_ID_COL}={run_id}")
 
-    def _manifests(self) -> list[dict]:
-        """All commit manifests in snapshot order (seq, then run_id for
-        legacy seq-less markers, which sort first)."""
+    #: auto-write a log checkpoint every N commits (Delta checkpoints the
+    #: JSON log every 10; 32 keeps the tail short with fewer rewrites)
+    CHECKPOINT_INTERVAL = 32
+
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self.txn_root(), "checkpoint.json")
+
+    def checkpoint_log(self) -> int:
+        """Consolidate every commit marker into one checkpoint file, so
+        :meth:`_manifests` opens O(new markers) files instead of
+        O(total commits) — the log-compaction step every JSON-log table
+        format performs (Delta's _last_checkpoint). Crash-safe: written
+        to a temp name and renamed; markers are never deleted, so a
+        missing/stale/corrupt checkpoint only costs speed, never
+        correctness. Returns the number of manifests checkpointed."""
+        manifests = self._read_manifests(use_checkpoint=False)
+        payload = {
+            "manifests": manifests,
+            "covered": sorted(m["run_id"] for m in manifests),
+        }
+        tmp = os.path.join(self.txn_root(), ".checkpoint.tmp")
+        os.makedirs(self.txn_root(), exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._checkpoint_path())
+        return len(manifests)
+
+    def _maybe_checkpoint(self) -> None:
+        """Opportunistic auto-checkpoint after a commit: rewrite when the
+        un-checkpointed tail reaches CHECKPOINT_INTERVAL markers. Safe
+        under concurrent committers — every writer produces a checkpoint
+        derived purely from the immutable markers, so last-rename-wins
+        yields some valid consolidation either way."""
+        commits = os.path.join(self.txn_root(), "commits")
+        if not os.path.isdir(commits):
+            return
+        total = sum(
+            1
+            for f in os.listdir(commits)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+        covered = 0
+        try:
+            with open(self._checkpoint_path(), encoding="utf-8") as fh:
+                covered = len(json.load(fh).get("covered", ()))
+        except (OSError, json.JSONDecodeError):
+            pass
+        if total - covered >= self.CHECKPOINT_INTERVAL:
+            self.checkpoint_log()
+
+    def _read_manifests(self, *, use_checkpoint: bool = True) -> list[dict]:
         commits = os.path.join(self.txn_root(), "commits")
         if not os.path.isdir(commits):
             return []
-        out = []
+        out: list[dict] = []
+        covered: set[str] = set()
+        if use_checkpoint:
+            try:
+                with open(self._checkpoint_path(), encoding="utf-8") as fh:
+                    cp = json.load(fh)
+                out = list(cp["manifests"])
+                covered = {f"{r}.json" for r in cp["covered"]}
+            except (OSError, json.JSONDecodeError, KeyError):
+                out, covered = [], set()
         for f in sorted(os.listdir(commits)):
-            if f.endswith(".json") and not f.startswith("."):
+            if f.endswith(".json") and not f.startswith(".") and f not in covered:
                 with open(os.path.join(commits, f), encoding="utf-8") as fh:
                     out.append(json.load(fh))
         return sorted(out, key=lambda m: (m.get("seq", 0), m["run_id"]))
+
+    def _manifests(self) -> list[dict]:
+        """All commit manifests in snapshot order (seq, then run_id for
+        legacy seq-less markers, which sort first). Served from the log
+        checkpoint plus the un-checkpointed marker tail — O(tail) file
+        opens per call instead of O(total commits)."""
+        return self._read_manifests()
 
     def _seq_dir(self) -> str:
         return os.path.join(self.txn_root(), "seqs")

@@ -94,6 +94,34 @@ def test_history_records_operations_in_order(spark, wh):
     assert hist[4]["restores"]["kv"]
 
 
+def test_log_checkpoint_consolidates_and_stays_correct(spark, wh):
+    """Log compaction: after CHECKPOINT_INTERVAL commits the marker tail
+    is folded into one checkpoint file; manifests served through it must
+    equal a full marker scan, later commits stay visible, and a corrupt
+    checkpoint degrades to the full scan instead of wrong answers."""
+    import json
+    import os
+
+    n = wh.CHECKPOINT_INTERVAL + 3
+    for i in range(n):
+        wh.append(_df(spark, [(i, i)]), "kv")
+    assert os.path.exists(wh._checkpoint_path())
+    full = wh._read_manifests(use_checkpoint=False)
+    assert wh._manifests() == full
+    assert len(full) == n
+    # commits after the checkpoint are picked up from the tail
+    wh.append(_df(spark, [(999, 9)]), "kv")
+    assert len(wh._manifests()) == n + 1
+    assert {r["k"] for r in wh.read("kv").collect()} == set(range(n)) | {999}
+    # corrupt checkpoint: readers fall back to the full marker scan
+    with open(wh._checkpoint_path(), "w", encoding="utf-8") as fh:
+        fh.write("{broken")
+    assert len(wh._manifests()) == n + 1
+    # explicit re-checkpoint repairs it
+    assert wh.checkpoint_log() == n + 1
+    assert json.load(open(wh._checkpoint_path()))["covered"]
+
+
 def test_snapshot_reader_is_repeatable_across_commits(spark, wh):
     wh.append(_df(spark, [(1, 1)]), "kv")
     reader = wh.snapshot_reader()
