@@ -609,8 +609,18 @@ class TransactionalWarehouse(Warehouse):
                 out, covered = [], set()
         for f in sorted(os.listdir(commits)):
             if f.endswith(".json") and not f.startswith(".") and f not in covered:
-                with open(os.path.join(commits, f), encoding="utf-8") as fh:
-                    out.append(json.load(fh))
+                path = os.path.join(commits, f)
+                with open(path, encoding="utf-8") as fh:
+                    m = json.load(fh)
+                # stamp the commit instant (write-once marker mtime) so
+                # history()/resolve_timestamp() never re-stat old markers
+                # once a checkpoint has absorbed them
+                if "committed_at" not in m:
+                    try:
+                        m["committed_at"] = os.path.getmtime(path)
+                    except OSError:
+                        m["committed_at"] = None
+                out.append(m)
         return sorted(out, key=lambda m: (m.get("seq", 0), m["run_id"]))
 
     def _manifests(self) -> list[dict]:
@@ -692,10 +702,7 @@ class TransactionalWarehouse(Warehouse):
         runs, and the commit instant (the write-once marker's mtime)."""
         out = []
         for m in self._manifests():
-            try:
-                ts = os.path.getmtime(self.marker_path(m["run_id"]))
-            except OSError:
-                ts = None
+            ts = m.get("committed_at")
             out.append(
                 {
                     "seq": m.get("seq", 0),
@@ -851,16 +858,11 @@ class TransactionalWarehouse(Warehouse):
         Marker files are write-once (atomic link), so their mtime is the
         commit instant. Returns 0 (empty snapshot) when ``ts`` predates
         every commit."""
-        commits = os.path.join(self.txn_root(), "commits")
         best = 0
-        if os.path.isdir(commits):
-            for m in self._manifests():
-                path = self.marker_path(m["run_id"])
-                try:
-                    if os.path.getmtime(path) <= ts:
-                        best = max(best, m.get("seq", 0))
-                except OSError:
-                    continue
+        for m in self._manifests():
+            at = m.get("committed_at")
+            if at is not None and at <= ts:
+                best = max(best, m.get("seq", 0))
         return best
 
     def snapshot_reader(self, as_of: int | str | None = None) -> "SnapshotReader":
