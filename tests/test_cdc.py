@@ -153,6 +153,34 @@ AGG_SCHEMA_G = T.StructType(
 )
 
 
+def test_rollback_of_source_documented_divergence_then_refresh(spark, wh):
+    """A source rollback is NOT an append: the incremental consumer skips
+    it (no double-count, no crash), keeps serving the pre-rollback
+    aggregate (documented divergence), folds post-rollback appends
+    normally, and an explicit full refresh reconverges with the source."""
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_full_refresh
+
+    _append(spark, wh, [("a", 1)])
+    assert _sync(wh) == 1
+    pre = wh.snapshots()[-1]["seq"]
+    _append(spark, wh, [("a", 10)])
+    assert _sync(wh) == 1
+    assert _view(wh) == {"a": (2, 11.0)}
+
+    wh.rollback("src", pre)  # the (a, 10) append is rolled back
+    # no pending appends: the consumer does nothing and keeps its state
+    assert _sync(wh) == 0
+    assert _view(wh) == {"a": (2, 11.0)}  # diverged, as documented
+    # post-rollback appends fold exactly once
+    _append(spark, wh, [("b", 5)])
+    assert _sync(wh) == 1
+    assert _view(wh) == {"a": (2, 11.0), "b": (1, 5.0)}
+    # explicit refresh reconverges with the rolled-back source
+    cdc_full_refresh(wh, "src", "agg", group_cols=["k"], value_col="v")
+    assert _view(wh) == {"a": (1, 1.0), "b": (1, 5.0)}
+    assert _sync(wh) == 0
+
+
 def test_vacuum_expired_window_triggers_full_refresh(spark, wh):
     """Consumer offline across compact+vacuum: the incremental window is
     gone, so cdc_sync must fall back to a full snapshot rebuild instead of
