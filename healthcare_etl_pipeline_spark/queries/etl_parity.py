@@ -851,6 +851,90 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_optimize_skipping_read",
+    oracle="""
+    SELECT month(o_orderdate) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      AND month(o_orderdate) = 6
+    GROUP BY month(o_orderdate)
+    """,
+    description="OPTIMIZE ZORDER makes data skipping effective — measured "
+    "in-query: 1995 orders land HASH-SHUFFLED (every file spans all "
+    "months, so the month=6 stats read prunes nothing — asserted), then "
+    "OPTIMIZE ZORDER BY (month, custkey) rewrites the layout and the "
+    "rebuilt index prunes real files (asserted files_read < files_total). "
+    "Same rows both times; the aggregate must equal the full-scan oracle "
+    "after the rewrite — layout work changes I/O, never answers.",
+    tags=("txn", "optimize", "zorder", "data-skipping", "scale"),
+)
+def txn_optimize_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_opt_skip", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_log",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("custkey", T.LongType(), True),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("totalprice", T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+    # adversarial layout: hash-shuffle on orderkey so every file spans
+    # all 12 months — min/max month stats are useless
+    txn = wh.begin("shuffled")
+    txn.stage(ord95.repartition(8, "orderkey"), "ord_log")
+    txn.commit()
+    wh.build_stats_index("ord_log", ["month"])
+    _, before = wh.read_skipping("ord_log", {"month": (6, 6)})
+    # hash layout: stats prune (almost) nothing — most files hold month 6
+    assert before["files_total"] > 1, before
+    assert before["files_read"] * 2 > before["files_total"], before
+
+    # the layout operation: cluster by (month, custkey), refresh stats
+    wh.optimize(
+        "ord_log", zorder_by=("month", "custkey"), min_files=8
+    )
+    wh.build_stats_index("ord_log", ["month"])
+    df, after = wh.read_skipping("ord_log", {"month": (6, 6)})
+    assert after["files_read"] < after["files_total"], (before, after)
+    assert after["files_read"] <= before["files_read"], (before, after)
+    return (
+        df.filter(F.col("month") == 6)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "txn_rollback_read",
     oracle="""
     SELECT c_custkey AS custkey, c_name AS name

@@ -150,7 +150,7 @@ class Warehouse:
         writer.parquet(self.path(table))
 
     def compact(
-        self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
+        self, table: str, *, target_file_mb: float = 128, sort_by: str | None = None
     ) -> int:
         """Rewrite a table into size-targeted files (small-files maintenance).
 
@@ -1110,7 +1110,7 @@ class TransactionalWarehouse(Warehouse):
         }
 
     def compact(
-        self, table: str, *, target_file_mb: int = 128, sort_by: str | None = None
+        self, table: str, *, target_file_mb: float = 128, sort_by: str | None = None
     ) -> int:
         """Transactional compaction: rewrite every live run of ``table`` into
         one size-targeted run, published atomically.
@@ -1372,8 +1372,9 @@ class TransactionalWarehouse(Warehouse):
         table: str,
         *,
         zorder_by: tuple[str, ...] | None = None,
-        target_file_mb: int = 128,
+        target_file_mb: float = 128,
         zorder_bits: int = 16,
+        min_files: int = 1,
     ) -> int:
         """Layout-as-operation: transactional compaction with an optional
         Z-order clustering pass — the lakehouse ``OPTIMIZE ... ZORDER BY``
@@ -1404,11 +1405,35 @@ class TransactionalWarehouse(Warehouse):
             for run in old_runs
             for f in pathlib.Path(self.run_dir(table, run)).rglob("*.parquet")
         )
-        n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+        n_files = max(min_files, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
         bits = min(zorder_bits, 63 // len(zorder_by))
-        z = zvalue_n(
-            [F.col(c).cast("long") for c in zorder_by], bits=bits
-        )
+        # min-max normalize each column to the full bits-wide domain
+        # BEFORE interleaving: a raw interleave is dominated by whichever
+        # column has the wider numeric range (its high bits own the high
+        # interleaved positions), which silently degrades the clustering
+        # to a single-column sort — the reason production ZORDER
+        # implementations rank/range-normalize first. One cheap agg pass.
+        stats = current.agg(
+            *[
+                f
+                for c in zorder_by
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                )
+            ]
+        ).first()
+        top = float((1 << bits) - 1)
+        scaled = []
+        for c in zorder_by:
+            lo = stats[f"__lo_{c}"] or 0.0
+            hi = stats[f"__hi_{c}"] or 0.0
+            span = max(hi - lo, 1e-12)
+            scaled.append(
+                ((F.col(c).cast("double") - F.lit(lo)) * F.lit(top / span))
+                .cast("long")
+            )
+        z = zvalue_n(scaled, bits=bits)
         clustered = (
             current.withColumn("__z", z)
             .repartitionByRange(n_files, "__z")
