@@ -703,6 +703,66 @@ def txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_delete_mor_read",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           CASE WHEN c_custkey % 100 = 3 THEN 'revived' ELSE 'base' END AS src
+    FROM customer
+    WHERE c_custkey % 10 <> 3 OR c_custkey % 100 = 3
+    """,
+    description="Merge-on-read delete: every custkey%10=3 row is deleted "
+    "by a TOMBSTONE COMMIT (key list only — the data runs are untouched, "
+    "asserted in-query; contrast the copy-on-write forget/overwrite "
+    "forms, which rewrite files), readers anti-join the tombstones, and "
+    "a later append re-inserting the %100=3 subset must be VISIBLE — "
+    "tombstone application is sequence-aware, hiding only rows committed "
+    "at-or-before the delete. One resurrected or still-hidden row flips "
+    "the hash.",
+    tags=("txn", "delete", "merge-on-read", "etl"),
+)
+def txn_delete_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_mor", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_state",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+                T.StructField("src", T.StringType(), True),
+            ]
+        ),
+        primary_key=("custkey",),
+    )
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    wh.append(cust.withColumn("src", F.lit("base")), "cust_state")
+    data_runs = wh.committed_runs_for("cust_state")
+
+    n = wh.delete_where("cust_state", F.col("custkey") % 10 == 3)
+    assert n > 0
+    # merge-on-read: the delete rewrote NO data runs
+    assert wh.committed_runs_for("cust_state") == data_runs
+
+    wh.append(
+        cust.filter(F.col("custkey") % 100 == 3).withColumn(
+            "src", F.lit("revived")
+        ),
+        "cust_state",
+    )
+    return wh.read("cust_state")
+
+
+@query(
     "txn_overwrite_backfill",
     oracle="""
     SELECT o_orderkey AS orderkey,

@@ -407,6 +407,7 @@ class TransactionalWarehouse(Warehouse):
         self._extra_schemas: dict[str, T.StructType] = {}
         self._extra_partitions: dict[str, list[str]] = {}
         self._constraints: dict[str, dict[str, str]] = {}
+        self._primary_keys: dict[str, list[str]] = {}
 
     # -- CHECK constraints ---------------------------------------------------
 
@@ -460,6 +461,7 @@ class TransactionalWarehouse(Warehouse):
         schema: T.StructType,
         *,
         partition_by: tuple[str, ...] = (),
+        primary_key: tuple[str, ...] = (),
     ) -> None:
         """Declare an additional transactional table beyond the 5 reference
         ones — e.g. a streaming sink target. Same commit protocol, same
@@ -509,6 +511,17 @@ class TransactionalWarehouse(Warehouse):
                 )
         self._extra_schemas[name] = schema
         self._extra_partitions[name] = list(partition_by)
+        if primary_key:
+            missing = [c for c in primary_key if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"primary_key columns {missing} not in schema")
+            self._primary_keys[name] = list(primary_key)
+            tomb = self._tombstone_table(name)
+            if tomb not in self._extra_schemas:
+                self._extra_schemas[tomb] = T.StructType(
+                    [schema[c] for c in primary_key]
+                )
+                self._extra_partitions[tomb] = []
 
     def table_schema(self, table: str) -> T.StructType:
         if table in TABLE_SCHEMAS:
@@ -887,19 +900,33 @@ class TransactionalWarehouse(Warehouse):
         still on disk until :meth:`vacuum`, which expires time travel to
         superseded snapshots, like any table format's snapshot expiry).
         """
+        raw = self._read_raw(table, as_of=as_of, keep_run=True)
+        return self._apply_tombstones(raw, table, as_of=as_of)
+
+    def _read_raw(
+        self,
+        table: str,
+        as_of: int | str | None = None,
+        *,
+        keep_run: bool = False,
+    ) -> DataFrame:
+        """Committed-runs scan without merge-on-read delete application
+        (``keep_run`` retains the ``__run_id`` column for seq-aware
+        consumers)."""
         committed = self.committed_runs_for(table, as_of=as_of)
         schema = self.table_schema(table)
-        if not committed:
-            return self.spark.createDataFrame([], schema)
         with_run = T.StructType(
             schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
         )
-        return (
+        if not committed:
+            empty = self.spark.createDataFrame([], with_run)
+            return empty if keep_run else empty.drop(RUN_ID_COL)
+        df = (
             self.spark.read.schema(with_run)
             .parquet(self.path(table))
             .filter(F.col(RUN_ID_COL).isin(committed))
-            .drop(RUN_ID_COL)
         )
+        return df if keep_run else df.drop(RUN_ID_COL)
 
     def append(self, df: DataFrame, table: str) -> None:
         """Single-table append = a one-table transaction (auto-commit)."""
@@ -940,11 +967,105 @@ class TransactionalWarehouse(Warehouse):
                 erased[table] = current.filter(pred).count()
                 txn.stage(current.filter(~pred | pred.isNull()), table)
                 txn.replaces[table] = old_runs
+                if table in self._primary_keys:
+                    # the rewrite already excluded tombstoned rows: retire
+                    # the applied tombstones in the same commit
+                    tomb = self._tombstone_table(table)
+                    tomb_runs = self.committed_runs_for(tomb)
+                    if tomb_runs:
+                        txn.replaces[tomb] = tomb_runs
         except Exception:
             txn.abort()
             raise
         txn.commit()
         return erased
+
+    @staticmethod
+    def _tombstone_table(table: str) -> str:
+        return f"__tomb_{table}"
+
+    def _run_seq_expr(self, as_of: int | str | None = None) -> "Column":
+        """Map the ``__run_id`` column to its commit seq (tiny literal
+        map built from the manifest log — bounded by live commits, which
+        checkpointing and compaction keep small)."""
+        entries: list[Column] = []
+        for m in self._manifests():
+            entries.append(F.lit(m["run_id"]))
+            entries.append(F.lit(m.get("seq", 0)))
+        if not entries:
+            return F.lit(None).cast("long")
+        return F.element_at(F.create_map(*entries), F.col(RUN_ID_COL)).cast("long")
+
+    def _apply_tombstones(
+        self, df: DataFrame, table: str, as_of: int | str | None = None
+    ) -> DataFrame:
+        """Merge-on-read delete application, sequence-aware: a row is
+        hidden iff SOME tombstone for its key was committed at-or-after
+        the row's own run — so re-inserting a deleted key (append, merge,
+        compaction rewrite) makes it visible again, exactly like
+        deletion-vector semantics replayed in commit order. ``df`` must
+        still carry the ``__run_id`` column; it is consumed here.
+
+        Cost when deletes exist: one broadcast join against the (key →
+        max delete seq) frame — tombstones are key-only and small; a
+        workload whose delete set rivals the data should compact, which
+        applies and retires them. Zero cost when no tombstones exist.
+        """
+        pk = self._primary_keys.get(table)
+        tomb = self._tombstone_table(table) if pk else None
+        if not pk or not self.committed_runs_for(tomb, as_of=as_of):
+            return df.drop(RUN_ID_COL)
+        tombs = (
+            self._read_raw(tomb, as_of=as_of, keep_run=True)
+            .withColumn("__del_seq", self._run_seq_expr(as_of))
+            .groupBy(*pk)
+            .agg(F.max("__del_seq").alias("__del_seq"))
+        )
+        out = (
+            df.withColumn("__row_seq", self._run_seq_expr(as_of))
+            .join(F.broadcast(tombs), pk, "left")
+            .filter(
+                F.col("__del_seq").isNull()
+                | (F.col("__row_seq") > F.col("__del_seq"))
+            )
+            .drop("__del_seq", "__row_seq", RUN_ID_COL)
+        )
+        return out
+
+    def delete_where(self, table: str, predicate: "Column") -> int:
+        """MERGE-ON-READ delete: record the primary keys of rows matching
+        ``predicate`` as a tombstone commit — no data files are rewritten
+        (contrast :meth:`forget`/:meth:`overwrite_where`, the
+        copy-on-write forms). Readers anti-join live tombstones; a later
+        :meth:`compact` applies them physically and retires them in the
+        same commit. At 100 TB this turns "delete 0.01% of rows" from a
+        table rewrite into one key scan plus a KB-scale write — the
+        deletion-vector tradeoff, at this warehouse's key granularity.
+
+        Requires the table to be registered with ``primary_key``.
+        Time travel to pre-delete snapshots still sees the rows (the
+        tombstone commit is part of history like any other).
+        Returns the number of keys tombstoned.
+        """
+        if table not in self._primary_keys:
+            raise ValueError(
+                f"{table!r} has no primary_key — register_table(...,"
+                " primary_key=...) to enable merge-on-read deletes"
+            )
+        pk = self._primary_keys[table]
+        keys = self.read(table).filter(predicate).select(*pk).distinct()
+        txn = self.begin(operation="delete")
+        try:
+            txn.stage(keys, self._tombstone_table(table))
+        except Exception:
+            txn.abort()
+            raise
+        txn.commit()
+        return self.spark.read.schema(
+            self.table_schema(self._tombstone_table(table))
+        ).parquet(
+            self.run_dir(self._tombstone_table(table), txn.run_id)
+        ).count()
 
     def merge(
         self,
@@ -1010,10 +1131,11 @@ class TransactionalWarehouse(Warehouse):
             }
         try:
             if affected:
-                surviving = (
-                    self.spark.read.schema(schema)
-                    .parquet(*[self.run_dir(table, r) for r in affected])
-                    .join(keys, key_cols, "left_anti")
+                surviving = self._apply_tombstones(
+                    self._read_raw(table, keep_run=True)
+                    .filter(F.col(RUN_ID_COL).isin(affected))
+                    .join(keys, key_cols, "left_anti"),
+                    table,
                 )
                 txn.stage(surviving, table)
             txn.stage(source, table)
@@ -1085,10 +1207,11 @@ class TransactionalWarehouse(Warehouse):
             }
         try:
             if affected:
-                surviving = (
-                    self.spark.read.schema(schema)
-                    .parquet(*[self.run_dir(table, r) for r in affected])
-                    .filter(~predicate | predicate.isNull())
+                surviving = self._apply_tombstones(
+                    self._read_raw(table, keep_run=True)
+                    .filter(F.col(RUN_ID_COL).isin(affected))
+                    .filter(~predicate | predicate.isNull()),
+                    table,
                 )
                 txn.stage(surviving, table)
             txn.stage(source, table)
@@ -1142,6 +1265,14 @@ class TransactionalWarehouse(Warehouse):
             txn.abort()
             raise
         txn.replaces[table] = old_runs
+        if table in self._primary_keys:
+            tomb = self._tombstone_table(table)
+            tomb_runs = self.committed_runs_for(tomb)
+            if tomb_runs:
+                # the rewrite read through read() already excluded the
+                # tombstoned rows, so the tombstones are APPLIED — retire
+                # them in the same atomic commit
+                txn.replaces[tomb] = tomb_runs
         txn.commit()
         return n_files
 
@@ -1355,17 +1486,22 @@ class TransactionalWarehouse(Warehouse):
             "files_read": len(selected),
             "runs_uncovered": uncovered,
         }
+        with_run = T.StructType(
+            schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+        )
         if not paths:
-            return self.spark.createDataFrame([], schema), report
+            empty = self.spark.createDataFrame([], with_run)
+            return self._apply_tombstones(empty, table), report
         # basePath: selected entries are FILE paths — without it, hive
         # partition values encoded in directory names above each file
-        # would be lost (null-filled by the explicit schema)
-        return (
-            self.spark.read.schema(schema)
+        # (including __run_id, which merge-on-read delete application
+        # needs) would be lost (null-filled by the explicit schema)
+        df = (
+            self.spark.read.schema(with_run)
             .option("basePath", self.path(table))
-            .parquet(*paths),
-            report,
+            .parquet(*paths)
         )
+        return self._apply_tombstones(df, table), report
 
     def optimize(
         self,
@@ -1447,6 +1583,14 @@ class TransactionalWarehouse(Warehouse):
             txn.abort()
             raise
         txn.replaces[table] = old_runs
+        if table in self._primary_keys:
+            tomb = self._tombstone_table(table)
+            tomb_runs = self.committed_runs_for(tomb)
+            if tomb_runs:
+                # the rewrite read through read() already excluded the
+                # tombstoned rows, so the tombstones are APPLIED — retire
+                # them in the same atomic commit
+                txn.replaces[tomb] = tomb_runs
         txn.commit()
         return n_files
 
