@@ -836,6 +836,85 @@ def txn_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_update_read",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CASE WHEN month(o_orderdate) = 3
+                THEN round(o_totalprice, 2) + 1000.0
+                ELSE round(o_totalprice, 2) END AS totalprice,
+           CASE WHEN month(o_orderdate) = 3 THEN 'repriced' ELSE 'base' END AS src
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    """,
+    description="Copy-on-write UPDATE ... SET (the last DML verb alongside "
+    "append/MERGE/DELETE/replaceWhere): 1995 orders land as two commits "
+    "(H1/H2); update_where(month=3) rewrites March rows in place — "
+    "surcharged price, src='repriced' — in ONE atomic commit, with all "
+    "assignment expressions reading the OLD row. Run-granularity pruning "
+    "asserted in-query: only the H1 run (the only one holding March rows) "
+    "is rewritten; H2 keeps its files — at 100 TB an update touching 1% "
+    "of runs rewrites 1% of the table. Reference parity: the UPDATE the "
+    "reference issues through its SQLAlchemy session (routes.py:148).",
+    tags=("txn", "update", "etl"),
+)
+def txn_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_upd", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_state",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("totalprice", T.DoubleType(), True),
+                T.StructField("src", T.StringType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        )
+    )
+    for label, lo, hi in (("h1", 1, 6), ("h2", 7, 12)):
+        txn = wh.begin(label)
+        txn.stage(
+            ord95.filter(F.col("month").between(lo, hi)).withColumn(
+                "src", F.lit("base")
+            ),
+            "ord_state",
+        )
+        txn.commit()
+
+    res = wh.update_where(
+        "ord_state",
+        F.col("month") == 3,
+        {
+            "totalprice": F.col("totalprice") + F.lit(1000.0),
+            "src": F.lit("repriced"),
+        },
+    )
+    assert res["rewritten_runs"] == ["h1"], res
+    assert res["untouched_runs"] == ["h2"], res
+    return wh.read("ord_state").select("orderkey", "totalprice", "src")
+
+
+@query(
     "txn_stats_skipping_read",
     oracle="""
     SELECT month(o_orderdate) AS month,

@@ -1232,6 +1232,108 @@ class TransactionalWarehouse(Warehouse):
             "untouched_runs": sorted(set(live) - set(affected)),
         }
 
+    def update_where(
+        self,
+        table: str,
+        predicate: "Column",
+        assignments: dict[str, "Column"],
+        *,
+        batch_id: str | None = None,
+    ) -> dict:
+        """Copy-on-write ``UPDATE ... SET``: rows matching ``predicate``
+        get each assignment column replaced by its expression; every other
+        row — including rows where the predicate evaluates NULL, as in SQL
+        UPDATE — is carried through unchanged. Completes the DML verb set
+        (append / MERGE / DELETE / replaceWhere / UPDATE) the reference
+        gets for free from its Postgres session (routes.py:148).
+
+        Same run-granularity copy-on-write as :meth:`merge` /
+        :meth:`overwrite_where`: a semi-scan finds which committed runs
+        contain a matching row and ONLY those are rewritten (with the
+        update applied in-plan); untouched runs keep their files, so an
+        update hitting 1% of runs rewrites 1% of the table — never a
+        full-table rewrite. All assignment expressions see the OLD row
+        (standard SQL UPDATE semantics: ``SET a = b, b = a`` swaps).
+
+        ``batch_id`` makes the update idempotent — a replay of a committed
+        update is a no-op. A concurrent commit to the table between the
+        run scan and this commit raises :class:`ConcurrentMergeError` with
+        nothing published. Returns {"committed", "rewritten_runs",
+        "untouched_runs"}.
+        """
+        schema = self.table_schema(table)
+        known = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) - known)
+        if bad:
+            raise ValueError(
+                f"update_where on {table!r}: unknown column(s) {bad}"
+            )
+        live = self.committed_runs_for(table)
+        affected: list[str] = []
+        if live:
+            with_run = T.StructType(
+                schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+            )
+            tagged = (
+                self.spark.read.schema(with_run)
+                .parquet(self.path(table))
+                .filter(F.col(RUN_ID_COL).isin(live))
+            )
+            affected = sorted(
+                r[RUN_ID_COL]
+                for r in tagged.filter(predicate)
+                .select(RUN_ID_COL)
+                .distinct()
+                .collect()
+            )
+        txn = self.begin(batch_id, operation="update")
+        if txn._already_committed:
+            return {
+                "committed": False,
+                "rewritten_runs": [],
+                "untouched_runs": live,
+            }
+        try:
+            if affected:
+                base = self._apply_tombstones(
+                    self._read_raw(table, keep_run=True).filter(
+                        F.col(RUN_ID_COL).isin(affected)
+                    ),
+                    table,
+                )
+                updated = base.select(
+                    *[
+                        (
+                            F.when(
+                                predicate,
+                                assignments[f.name].cast(f.dataType),
+                            )
+                            .otherwise(F.col(f.name))
+                            .alias(f.name)
+                            if f.name in assignments
+                            else F.col(f.name)
+                        )
+                        for f in schema.fields
+                    ]
+                )
+                txn.stage(updated, table)
+        except Exception:
+            txn.abort()
+            raise
+        txn.replaces[table] = affected
+        if self.committed_runs_for(table) != live:
+            txn.abort()
+            raise ConcurrentMergeError(
+                f"table {table!r} changed during update_where — retry "
+                "against the new snapshot"
+            )
+        committed = txn.commit()
+        return {
+            "committed": committed,
+            "rewritten_runs": affected,
+            "untouched_runs": sorted(set(live) - set(affected)),
+        }
+
     def compact(
         self, table: str, *, target_file_mb: float = 128, sort_by: str | None = None
     ) -> int:
