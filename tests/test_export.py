@@ -65,3 +65,15 @@ def test_export_is_deterministic_across_runs(spark, tmp_path):
     m1 = export_jsonl_shards(_docs(spark), a, n_shards=4)
     m2 = export_jsonl_shards(_docs(spark), b, n_shards=4)
     assert m1["shard_counts"] == m2["shard_counts"]
+
+
+def test_orc_roundtrip_query_prunes_and_matches(spark):
+    """The registered ORC interop query returns the 3 pruned months with
+    positive counts at the smallest SF (plan asserts live inside it)."""
+    from healthcare_etl_pipeline_spark.queries.analytics_extended import (
+        orc_partitioned_roundtrip,
+    )
+
+    rows = orc_partitioned_roundtrip(spark, "/root/testdata/sf0.001").collect()
+    assert {r["month"] for r in rows} == {4, 5, 6}
+    assert all(r["n_orders"] > 0 and r["revenue"] > 0 for r in rows)
