@@ -56,6 +56,16 @@ def portable_char_hash_sql(expr: str) -> str:
     )
 
 
+def portable_char_hash_py(s: str) -> int:
+    """Driver-side Python twin of ``portable_char_hash`` — same md5 top
+    60 bits, same mod reduction, so a value hashed in-plan (e.g. into a
+    per-file Bloom set) can be probed from the driver without a Spark
+    job. Equality with the Column form is pinned by a test."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MOD
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization (empty strings filtered)."""
     c = F.col(col) if isinstance(col, str) else col

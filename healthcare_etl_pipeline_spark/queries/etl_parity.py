@@ -990,6 +990,123 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_bloom_skipping_read",
+    oracle="""
+    WITH june AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1995-07-01')
+    SELECT o.o_orderkey AS orderkey, round(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN june j ON o.o_orderkey = j.o_orderkey
+    WHERE j.rn BETWEEN CAST(floor(j.n / 2) AS BIGINT)
+                   AND CAST(floor(j.n / 2) AS BIGINT) + 2
+    """,
+    description="Bloom-indexed point lookups — pruning where zone maps "
+    "CANNOT: 1995 orders land as four quarterly commits (several files "
+    "each), so orderkeys are uniformly spread and every file's "
+    "[min,max] covers nearly any key — a min/max stats read keeps "
+    "almost everything. The stats index is built with a per-file BLOOM "
+    "set on orderkey; three point lookups then open only the file(s) "
+    "whose Bloom sets contain all k probe positions, asserted in-query "
+    "to read strictly fewer files than the zone-map path and at most 2 "
+    "files per key (1 true + Bloom false-positive budget). At 100 TB "
+    "this is the difference between a key lookup scanning the table and "
+    "touching one file. No false negatives: results must match the "
+    "oracle's plain IN-subquery scan.",
+    tags=("txn", "bloom", "data-skipping", "point-lookup", "scale"),
+)
+def txn_bloom_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_bloom", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_log",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("totalprice", T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+    for q, lo, hi in ((1, 1, 3), (2, 4, 6), (3, 7, 9), (4, 10, 12)):
+        txn = wh.begin(f"q{q}")
+        txn.stage(
+            ord95.filter(F.col("month").between(lo, hi)).repartition(3),
+            "ord_log",
+        )
+        txn.commit()
+    wh.build_stats_index("ord_log", ["orderkey"], bloom_cols=["orderkey"])
+
+    # the three MEDIAN June orderkeys: interior keys sit inside every
+    # file's [min,max] (zone maps can't prune them), which is exactly the
+    # regime where the Bloom set earns its keep. Month-bounded frame, so
+    # the rank window is small at any SF; 3 keys collect to the driver
+    # (the point-lookup pattern).
+    june = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-06-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+        )
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    from pyspark.sql import Window
+
+    ranked = june.select(
+        "orderkey",
+        F.row_number().over(Window.orderBy("orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    mid = F.floor(F.col("n") / 2)
+    keys = sorted(
+        r["orderkey"]
+        for r in ranked.filter(
+            F.col("rn").between(mid, mid + 2)
+        ).collect()
+    )
+    out = None
+    for key in keys:
+        _, mm = wh.read_skipping("ord_log", {"orderkey": (key, key)})
+        df, bl = wh.read_skipping(
+            "ord_log", {"orderkey": (key, key)}, equals={"orderkey": key}
+        )
+        # bloom prunes past the zone maps, and to ~one file
+        assert bl["files_read"] < mm["files_read"], (key, mm, bl)
+        assert 1 <= bl["files_read"] <= 2, (key, bl)
+        hit = df.filter(F.col("orderkey") == key).select(
+            "orderkey", F.round("totalprice", 2).alias("totalprice")
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+@query(
     "txn_optimize_skipping_read",
     oracle="""
     SELECT month(o_orderdate) AS month,

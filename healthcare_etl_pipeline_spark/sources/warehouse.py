@@ -1381,7 +1381,58 @@ class TransactionalWarehouse(Warehouse):
     def _stats_dir(self, table: str) -> str:
         return os.path.join(self.root, "_stats", table)
 
-    def build_stats_index(self, table: str, cols: list[str]) -> int:
+    @staticmethod
+    def _bloom_positions_col(c: str, bits: int, k: int) -> "Column":
+        """Array of k Bloom bit positions for column ``c`` (engine-portable
+        hash, so the driver can re-derive positions without a job)."""
+        from healthcare_etl_pipeline_spark.operators.text import (
+            portable_char_hash,
+        )
+
+        key = F.col(c).cast("string")
+        return F.array(
+            *[
+                portable_char_hash(F.concat(key, F.lit(f"#{i}"))) % bits
+                for i in range(k)
+            ]
+        )
+
+    def _write_blooms(
+        self,
+        table: str,
+        df: DataFrame,
+        bloom_cols: list[str],
+        bits: int,
+        k: int,
+        *,
+        mode: str,
+    ) -> None:
+        """Per-file distinct Bloom positions for each indexed column:
+        (file_path, pos) rows under ``_stats/<table>/bloom_<col>``. The
+        set is at most ``bits`` rows per file — KB-scale beside the data."""
+        for c in bloom_cols:
+            pos = (
+                df.select(
+                    F.col("_metadata.file_path").alias("file_path"),
+                    F.explode(self._bloom_positions_col(c, bits, k)).alias(
+                        "pos"
+                    ),
+                )
+                .distinct()
+            )
+            pos.coalesce(1).write.mode(mode).parquet(
+                os.path.join(self._stats_dir(table), f"bloom_{c}")
+            )
+
+    def build_stats_index(
+        self,
+        table: str,
+        cols: list[str],
+        *,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1 << 16,
+        bloom_k: int = 3,
+    ) -> int:
         """Build (or rebuild) a file-level min/max stats index for
         ``table`` — the data-skipping manifest (Iceberg's per-file column
         bounds, Delta's file stats) for this warehouse's unit of work.
@@ -1393,6 +1444,16 @@ class TransactionalWarehouse(Warehouse):
         consults it for covered runs and falls back to full reads for runs
         committed after the build, so a stale index can never lose rows.
 
+        ``bloom_cols`` additionally records a per-file BLOOM set (k
+        engine-portable hash positions per value, distinct per file) for
+        each listed column — the pruning zone maps cannot do: a
+        high-cardinality key inserted over time spans every file's
+        [min,max], but lives in only a few files' Bloom sets, so a point
+        lookup opens just those (Parquet's bloom_filter_enabled /
+        Iceberg's bloom stats, at this warehouse's file granularity). No
+        false negatives by construction; false positives only cost an
+        extra file read.
+
         At 100 TB the stats scan is one pass (column-pruned to the indexed
         columns) and the index is KB-scale — the listing that replaces
         opening every file at query time. Returns the number of files
@@ -1402,6 +1463,7 @@ class TransactionalWarehouse(Warehouse):
         sdir = self._stats_dir(table)
         shutil.rmtree(sdir, ignore_errors=True)
         os.makedirs(sdir, exist_ok=True)
+        bloom_cols = list(bloom_cols or [])
         if live:
             aggs = [F.count(F.lit(1)).alias("n_rows")]
             for c in cols:
@@ -1418,12 +1480,30 @@ class TransactionalWarehouse(Warehouse):
             stats.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(sdir, "files")
             )
+            if bloom_cols:
+                self._write_blooms(
+                    table,
+                    self.read(table),
+                    bloom_cols,
+                    bloom_bits,
+                    bloom_k,
+                    mode="overwrite",
+                )
         n_files = (
             self.spark.read.parquet(os.path.join(sdir, "files")).count()
             if live
             else 0
         )
-        manifest = {"covered_runs": live, "cols": cols, "n_files": n_files}
+        manifest = {
+            "covered_runs": live,
+            "cols": cols,
+            "n_files": n_files,
+            "bloom": {
+                "cols": bloom_cols,
+                "bits": bloom_bits,
+                "k": bloom_k,
+            },
+        }
         tmp = os.path.join(sdir, ".manifest.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh)
@@ -1454,6 +1534,7 @@ class TransactionalWarehouse(Warehouse):
         live = self.committed_runs_for(table)
         covered = [r for r in manifest["covered_runs"] if r in set(live)]
         new_runs = [r for r in live if r not in set(covered)]
+        bloom = manifest.get("bloom") or {"cols": [], "bits": 1 << 16, "k": 3}
         n_new = 0
         if new_runs:
             aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -1461,10 +1542,11 @@ class TransactionalWarehouse(Warehouse):
                 aggs.append(F.min(c).alias(f"min_{c}"))
                 aggs.append(F.max(c).alias(f"max_{c}"))
             schema = self.table_schema(table)
+            new_df = self.spark.read.schema(schema).parquet(
+                *[self.run_dir(table, r) for r in new_runs]
+            )
             fresh = (
-                self.spark.read.schema(schema)
-                .parquet(*[self.run_dir(table, r) for r in new_runs])
-                .select(
+                new_df.select(
                     F.col("_metadata.file_path").alias("file_path"), *cols
                 )
                 .groupBy("file_path")
@@ -1474,10 +1556,20 @@ class TransactionalWarehouse(Warehouse):
                 os.path.join(sdir, "files")
             )
             n_new = fresh.count()
+            if bloom["cols"]:
+                self._write_blooms(
+                    table,
+                    new_df,
+                    bloom["cols"],
+                    bloom["bits"],
+                    bloom["k"],
+                    mode="append",
+                )
         manifest = {
             "covered_runs": sorted(set(covered) | set(new_runs)),
             "cols": cols,
             "n_files": manifest.get("n_files", 0) + n_new,
+            "bloom": bloom,
         }
         tmp = os.path.join(sdir, ".manifest.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -1529,7 +1621,11 @@ class TransactionalWarehouse(Warehouse):
         return to_retire
 
     def read_skipping(
-        self, table: str, bounds: dict[str, tuple]
+        self,
+        table: str,
+        bounds: dict[str, tuple],
+        *,
+        equals: dict | None = None,
     ) -> tuple[DataFrame, dict]:
         """Data-skipping read: serve only the files whose stats ranges can
         contain rows satisfying ``bounds`` (col → (lo, hi), either side
@@ -1537,12 +1633,26 @@ class TransactionalWarehouse(Warehouse):
         build (the index never lies by omission). Returns (df, report)
         where report = {files_total, files_read, runs_uncovered}.
 
+        ``equals`` (col → value) prunes through the per-file BLOOM sets
+        (``build_stats_index(bloom_cols=...)``): a file survives only if
+        all k hash positions of the value are set in its Bloom set — the
+        point-lookup pruning zone maps cannot provide when the key is
+        high-cardinality and spread across every file's [min,max]. The
+        probe positions are derived driver-side with the same portable
+        hash, so the check is a filter over the KB-scale position table —
+        no scan of the data. No false negatives; a false positive only
+        reads one extra file.
+
         The returned frame still carries every row of the selected files —
         apply the exact predicate on top (as with any zone-map/row-group
         skipping, stats prune I/O, predicates prune rows). Combine with
         :meth:`optimize` Z-ordering: clustering is what makes the per-file
         ranges tight enough to skip most files.
         """
+        from healthcare_etl_pipeline_spark.operators.text import (
+            portable_char_hash_py,
+        )
+
         schema = self.table_schema(table)
         live = self.committed_runs_for(table)
         mpath = os.path.join(self._stats_dir(table), "manifest.json")
@@ -1555,6 +1665,10 @@ class TransactionalWarehouse(Warehouse):
         for c in bounds:
             if c not in manifest["cols"]:
                 raise KeyError(f"column {c!r} is not in the stats index")
+        bloom = manifest.get("bloom") or {"cols": [], "bits": 1 << 16, "k": 3}
+        for c in equals or {}:
+            if c not in bloom["cols"]:
+                raise KeyError(f"column {c!r} has no Bloom set in the index")
         covered = [r for r in live if r in set(manifest["covered_runs"])]
         uncovered = [r for r in live if r not in set(manifest["covered_runs"])]
 
@@ -1574,6 +1688,23 @@ class TransactionalWarehouse(Warehouse):
         kept_files = [
             r["file_path"] for r in stats.filter(keep).select("file_path").collect()
         ]
+        for c, v in (equals or {}).items():
+            k, bits = bloom["k"], bloom["bits"]
+            probe = {
+                portable_char_hash_py(f"{v}#{i}") % bits for i in range(k)
+            }
+            hits = {
+                r["file_path"]
+                for r in self.spark.read.parquet(
+                    os.path.join(self._stats_dir(table), f"bloom_{c}")
+                )
+                .filter(F.col("pos").isin(list(probe)))
+                .groupBy("file_path")
+                .agg(F.countDistinct("pos").alias("nhit"))
+                .filter(F.col("nhit") == k)
+                .collect()
+            }
+            kept_files = [f for f in kept_files if f in hits]
 
         def _strip(p: str) -> str:
             # normalize "file:/x", "file://x", "file:///x" URIs to "/x"

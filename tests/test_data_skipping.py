@@ -213,3 +213,68 @@ def test_vacuum_dead_run_retention_preserves_recent_history(spark, wh):
     assert {r["k"] for r in wh.read("kv", as_of=pre).collect()} == set(range(10))
     wh.rollback("kv", pre)
     assert {r["k"] for r in wh.read("kv").collect()} == set(range(10))
+
+
+def _append_interleaved(spark, wh, residue, n=40, n_files=2):
+    # keys k ≡ residue (mod 4), spread over the FULL range: every file's
+    # [min,max] overlaps every other file's, so zone maps cannot prune
+    df = spark.createDataFrame(
+        [Row(k=k, v=f"v{k}") for k in range(residue, residue + 4 * n, 4)],
+        SCHEMA,
+    ).repartition(n_files)
+    wh.append(df, "kv")
+
+
+def test_portable_hash_py_matches_column_form(spark):
+    from healthcare_etl_pipeline_spark.operators.text import (
+        portable_char_hash,
+        portable_char_hash_py,
+    )
+
+    vals = ["", "a", "42#0", "hello world", "ключ", "0.5#2"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_char_hash("s").alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == portable_char_hash_py(v), v
+
+
+def test_bloom_point_lookup_prunes_where_zonemaps_cannot(spark, wh):
+    for residue in range(4):
+        _append_interleaved(spark, wh, residue)
+    wh.build_stats_index("kv", ["k"], bloom_cols=["k"])
+
+    # zone maps alone: every file overlaps the point
+    _, minmax_report = wh.read_skipping("kv", {"k": (17, 17)})
+    assert minmax_report["files_read"] == minmax_report["files_total"]
+
+    # bloom: only the file(s) actually holding k=17 survive
+    df, report = wh.read_skipping("kv", {"k": (17, 17)}, equals={"k": 17})
+    assert 0 < report["files_read"] < report["files_total"]
+    rows = df.filter(F.col("k") == 17).collect()
+    assert [r["v"] for r in rows] == ["v17"]
+
+    # absent key: no false negatives required, exact filter yields nothing
+    df, _ = wh.read_skipping("kv", {"k": (999, 999)}, equals={"k": 999})
+    assert df.filter(F.col("k") == 999).count() == 0
+
+
+def test_bloom_maintained_by_update_stats_index(spark, wh):
+    _append_interleaved(spark, wh, 0)
+    wh.build_stats_index("kv", ["k"], bloom_cols=["k"])
+    # new run after the build; its keys enter the bloom via update
+    _append_interleaved(spark, wh, 1)
+    wh.update_stats_index("kv")
+    df, report = wh.read_skipping("kv", {"k": (5, 5)}, equals={"k": 5})
+    assert report["runs_uncovered"] == []
+    assert report["files_read"] < report["files_total"]
+    assert df.filter(F.col("k") == 5).count() == 1
+
+
+def test_bloom_requires_indexed_column(spark, wh):
+    _append_interleaved(spark, wh, 0)
+    wh.build_stats_index("kv", ["k"])  # no bloom_cols
+    with pytest.raises(KeyError, match="Bloom"):
+        wh.read_skipping("kv", {"k": (5, 5)}, equals={"k": 5})
