@@ -45,6 +45,99 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_data_drop",
+    oracle="""
+    WITH on_time AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value
+      FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'),
+    wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS w
+      FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00')
+    SELECT window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM on_time, wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.w
+    GROUP BY window_start, event_type
+    """,
+    description="Watermark LATE-DATA DROP, proven with real out-of-order "
+    "arrival: the events table is staged as three files consumed oldest-"
+    "mtime-first, one per micro-batch (maxFilesPerTrigger=1) — batches 1-2 "
+    "carry everything from Jan-10 on (their max ts advances the watermark "
+    "to max-1h; two batches because the watermark computed from a batch "
+    "takes effect ONE TRIGGER LATER — measured on this engine, and the "
+    "reason single-batch late-data tests prove nothing), batch 3 carries "
+    "the Jan-1..9 tail, now DAYS behind the watermark. Append-mode "
+    "tumbling aggregation must drop every batch-3 row (asserted in-query: "
+    "no pre-Jan-10 window appears — which also proves the batches really "
+    "ran in order, since collapsed batches would admit them) and withhold "
+    "the still-open windows past the final watermark. The oracle models "
+    "both rules in batch SQL: rows before the split excluded, windows "
+    "with end > max(ts)-1h withheld.",
+    tags=("streaming", "watermark", "late-data", "window"),
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+
+    src = scratch_dir("late_src", sf_dir)
+    os.makedirs(src, exist_ok=True)
+    split = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    recent = ev.filter(F.col("ts") >= split)
+    for name, frame, mtime in (
+        ("batch1_recent.parquet", recent.filter(F.col("event_id") % 2 == 0), 1_000_000),
+        ("batch2_recent.parquet", recent.filter(F.col("event_id") % 2 == 1), 1_000_100),
+        ("batch3_late.parquet", ev.filter(F.col("ts") < split), 1_000_200),
+    ):
+        tmp = os.path.join(src, f"_tmp_{name}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dest = os.path.join(src, name)
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        # FileStreamSource orders batches by mtime: recent file FIRST so
+        # its max ts advances the watermark before the old rows arrive
+        os.utime(dest, (mtime, mtime))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = tumbling_counts(stream)
+    res = run_stream_to_memory(spark, agg, output_mode="append")
+    res = res.localCheckpoint(eager=True)  # settle before asserting
+    # every batch-2 (pre-split) row must have been dropped as late —
+    # and if the two files had collapsed into one micro-batch, their
+    # windows WOULD appear, so this also pins the arrival order
+    stray = res.filter(
+        F.col("window_start") < F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    ).count()
+    assert stray == 0, f"{stray} late windows leaked past the watermark"
+    return res
+
+
+@query(
     "stream_sliding_counts",
     oracle="""
     WITH expanded AS (

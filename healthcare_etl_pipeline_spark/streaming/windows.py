@@ -11,6 +11,13 @@ plan, which the DuckDB oracle validates in turn.
 Scale notes:
 - Watermarks bound state: without one, a streaming agg keeps every window
   forever. ``delay`` should exceed the real pipeline's late-data tail.
+- The watermark computed from a batch's max event time takes effect ONE
+  TRIGGER LATER (measured on this engine — see stream_late_data_drop):
+  rows arriving in the very next micro-batch are NOT yet filtered
+  against the previous batch's event times, and a late row into a
+  never-seen window is aggregated, emitted, and evicted rather than
+  dropped. Contracts about late-data dropping need at least one buffer
+  batch between the watermark-advancing data and the late data.
 - State lives in the state store keyed by (window, grouping keys) — group
   cardinality, not event rate, sizes executor state.
 """
