@@ -990,6 +990,76 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_rename_read",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS amount,
+           CASE WHEN month(o_orderdate) <= 6 THEN 'pre' ELSE 'post' END AS src
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    """,
+    description="Metadata-only column RENAME (Delta column mapping / "
+    "Iceberg rename): H1-1995 orders commit under a column physically "
+    "named 'price'; rename_column('price' -> 'amount') publishes ONE "
+    "marker touching no data file (asserted in-query: the live run set "
+    "is unchanged); H2 then commits under the new name. The read must "
+    "remap the pre-rename files per schema epoch and union them with the "
+    "post-rename files under the single logical name — one mis-mapped "
+    "epoch nulls half the column and flips the hash.",
+    tags=("txn", "rename", "schema-evolution", "etl"),
+)
+def txn_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_ren", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_state",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("price", T.DoubleType(), True),
+                T.StructField("src", T.StringType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    h1 = ord95.filter(F.month("o_orderdate") <= 6).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
+        F.lit("pre").alias("src"),
+    )
+    wh.append(h1, "ord_state")
+    live = wh.committed_runs_for("ord_state")
+
+    wh.rename_column("ord_state", "price", "amount")
+    # metadata-only: no data run touched, schema remapped
+    assert wh.committed_runs_for("ord_state") == live
+    assert wh.table_schema("ord_state").fieldNames() == [
+        "orderkey",
+        "amount",
+        "src",
+    ]
+
+    h2 = ord95.filter(F.month("o_orderdate") > 6).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("amount"),
+        F.lit("post").alias("src"),
+    )
+    wh.append(h2, "ord_state")
+    return wh.read("ord_state")
+
+
+@query(
     "txn_bloom_skipping_read",
     oracle="""
     WITH june AS (

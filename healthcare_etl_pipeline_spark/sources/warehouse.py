@@ -240,6 +240,7 @@ class Transaction:
         self.staged_tables: list[str] = []
         self.replaces: dict[str, list[str]] = {}
         self.restores: dict[str, list[str]] = {}
+        self.renames: dict[str, list[list[str]]] = {}  # table -> [[old,new]]
         self.operation = "write"  # history label: append/merge/compact/...
         self._done = False
         self._already_committed = False  # set by begin() for committed ids
@@ -330,6 +331,9 @@ class Transaction:
             # (rollback across a compaction boundary); applied at this
             # commit's snapshot position in the sequential fold
             "restores": self.restores,
+            # metadata-only column renames (column mapping): files written
+            # before this commit keep their physical names; readers remap
+            "renames": self.renames,
             "operation": self.operation,
             "seq": seq,
             "format_version": 4,
@@ -483,6 +487,9 @@ class TransactionalWarehouse(Warehouse):
             raise ValueError(f"bad table name {name!r}")
         prior = self._extra_schemas.get(name)
         if prior is not None:
+            # compare against the CURRENT logical schema — a producer
+            # re-registering after a rename supplies the renamed names
+            prior = self._apply_renames(name, prior)
             new_fields = {f.name: f for f in schema.fields}
             for f in prior.fields:
                 nf = new_fields.get(f.name)
@@ -523,12 +530,71 @@ class TransactionalWarehouse(Warehouse):
                 )
                 self._extra_partitions[tomb] = []
 
+    def _renames_for(self, table: str) -> list[tuple[int, str, str]]:
+        """Committed column renames for ``table`` in snapshot order:
+        [(seq, old, new)] — read from the commit markers, so a fresh
+        process sees renames made by any earlier producer."""
+        out = []
+        for m in self._manifests():
+            for o, n in (m.get("renames") or {}).get(table, []):
+                out.append((m.get("seq", 0), o, n))
+        return out
+
+    def _apply_renames(self, table: str, schema: T.StructType) -> T.StructType:
+        """CURRENT logical schema: the registered schema with every
+        committed rename applied in order. A rename whose old name is
+        absent is skipped — a producer that registered the post-rename
+        schema already reflects it."""
+        renames = self._renames_for(table)
+        if not renames:
+            return schema
+        fields = list(schema.fields)
+        for _seq, o, n in renames:
+            names = [f.name for f in fields]
+            if o in names and n not in names:
+                i = names.index(o)
+                f = fields[i]
+                fields[i] = T.StructField(n, f.dataType, f.nullable)
+        return T.StructType(fields)
+
     def table_schema(self, table: str) -> T.StructType:
         if table in TABLE_SCHEMAS:
             return TABLE_SCHEMAS[table]
         if table in self._extra_schemas:
-            return self._extra_schemas[table]
+            return self._apply_renames(table, self._extra_schemas[table])
         raise KeyError(f"unknown warehouse table {table!r}")
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """Metadata-only column rename (Delta column mapping / Iceberg
+        rename): ONE commit marker records ``old -> new``; no data file
+        is touched. Files written before the rename keep their physical
+        names — readers remap them per snapshot epoch (:meth:`_read_raw`),
+        writers stage under the new logical name from the next commit on.
+        All reads (including time travel to pre-rename snapshots) present
+        the CURRENT logical schema, as with Delta's column mapping —
+        the mapping is table metadata, shared by every snapshot.
+
+        Only extra (``register_table``) tables support renames; the five
+        reference tables' schemas are fixed contracts. Partition and
+        primary-key columns cannot be renamed (their names are baked into
+        directory layouts and tombstone schemas)."""
+        if table in TABLE_SCHEMAS:
+            raise ValueError(f"{table!r} is a built-in table — fixed schema")
+        schema = self.table_schema(table)
+        names = schema.fieldNames()
+        if old not in names:
+            raise KeyError(f"{table!r} has no column {old!r}")
+        if new in names:
+            raise ValueError(f"{table!r} already has a column {new!r}")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"bad column name {new!r}")
+        if old in self.partition_columns(table):
+            raise ValueError(f"cannot rename partition column {old!r}")
+        if old in self._primary_keys.get(table, []):
+            raise ValueError(f"cannot rename primary-key column {old!r}")
+        txn = self.begin(operation="rename_column")
+        txn.renames[table] = [[old, new]]
+        txn.commit()
 
     def partition_columns(self, table: str) -> list[str]:
         return (
@@ -921,11 +987,57 @@ class TransactionalWarehouse(Warehouse):
         if not committed:
             empty = self.spark.createDataFrame([], with_run)
             return empty if keep_run else empty.drop(RUN_ID_COL)
-        df = (
-            self.spark.read.schema(with_run)
-            .parquet(self.path(table))
-            .filter(F.col(RUN_ID_COL).isin(committed))
-        )
+        renames = self._renames_for(table)
+        if not renames:
+            df = (
+                self.spark.read.schema(with_run)
+                .parquet(self.path(table))
+                .filter(F.col(RUN_ID_COL).isin(committed))
+            )
+            return df if keep_run else df.drop(RUN_ID_COL)
+        # Column mapping: group runs into SCHEMA EPOCHS (how many renames
+        # were committed after each run), read each epoch with the
+        # physical names its files actually carry, remap to the logical
+        # schema, and union. One epoch per rename commit at most — a
+        # constant-size plan, never a per-file case analysis.
+        import bisect
+
+        run_seq = {m["run_id"]: m.get("seq", 0) for m in self._manifests()}
+        rseqs = [s for s, _, _ in renames]
+        epochs: dict[int, list[str]] = {}
+        for r in committed:
+            idx = bisect.bisect_right(rseqs, run_seq.get(r, 0))
+            epochs.setdefault(idx, []).append(r)
+        parts = []
+        for idx, runs in sorted(epochs.items()):
+            # physical name of each logical field in this epoch: invert
+            # every rename committed after these runs, newest first
+            phys_names = [f.name for f in schema.fields]
+            for _s, o, n in reversed(renames[idx:]):
+                phys_names = [o if p == n else p for p in phys_names]
+            phys = T.StructType(
+                [
+                    T.StructField(p, f.dataType, f.nullable)
+                    for p, f in zip(phys_names, schema.fields)
+                ]
+                + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+            )
+            part = (
+                self.spark.read.schema(phys)
+                .option("basePath", self.path(table))
+                .parquet(*[self.run_dir(table, r) for r in runs])
+                .select(
+                    *[
+                        F.col(p).alias(f.name)
+                        for p, f in zip(phys_names, schema.fields)
+                    ],
+                    RUN_ID_COL,
+                )
+            )
+            parts.append(part)
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
         return df if keep_run else df.drop(RUN_ID_COL)
 
     def append(self, df: DataFrame, table: str) -> None:

@@ -1,0 +1,128 @@
+"""Metadata-only column renames (column mapping) on the transactional
+warehouse: physical names stay in old files, readers remap per epoch,
+writers use the new logical name, a fresh process sees the rename from
+the markers alone."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_pipeline_spark.sources.warehouse import (
+    TransactionalWarehouse,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("price", T.DoubleType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def wh(spark, tmp_path):
+    w = TransactionalWarehouse(spark, str(tmp_path / "ren_wh"))
+    w.register_table("items", SCHEMA)
+    w.create_all()
+    return w
+
+
+def _append(spark, wh, rows, col="price"):
+    df = spark.createDataFrame(
+        [Row(k=k, **{col: v}) for k, v in rows],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField(col, T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.append(df, "items")
+
+
+def test_rename_remaps_old_files_and_accepts_new_writes(spark, wh):
+    _append(spark, wh, [(1, 10.0), (2, 20.0)])
+    wh.rename_column("items", "price", "amount")
+    assert wh.table_schema("items").fieldNames() == ["k", "amount"]
+    # old files (physical name 'price') read under the new logical name
+    got = {r["k"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # a post-rename producer stages under the new name
+    _append(spark, wh, [(3, 30.0)], col="amount")
+    got = {r["k"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert wh.history()[-2]["operation"] == "rename_column"
+
+
+def test_chained_renames_compose(spark, wh):
+    _append(spark, wh, [(1, 1.0)])
+    wh.rename_column("items", "price", "cost")
+    _append(spark, wh, [(2, 2.0)], col="cost")
+    wh.rename_column("items", "cost", "amount")
+    _append(spark, wh, [(3, 3.0)], col="amount")
+    got = {r["k"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_fresh_process_sees_rename_from_markers(spark, wh, tmp_path):
+    _append(spark, wh, [(1, 5.0)])
+    wh.rename_column("items", "price", "amount")
+    # simulate a new driver registering the ORIGINAL schema
+    w2 = TransactionalWarehouse(spark, str(tmp_path / "ren_wh"))
+    w2.register_table("items", SCHEMA)
+    assert w2.table_schema("items").fieldNames() == ["k", "amount"]
+    assert {r["k"]: r["amount"] for r in w2.read("items").collect()} == {1: 5.0}
+    # and one registering the POST-rename schema is accepted too
+    w3 = TransactionalWarehouse(spark, str(tmp_path / "ren_wh"))
+    w3.register_table(
+        "items",
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("amount", T.DoubleType(), True),
+            ]
+        ),
+    )
+    assert {r["k"]: r["amount"] for r in w3.read("items").collect()} == {1: 5.0}
+
+
+def test_time_travel_presents_current_logical_schema(spark, wh):
+    _append(spark, wh, [(1, 5.0)])
+    before = wh.snapshots()[-1]["seq"]
+    wh.rename_column("items", "price", "amount")
+    old = wh.read("items", as_of=before)
+    assert old.columns == ["k", "amount"]  # mapping is table metadata
+    assert old.collect()[0]["amount"] == 5.0
+
+
+def test_rename_interacts_with_update_and_additive_evolution(spark, wh):
+    _append(spark, wh, [(1, 5.0), (2, 6.0)])
+    wh.rename_column("items", "price", "amount")
+    wh.update_where("items", F.col("k") == 1, {"amount": F.lit(50.0)})
+    got = {r["k"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 50.0, 2: 6.0}
+    # additive evolution on top of the renamed schema
+    wh.register_table(
+        "items",
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("amount", T.DoubleType(), True),
+                T.StructField("note", T.StringType(), True),
+            ]
+        ),
+    )
+    got = {(r["k"], r["amount"], r["note"]) for r in wh.read("items").collect()}
+    assert got == {(1, 50.0, None), (2, 6.0, None)}
+
+
+def test_rename_rejections(spark, wh):
+    with pytest.raises(KeyError):
+        wh.rename_column("items", "nope", "x")
+    with pytest.raises(ValueError, match="already has"):
+        wh.rename_column("items", "price", "k")
+    with pytest.raises(ValueError, match="bad column name"):
+        wh.rename_column("items", "price", "bad name")
+    with pytest.raises(ValueError, match="built-in"):
+        wh.rename_column("patients", "id", "patient_id")
