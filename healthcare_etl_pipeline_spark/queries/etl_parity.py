@@ -1060,6 +1060,77 @@ def txn_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_partition_evolution_read",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           month(o_orderdate) AS month,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    """,
+    description="Partition EVOLUTION (Iceberg evolve-spec): H1-1995 "
+    "orders commit under a FLAT layout; set_partition_spec((month,)) "
+    "publishes one metadata marker touching no data file (asserted "
+    "in-query: live runs unchanged, old run has no month= dirs, new run "
+    "does); H2 then commits hive-partitioned by month. The read must "
+    "union both directory layouts under one logical table — per-epoch "
+    "hive discovery, so a spec change never requires rewriting history. "
+    "One lost partition value or mis-grouped epoch flips the hash.",
+    tags=("txn", "partition-evolution", "schema-evolution", "etl"),
+)
+def txn_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_pe", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_state",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("totalprice", T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ord95 = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        )
+    )
+    wh.append(ord95.filter(F.col("month") <= 6), "ord_state")
+    run1 = wh.committed_runs_for("ord_state")[0]
+
+    wh.set_partition_spec("ord_state", ("month",))
+    assert wh.committed_runs_for("ord_state") == [run1]  # metadata-only
+
+    wh.append(ord95.filter(F.col("month") > 6), "ord_state")
+    run2 = [r for r in wh.committed_runs_for("ord_state") if r != run1][0]
+    assert not any(
+        d.startswith("month=") for d in os.listdir(wh.run_dir("ord_state", run1))
+    )
+    assert any(
+        d.startswith("month=") for d in os.listdir(wh.run_dir("ord_state", run2))
+    )
+    return wh.read("ord_state")
+
+
+@query(
     "txn_bloom_skipping_read",
     oracle="""
     WITH june AS (

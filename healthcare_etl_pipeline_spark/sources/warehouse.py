@@ -241,6 +241,7 @@ class Transaction:
         self.replaces: dict[str, list[str]] = {}
         self.restores: dict[str, list[str]] = {}
         self.renames: dict[str, list[list[str]]] = {}  # table -> [[old,new]]
+        self.partition_specs: dict[str, list[str]] = {}  # table -> new spec
         self.operation = "write"  # history label: append/merge/compact/...
         self._done = False
         self._already_committed = False  # set by begin() for committed ids
@@ -334,6 +335,9 @@ class Transaction:
             # metadata-only column renames (column mapping): files written
             # before this commit keep their physical names; readers remap
             "renames": self.renames,
+            # partition evolution: runs from this commit on use the new
+            # spec; earlier runs keep their directory layout
+            "partition_specs": self.partition_specs,
             "operation": self.operation,
             "seq": seq,
             "format_version": 4,
@@ -512,9 +516,13 @@ class TransactionalWarehouse(Warehouse):
                         f"new column {f.name!r} on {name!r} must be nullable"
                         " (old snapshots null-fill it)"
                     )
-            if list(partition_by) != self._extra_partitions.get(name, []):
+            if list(partition_by) not in (
+                self._extra_partitions.get(name, []),
+                self.partition_columns(name),
+            ):
                 raise ValueError(
-                    f"cannot change partitioning of {name!r} via evolution"
+                    f"cannot change partitioning of {name!r} via"
+                    " re-registration — use set_partition_spec"
                 )
         self._extra_schemas[name] = schema
         self._extra_partitions[name] = list(partition_by)
@@ -596,12 +604,53 @@ class TransactionalWarehouse(Warehouse):
         txn.renames[table] = [[old, new]]
         txn.commit()
 
+    def _spec_changes_for(self, table: str) -> list[tuple[int, list[str]]]:
+        """Committed partition-spec changes for ``table`` in snapshot
+        order: [(seq, spec)] — from the markers, like renames."""
+        out = []
+        for m in self._manifests():
+            spec = (m.get("partition_specs") or {}).get(table)
+            if spec is not None:
+                out.append((m.get("seq", 0), list(spec)))
+        return out
+
     def partition_columns(self, table: str) -> list[str]:
-        return (
-            PARTITION_COLUMNS[table]
-            if table in PARTITION_COLUMNS
-            else self._extra_partitions.get(table, [])
-        )
+        if table in PARTITION_COLUMNS:
+            return PARTITION_COLUMNS[table]
+        registered = self._extra_partitions.get(table, [])
+        if table not in self._extra_schemas:
+            return registered
+        changes = self._spec_changes_for(table)
+        return changes[-1][1] if changes else registered
+
+    def set_partition_spec(self, table: str, partition_by: tuple[str, ...]) -> None:
+        """Partition EVOLUTION (Iceberg's evolve-spec): one metadata
+        commit switches the table's write-time layout; no data file is
+        touched. Runs committed before the change keep their directory
+        layout — readers group runs by spec epoch (:meth:`_read_raw`) and
+        scan each with its own hive discovery, so old and new layouts
+        coexist under one logical table. Writers (including compaction
+        rewrites, which therefore MIGRATE data to the new spec) use the
+        current spec from the next commit on.
+
+        Only extra (``register_table``) tables evolve; spec columns must
+        exist in the schema. Note for :meth:`read_skipping`: rebuild the
+        stats index after evolving — its single-scan file read assumes
+        one directory layout per covered run set.
+        """
+        if table in TABLE_SCHEMAS:
+            raise ValueError(f"{table!r} is a built-in table — fixed layout")
+        schema = self.table_schema(table)
+        missing = [c for c in partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"partition columns {missing} not in {table!r} schema"
+            )
+        if list(partition_by) == self.partition_columns(table):
+            return  # no-op: already the current spec
+        txn = self.begin(operation="set_partition_spec")
+        txn.partition_specs[table] = list(partition_by)
+        txn.commit()
 
     def all_tables(self) -> list[str]:
         return [*TABLE_SCHEMAS, *self._extra_schemas]
@@ -988,28 +1037,32 @@ class TransactionalWarehouse(Warehouse):
             empty = self.spark.createDataFrame([], with_run)
             return empty if keep_run else empty.drop(RUN_ID_COL)
         renames = self._renames_for(table)
-        if not renames:
+        specs = self._spec_changes_for(table)
+        if not renames and not specs:
             df = (
                 self.spark.read.schema(with_run)
                 .parquet(self.path(table))
                 .filter(F.col(RUN_ID_COL).isin(committed))
             )
             return df if keep_run else df.drop(RUN_ID_COL)
-        # Column mapping: group runs into SCHEMA EPOCHS (how many renames
-        # were committed after each run), read each epoch with the
-        # physical names its files actually carry, remap to the logical
-        # schema, and union. One epoch per rename commit at most — a
-        # constant-size plan, never a per-file case analysis.
+        # Column mapping + partition evolution: group runs into SCHEMA
+        # EPOCHS (how many renames / spec changes were committed after
+        # each run), read each epoch with the physical names its files
+        # actually carry and its own hive-layout discovery, remap to the
+        # logical schema, and union. One branch per metadata commit at
+        # most — a constant-size plan, never a per-file case analysis.
         import bisect
 
         run_seq = {m["run_id"]: m.get("seq", 0) for m in self._manifests()}
         rseqs = [s for s, _, _ in renames]
-        epochs: dict[int, list[str]] = {}
+        sseqs = [s for s, _ in specs]
+        epochs: dict[tuple[int, int], list[str]] = {}
         for r in committed:
-            idx = bisect.bisect_right(rseqs, run_seq.get(r, 0))
-            epochs.setdefault(idx, []).append(r)
+            s = run_seq.get(r, 0)
+            key = (bisect.bisect_right(rseqs, s), bisect.bisect_right(sseqs, s))
+            epochs.setdefault(key, []).append(r)
         parts = []
-        for idx, runs in sorted(epochs.items()):
+        for (idx, _sidx), runs in sorted(epochs.items()):
             # physical name of each logical field in this epoch: invert
             # every rename committed after these runs, newest first
             phys_names = [f.name for f in schema.fields]
