@@ -990,6 +990,68 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_merge_evolve_read",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS segment
+    FROM customer
+    """,
+    description="MERGE with schema AUTO-EVOLUTION (Delta mergeSchema for "
+    "MERGE): the customer base commits under (custkey, name); a merge "
+    "whose source carries an extra 'segment' column runs with "
+    "auto_evolve — the column is ADDED as nullable via additive "
+    "evolution in the same call, pre-merge rows read it as null, merged "
+    "rows carry their value. One silently-dropped producer column or a "
+    "non-null backfill flips the hash.",
+    tags=("txn", "merge", "schema-evolution", "etl"),
+)
+def txn_merge_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_me", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_state",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer")
+    wh.append(
+        cust.select(
+            F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+        ),
+        "cust_state",
+    )
+    res = wh.merge(
+        cust.filter(F.col("c_custkey") % 3 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "cust_state",
+        ["custkey"],
+        auto_evolve=True,
+    )
+    assert res["committed"], res
+    assert wh.table_schema("cust_state").fieldNames() == [
+        "custkey",
+        "name",
+        "segment",
+    ]
+    return wh.read("cust_state")
+
+
+@query(
     "txn_rename_read",
     oracle="""
     SELECT o_orderkey AS orderkey,

@@ -1239,6 +1239,7 @@ class TransactionalWarehouse(Warehouse):
         key_cols: list[str],
         *,
         batch_id: str | None = None,
+        auto_evolve: bool = False,
     ) -> dict:
         """Copy-on-write MERGE (upsert): rows of ``source`` REPLACE target
         rows sharing the same ``key_cols`` value; unmatched source rows
@@ -1265,8 +1266,38 @@ class TransactionalWarehouse(Warehouse):
         metastore). ``batch_id`` makes the merge idempotent: a replay of a
         committed merge is a no-op.
 
+        ``auto_evolve=True`` (Delta's ``mergeSchema`` for MERGE): source
+        columns absent from the table are ADDED first as nullable columns
+        via additive schema evolution — existing rows read them as null,
+        and the merge's rewritten/inserted rows carry them. Off by
+        default: an unexpected producer column widening the table
+        silently is usually a bug, not a feature. Extra source columns
+        with ``auto_evolve=False`` are simply dropped by the staging
+        projection, as before.
+
         Returns {"committed", "rewritten_runs", "untouched_runs"}.
         """
+        if auto_evolve:
+            schema = self.table_schema(table)
+            known = set(schema.fieldNames())
+            extra = [f for f in source.schema.fields if f.name not in known]
+            if extra and table in TABLE_SCHEMAS:
+                raise ValueError(
+                    f"auto_evolve cannot widen built-in table {table!r}"
+                )
+            if extra:
+                self.register_table(
+                    table,
+                    T.StructType(
+                        schema.fields
+                        + [
+                            T.StructField(f.name, f.dataType, True)
+                            for f in extra
+                        ]
+                    ),
+                    partition_by=tuple(self.partition_columns(table)),
+                    primary_key=tuple(self._primary_keys.get(table, ())),
+                )
         schema = self.table_schema(table)
         live = self.committed_runs_for(table)
         keys = source.select(*key_cols).distinct()
@@ -2062,3 +2093,54 @@ class TransactionalWarehouse(Warehouse):
                         if not self.is_committed(run_id):
                             reclaimed.add(run_id)
         return sorted(reclaimed)
+
+    def fsck(self) -> dict:
+        """Integrity audit (Delta FSCK / Iceberg orphan-file scan),
+        read-only: reconcile the commit log against the filesystem.
+
+        Returns, per table:
+        - ``missing``: LIVE runs whose directory is gone — real
+          corruption (something deleted committed data out-of-band;
+          :meth:`vacuum` never removes live runs). Reads of the table
+          would silently lose these rows, so callers should treat any
+          entry here as fatal.
+        - ``dead``: run dirs on disk whose run is committed but no
+          longer live (superseded by compaction/rewrite) — time-travel
+          fuel, reclaimable by :meth:`vacuum`.
+        - ``orphans``: run dirs whose run_id appears in NO commit marker
+          (crashed before the marker landed) plus ``.staging`` leftovers
+          — never visible to readers, reclaimable by :meth:`vacuum`.
+
+        Cost is one directory listing per table plus the manifest tail —
+        no data file is opened, so this runs at any scale.
+        """
+        committed_ever = set(self.committed_run_ids())
+        report: dict[str, dict] = {}
+        prefix = f"{RUN_ID_COL}="
+        for table in self.all_tables():
+            tdir = self.path(table)
+            if not os.path.isdir(tdir):
+                continue
+            live = set(self.committed_runs_for(table))
+            on_disk = {
+                e[len(prefix):]
+                for e in os.listdir(tdir)
+                if e.startswith(prefix)
+            }
+            staging = os.path.join(tdir, STAGING_DIR)
+            staged = (
+                sorted(os.listdir(staging)) if os.path.isdir(staging) else []
+            )
+            entry = {
+                "missing": sorted(live - on_disk),
+                "dead": sorted(
+                    r for r in on_disk - live if r in committed_ever
+                ),
+                "orphans": sorted(
+                    r for r in on_disk if r not in committed_ever
+                )
+                + staged,
+            }
+            if any(entry.values()):
+                report[table] = entry
+        return report
