@@ -634,9 +634,9 @@ class TransactionalWarehouse(Warehouse):
         current spec from the next commit on.
 
         Only extra (``register_table``) tables evolve; spec columns must
-        exist in the schema. Note for :meth:`read_skipping`: rebuild the
-        stats index after evolving — its single-scan file read assumes
-        one directory layout per covered run set.
+        exist in the schema. Every internal reader — including
+        :meth:`read_skipping` and the stats indexers — groups files by
+        spec epoch, so old indexes stay valid across an evolution.
         """
         if table in TABLE_SCHEMAS:
             raise ValueError(f"{table!r} is a built-in table — fixed layout")
@@ -933,15 +933,7 @@ class TransactionalWarehouse(Warehouse):
                 f"{expired} — the window expired; re-sync from the current "
                 "snapshot"
             )
-        with_run = T.StructType(
-            schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
-        )
-        return (
-            self.spark.read.schema(with_run)
-            .parquet(self.path(table))
-            .filter(F.col(RUN_ID_COL).isin(runs))
-            .drop(RUN_ID_COL)
-        )
+        return self._read_raw(table, runs=runs)
 
     def begin(
         self, batch_id: str | None = None, *, operation: str = "write"
@@ -1018,32 +1010,67 @@ class TransactionalWarehouse(Warehouse):
         raw = self._read_raw(table, as_of=as_of, keep_run=True)
         return self._apply_tombstones(raw, table, as_of=as_of)
 
+    #: hidden passthrough of the scan's _metadata.file_path — survives the
+    #: epoch remap select, unlike the _metadata pseudo-column itself
+    FILE_PATH_COL = "__file_path"
+
     def _read_raw(
         self,
         table: str,
         as_of: int | str | None = None,
         *,
         keep_run: bool = False,
+        runs: list[str] | None = None,
+        with_file_path: bool = False,
     ) -> DataFrame:
         """Committed-runs scan without merge-on-read delete application
         (``keep_run`` retains the ``__run_id`` column for seq-aware
-        consumers)."""
-        committed = self.committed_runs_for(table, as_of=as_of)
-        schema = self.table_schema(table)
-        with_run = T.StructType(
-            schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+        consumers). This is the ONE place that understands column-mapping
+        and partition-spec epochs — every internal consumer that reads
+        run files (DML semi-scans, CDC windows, stats indexing) routes
+        here rather than scanning with the logical schema directly, which
+        would silently null-fill renamed columns in pre-rename files.
+
+        ``runs`` overrides the committed-live run set — used by
+        :meth:`read_changes` (windows may include superseded-but-on-disk
+        runs) and by incremental stats indexing. ``with_file_path`` adds
+        the source file path as :data:`FILE_PATH_COL`.
+        """
+        committed = (
+            list(runs)
+            if runs is not None
+            else self.committed_runs_for(table, as_of=as_of)
         )
+        schema = self.table_schema(table)
+        extra_fields = [T.StructField(RUN_ID_COL, T.StringType(), True)]
+        if with_file_path:
+            extra_fields.append(
+                T.StructField(self.FILE_PATH_COL, T.StringType(), True)
+            )
+        with_run = T.StructType(schema.fields + extra_fields)
         if not committed:
             empty = self.spark.createDataFrame([], with_run)
             return empty if keep_run else empty.drop(RUN_ID_COL)
         renames = self._renames_for(table)
         specs = self._spec_changes_for(table)
+        fp_cols = (
+            [F.col("_metadata.file_path").alias(self.FILE_PATH_COL)]
+            if with_file_path
+            else []
+        )
         if not renames and not specs:
             df = (
-                self.spark.read.schema(with_run)
+                self.spark.read.schema(
+                    T.StructType(
+                        schema.fields
+                        + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+                    )
+                )
                 .parquet(self.path(table))
                 .filter(F.col(RUN_ID_COL).isin(committed))
             )
+            if with_file_path:
+                df = df.select("*", *fp_cols)
             return df if keep_run else df.drop(RUN_ID_COL)
         # Column mapping + partition evolution: group runs into SCHEMA
         # EPOCHS (how many renames / spec changes were committed after
@@ -1062,7 +1089,7 @@ class TransactionalWarehouse(Warehouse):
             key = (bisect.bisect_right(rseqs, s), bisect.bisect_right(sseqs, s))
             epochs.setdefault(key, []).append(r)
         parts = []
-        for (idx, _sidx), runs in sorted(epochs.items()):
+        for (idx, _sidx), epoch_runs in sorted(epochs.items()):
             # physical name of each logical field in this epoch: invert
             # every rename committed after these runs, newest first
             phys_names = [f.name for f in schema.fields]
@@ -1078,13 +1105,14 @@ class TransactionalWarehouse(Warehouse):
             part = (
                 self.spark.read.schema(phys)
                 .option("basePath", self.path(table))
-                .parquet(*[self.run_dir(table, r) for r in runs])
+                .parquet(*[self.run_dir(table, r) for r in epoch_runs])
                 .select(
                     *[
                         F.col(p).alias(f.name)
                         for p, f in zip(phys_names, schema.fields)
                     ],
                     RUN_ID_COL,
+                    *fp_cols,
                 )
             )
             parts.append(part)
@@ -1303,14 +1331,7 @@ class TransactionalWarehouse(Warehouse):
         keys = source.select(*key_cols).distinct()
         affected: list[str] = []
         if live:
-            with_run = T.StructType(
-                schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
-            )
-            tagged = (
-                self.spark.read.schema(with_run)
-                .parquet(self.path(table))
-                .filter(F.col(RUN_ID_COL).isin(live))
-            )
+            tagged = self._read_raw(table, keep_run=True, runs=live)
             affected = sorted(
                 r[RUN_ID_COL]
                 for r in tagged.join(keys, key_cols, "left_semi")
@@ -1379,14 +1400,7 @@ class TransactionalWarehouse(Warehouse):
         live = self.committed_runs_for(table)
         affected: list[str] = []
         if live:
-            with_run = T.StructType(
-                schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
-            )
-            tagged = (
-                self.spark.read.schema(with_run)
-                .parquet(self.path(table))
-                .filter(F.col(RUN_ID_COL).isin(live))
-            )
+            tagged = self._read_raw(table, keep_run=True, runs=live)
             affected = sorted(
                 r[RUN_ID_COL]
                 for r in tagged.filter(predicate)
@@ -1467,14 +1481,7 @@ class TransactionalWarehouse(Warehouse):
         live = self.committed_runs_for(table)
         affected: list[str] = []
         if live:
-            with_run = T.StructType(
-                schema.fields + [T.StructField(RUN_ID_COL, T.StringType(), True)]
-            )
-            tagged = (
-                self.spark.read.schema(with_run)
-                .parquet(self.path(table))
-                .filter(F.col(RUN_ID_COL).isin(live))
-            )
+            tagged = self._read_raw(table, keep_run=True, runs=live)
             affected = sorted(
                 r[RUN_ID_COL]
                 for r in tagged.filter(predicate)
@@ -1609,7 +1616,7 @@ class TransactionalWarehouse(Warehouse):
         for c in bloom_cols:
             pos = (
                 df.select(
-                    F.col("_metadata.file_path").alias("file_path"),
+                    F.col(self.FILE_PATH_COL).alias("file_path"),
                     F.explode(self._bloom_positions_col(c, bits, k)).alias(
                         "pos"
                     ),
@@ -1661,14 +1668,19 @@ class TransactionalWarehouse(Warehouse):
         os.makedirs(sdir, exist_ok=True)
         bloom_cols = list(bloom_cols or [])
         if live:
+            # epoch-aware scan with the file path carried through the
+            # column-mapping remap (plain _metadata would not survive it)
+            base = self._apply_tombstones(
+                self._read_raw(table, keep_run=True, with_file_path=True),
+                table,
+            )
             aggs = [F.count(F.lit(1)).alias("n_rows")]
             for c in cols:
                 aggs.append(F.min(c).alias(f"min_{c}"))
                 aggs.append(F.max(c).alias(f"max_{c}"))
             stats = (
-                self.read(table)
-                .select(
-                    F.col("_metadata.file_path").alias("file_path"), *cols
+                base.select(
+                    F.col(self.FILE_PATH_COL).alias("file_path"), *cols
                 )
                 .groupBy("file_path")
                 .agg(*aggs)
@@ -1679,7 +1691,7 @@ class TransactionalWarehouse(Warehouse):
             if bloom_cols:
                 self._write_blooms(
                     table,
-                    self.read(table),
+                    base,
                     bloom_cols,
                     bloom_bits,
                     bloom_k,
@@ -1737,13 +1749,12 @@ class TransactionalWarehouse(Warehouse):
             for c in cols:
                 aggs.append(F.min(c).alias(f"min_{c}"))
                 aggs.append(F.max(c).alias(f"max_{c}"))
-            schema = self.table_schema(table)
-            new_df = self.spark.read.schema(schema).parquet(
-                *[self.run_dir(table, r) for r in new_runs]
+            new_df = self._read_raw(
+                table, runs=new_runs, with_file_path=True
             )
             fresh = (
                 new_df.select(
-                    F.col("_metadata.file_path").alias("file_path"), *cols
+                    F.col(self.FILE_PATH_COL).alias("file_path"), *cols
                 )
                 .groupBy("file_path")
                 .agg(*aggs)
@@ -1921,15 +1932,68 @@ class TransactionalWarehouse(Warehouse):
         if not paths:
             empty = self.spark.createDataFrame([], with_run)
             return self._apply_tombstones(empty, table), report
-        # basePath: selected entries are FILE paths — without it, hive
-        # partition values encoded in directory names above each file
-        # (including __run_id, which merge-on-read delete application
-        # needs) would be lost (null-filled by the explicit schema)
-        df = (
-            self.spark.read.schema(with_run)
-            .option("basePath", self.path(table))
-            .parquet(*paths)
-        )
+        renames = self._renames_for(table)
+        spec_changes = self._spec_changes_for(table)
+        if not renames and not spec_changes:
+            # basePath: selected entries are FILE paths — without it, hive
+            # partition values encoded in directory names above each file
+            # (including __run_id, which merge-on-read delete application
+            # needs) would be lost (null-filled by the explicit schema)
+            df = (
+                self.spark.read.schema(with_run)
+                .option("basePath", self.path(table))
+                .parquet(*paths)
+            )
+            return self._apply_tombstones(df, table), report
+        # column mapping / partition evolution: group the selected files
+        # (and uncovered runs) by their run's schema epoch and read each
+        # group with its physical names, as _read_raw does for run dirs
+        import bisect
+
+        run_seq = {m["run_id"]: m.get("seq", 0) for m in self._manifests()}
+        rseqs = [s for s, _, _ in renames]
+        sseqs = [s for s, _ in spec_changes]
+
+        def _run_of(path: str) -> str:
+            m = re.search(rf"{re.escape(RUN_ID_COL)}=([^/]+)/", _strip(path) + "/")
+            return m.group(1) if m else ""
+
+        groups: dict[tuple[int, int], list[str]] = {}
+        for f in selected:
+            s = run_seq.get(_run_of(f), 0)
+            key = (bisect.bisect_right(rseqs, s), bisect.bisect_right(sseqs, s))
+            groups.setdefault(key, []).append(f)
+        for r in uncovered:
+            s = run_seq.get(r, 0)
+            key = (bisect.bisect_right(rseqs, s), bisect.bisect_right(sseqs, s))
+            groups.setdefault(key, []).append(self.run_dir(table, r))
+        parts = []
+        for (idx, _sidx), group_paths in sorted(groups.items()):
+            phys_names = [f.name for f in schema.fields]
+            for _s, o, n in reversed(renames[idx:]):
+                phys_names = [o if p == n else p for p in phys_names]
+            phys = T.StructType(
+                [
+                    T.StructField(p, f.dataType, f.nullable)
+                    for p, f in zip(phys_names, schema.fields)
+                ]
+                + [T.StructField(RUN_ID_COL, T.StringType(), True)]
+            )
+            parts.append(
+                self.spark.read.schema(phys)
+                .option("basePath", self.path(table))
+                .parquet(*group_paths)
+                .select(
+                    *[
+                        F.col(p).alias(f.name)
+                        for p, f in zip(phys_names, schema.fields)
+                    ],
+                    RUN_ID_COL,
+                )
+            )
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
         return self._apply_tombstones(df, table), report
 
     def optimize(

@@ -126,3 +126,82 @@ def test_rename_rejections(spark, wh):
         wh.rename_column("items", "price", "bad name")
     with pytest.raises(ValueError, match="built-in"):
         wh.rename_column("patients", "id", "patient_id")
+
+
+def test_dml_predicates_on_renamed_column_reach_pre_rename_files(spark, wh):
+    """The DML semi-scans must read pre-rename files through the column
+    mapping — a logical-schema scan would null the renamed column and
+    silently miss every pre-rename run."""
+    _append(spark, wh, [(1, 10.0), (2, 20.0)])
+    wh.rename_column("items", "price", "amount")
+    # update predicate on the RENAMED column must hit the old run
+    res = wh.update_where(
+        "items", F.col("amount") >= 20.0, {"amount": F.lit(99.0)}
+    )
+    assert len(res["rewritten_runs"]) == 1
+    got = {r["k"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 10.0, 2: 99.0}
+    # overwrite_where on the renamed column too
+    big = spark.createDataFrame(
+        [Row(k=5, amount=55.0)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("amount", T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.overwrite_where(big, "items", F.col("amount") > 50.0)
+    got = {r["k"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 10.0, 5: 55.0}
+
+
+def test_merge_keyed_on_renamed_column_rewrites_old_runs(spark, wh):
+    _append(spark, wh, [(1, 1.0), (2, 2.0)])
+    wh.rename_column("items", "k", "item_id")
+    src = spark.createDataFrame(
+        [Row(item_id=2, amount=22.0), Row(item_id=3, amount=33.0)],
+        T.StructType(
+            [
+                T.StructField("item_id", T.LongType(), False),
+                T.StructField("amount", T.DoubleType(), True),
+            ]
+        ),
+    )
+    wh.rename_column("items", "price", "amount")
+    res = wh.merge(src, "items", ["item_id"])
+    assert len(res["rewritten_runs"]) == 1  # the pre-rename run held item_id=2
+    got = {r["item_id"]: r["amount"] for r in wh.read("items").collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 33.0}
+
+
+def test_stats_index_and_skipping_across_rename(spark, wh):
+    _append(spark, wh, [(1, 10.0), (2, 20.0)])
+    wh.rename_column("items", "price", "amount")
+    _append(spark, wh, [(3, 30.0)], col="amount")
+    wh.build_stats_index("items", ["amount"], bloom_cols=["k"])
+    df, report = wh.read_skipping(
+        "items", {"amount": (15.0, 35.0)}, equals={"k": 3}
+    )
+    assert report["files_read"] >= 1
+    rows = df.filter(F.col("k") == 3).collect()
+    assert rows[0]["amount"] == 30.0
+    # min/max over the renamed column indexed BOTH epochs' files
+    stats_cols = spark.read.parquet(
+        wh._stats_dir("items") + "/files"
+    ).columns
+    assert "min_amount" in stats_cols
+
+
+def test_read_changes_across_rename(spark, wh):
+    _append(spark, wh, [(1, 1.0)])
+    s1 = wh.snapshots()[-1]["seq"]
+    wh.rename_column("items", "price", "amount")
+    _append(spark, wh, [(2, 2.0)], col="amount")
+    # window spanning the rename: pre-rename runs excluded by the window,
+    # but a window STARTING before it must still read old files correctly
+    all_changes = wh.read_changes("items", since=0)
+    got = {r["k"]: r["amount"] for r in all_changes.collect()}
+    assert got == {1: 1.0, 2: 2.0}
+    tail = wh.read_changes("items", since=s1)
+    assert {r["k"] for r in tail.collect()} == {2}
