@@ -197,6 +197,21 @@ _RUN_ID_RE = re.compile(r"[^A-Za-z0-9_.-]")
 STAGING_DIR = ".staging"  # dot-prefixed: invisible to Spark's file listing
 
 
+#: safe type widenings (old -> allowed wider types): the parquet reader
+#: upcasts narrow physical values under the wide declared schema, so old
+#: files need no rewrite (Delta's type widening set, integral + float)
+_WIDENINGS = {
+    T.ByteType(): (T.ShortType(), T.IntegerType(), T.LongType()),
+    T.ShortType(): (T.IntegerType(), T.LongType()),
+    T.IntegerType(): (T.LongType(),),
+    T.FloatType(): (T.DoubleType(),),
+}
+
+
+def _is_safe_widening(old: T.DataType, new: T.DataType) -> bool:
+    return new in _WIDENINGS.get(old, ())
+
+
 def _sanitize_run_id(raw: str) -> str:
     return _RUN_ID_RE.sub("_", raw)[:128]
 
@@ -476,14 +491,18 @@ class TransactionalWarehouse(Warehouse):
         committed-only reads.
 
         Re-registering an existing table performs ADDITIVE schema
-        evolution: every existing field must be present unchanged
-        (name + type + nullability) and every new field must be nullable.
-        Snapshots committed before the evolution are read with the new
-        columns null-filled (the parquet reader projects the declared
-        schema; missing columns read as null) — and :meth:`Transaction.
-        stage` null-fills them symmetrically for old-schema producers, so
-        both read and write paths survive a rolling schema upgrade. Any
-        non-additive change (drop, retype, nullable→required) raises.
+        evolution: every existing field must be present with the same
+        name and nullability, every new field must be nullable, and a
+        field's type may only change by SAFE WIDENING (byte→short→int→
+        long, float→double — Delta's type widening): the parquet reader
+        upcasts old files' narrow values under the wide declared schema,
+        so no rewrite is needed. Snapshots committed before the evolution
+        are read with the new columns null-filled (the parquet reader
+        projects the declared schema; missing columns read as null) — and
+        :meth:`Transaction.stage` null-fills them symmetrically for
+        old-schema producers, so both read and write paths survive a
+        rolling schema upgrade. Any other change (drop, narrow/retype,
+        nullable→required) raises.
         """
         if name in TABLE_SCHEMAS:
             raise ValueError(f"{name!r} is a built-in table")
@@ -502,12 +521,15 @@ class TransactionalWarehouse(Warehouse):
                         f"schema evolution for {name!r} drops column {f.name!r}"
                         " — only additive changes are supported"
                     )
-                if nf.dataType != f.dataType or nf.nullable != f.nullable:
+                type_ok = nf.dataType == f.dataType or _is_safe_widening(
+                    f.dataType, nf.dataType
+                )
+                if not type_ok or nf.nullable != f.nullable:
                     raise ValueError(
                         f"schema evolution for {name!r} changes column "
                         f"{f.name!r} ({f.dataType.simpleString()} -> "
                         f"{nf.dataType.simpleString()}) — only additive "
-                        "changes are supported"
+                        "changes and safe type widening are supported"
                     )
             existing = {f.name for f in prior.fields}
             for f in schema.fields:
@@ -531,12 +553,13 @@ class TransactionalWarehouse(Warehouse):
             if missing:
                 raise ValueError(f"primary_key columns {missing} not in schema")
             self._primary_keys[name] = list(primary_key)
+        pk = self._primary_keys.get(name)
+        if pk:
+            # (re)derive the tombstone schema from the CURRENT table
+            # schema so a widened key column widens its tombstones too
             tomb = self._tombstone_table(name)
-            if tomb not in self._extra_schemas:
-                self._extra_schemas[tomb] = T.StructType(
-                    [schema[c] for c in primary_key]
-                )
-                self._extra_partitions[tomb] = []
+            self._extra_schemas[tomb] = T.StructType([schema[c] for c in pk])
+            self._extra_partitions[tomb] = self._extra_partitions.get(tomb, [])
 
     def _renames_for(self, table: str) -> list[tuple[int, str, str]]:
         """Committed column renames for ``table`` in snapshot order:

@@ -93,3 +93,68 @@ def test_fsck_clean_after_vacuum(spark, wh):
     wh.compact("kv")
     wh.vacuum()
     assert wh.fsck() == {}
+
+
+def test_type_widening_int_to_long_and_float_to_double(spark, tmp_path):
+    w = TransactionalWarehouse(spark, str(tmp_path / "wide_wh"))
+    narrow = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("n", T.IntegerType(), True),
+            T.StructField("x", T.FloatType(), True),
+        ]
+    )
+    w.register_table("t", narrow, primary_key=("k",))
+    w.create_all()
+    w.append(
+        spark.createDataFrame([Row(k=1, n=7, x=1.5)], narrow), "t"
+    )
+    wide = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("x", T.DoubleType(), True),
+        ]
+    )
+    w.register_table("t", wide, primary_key=("k",))
+    assert w.table_schema("t")["n"].dataType == T.LongType()
+    # old narrow file upcasts; new wide rows coexist
+    w.append(
+        spark.createDataFrame([Row(k=2, n=2**40, x=2.25)], wide), "t"
+    )
+    got = {r["k"]: (r["n"], r["x"]) for r in w.read("t").collect()}
+    assert got == {1: (7, 1.5), 2: (2**40, 2.25)}
+    # MoR delete still works across the widening (tombstone widened too)
+    w.delete_where("t", F.col("k") == 1)
+    assert {r["k"] for r in w.read("t").collect()} == {2}
+
+
+def test_narrowing_and_retype_still_rejected(spark, tmp_path):
+    w = TransactionalWarehouse(spark, str(tmp_path / "narrow_wh"))
+    s = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    w.register_table("t", s)
+    with pytest.raises(ValueError, match="widening"):
+        w.register_table(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType(), False),
+                    T.StructField("v", T.IntegerType(), True),  # narrowing
+                ]
+            ),
+        )
+    with pytest.raises(ValueError, match="widening"):
+        w.register_table(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType(), False),
+                    T.StructField("v", T.StringType(), True),  # retype
+                ]
+            ),
+        )
