@@ -114,3 +114,121 @@ def test_random_walk_matches_reference_model(spark, tmp_path, seed):
     # end-of-walk maintenance must not change the current read
     wh.vacuum(dead_run_retention_sec=3600.0)
     assert _read_state(wh) == state, f"vacuum changed state after {trace}"
+
+
+@pytest.mark.parametrize("seed", [3, 41, 77])
+def test_random_walk_extended_verbs(spark, tmp_path, seed):
+    """Random walk over the LATE round-4 verb set — update_where,
+    merge-on-read delete, metadata-only column rename, partition-spec
+    toggling — interleaved with the original verbs, checked against the
+    reference model after every op. Rollback restores the data AND
+    tombstone tables to the same snapshot so the model's state-copy
+    semantics hold across deletes."""
+    rng = random.Random(seed)
+    wh = TransactionalWarehouse(spark, str(tmp_path / f"model2_wh_{seed}"))
+    wh.register_table("kv", SCHEMA, primary_key=("k",))
+    wh.create_all()
+
+    val_col = "v"  # current logical name of the value column
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            [Row(k=k, **{val_col: v}) for k, v in rows],
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType(), False),
+                    T.StructField(val_col, T.LongType(), True),
+                ]
+            ),
+        )
+
+    def read_state():
+        out = {}
+        for r in wh.read("kv").collect():
+            assert r["k"] not in out, f"duplicate key {r['k']} in read"
+            out[r["k"]] = r[val_col]
+        return out
+
+    state: dict[int, int] = {}
+    history: dict[int, dict[int, int]] = {}
+    trace: list[str] = []
+    counter = 0
+
+    def snap():
+        seqs = wh.snapshots()
+        if seqs:
+            history[seqs[-1]["seq"]] = dict(state)
+
+    for _ in range(N_OPS):
+        op = rng.choice(
+            ["append", "merge", "update", "delete", "rename", "spec",
+             "compact", "rollback"]
+        )
+        counter += 1
+        if op == "append":
+            fresh = [k for k in KEYS if k not in state]
+            ks = rng.sample(fresh, min(len(fresh), rng.randint(1, 4)))
+            if not ks:
+                continue
+            rows = [(k, counter) for k in ks]
+            wh.append(mk_df(rows), "kv")
+            state.update(dict(rows))
+            trace.append(f"append{ks}")
+        elif op == "merge":
+            ks = rng.sample(list(KEYS), rng.randint(1, 4))
+            rows = [(k, counter) for k in ks]
+            wh.merge(mk_df(rows), "kv", ["k"])
+            state.update(dict(rows))
+            trace.append(f"merge{ks}")
+        elif op == "update":
+            m, r = rng.randint(2, 5), rng.randint(0, 1)
+            wh.update_where(
+                "kv", F.col("k") % m == r, {val_col: F.col(val_col) + 1000}
+            )
+            for k in state:
+                if k % m == r:
+                    state[k] += 1000
+            trace.append(f"update(k%{m}=={r})")
+        elif op == "delete":
+            if not state:
+                continue
+            ks = rng.sample(sorted(state), min(len(state), rng.randint(1, 3)))
+            wh.delete_where("kv", F.col("k").isin(ks))
+            for k in ks:
+                state.pop(k, None)
+            trace.append(f"delete{ks}")
+        elif op == "rename":
+            new = f"v{counter}"
+            wh.rename_column("kv", val_col, new)
+            val_col = new
+            trace.append(f"rename->{new}")
+        elif op == "spec":
+            cur = wh.partition_columns("kv")
+            new_spec = () if cur else ("k",)
+            wh.set_partition_spec("kv", new_spec)
+            trace.append(f"spec->{new_spec}")
+        elif op == "compact":
+            wh.compact("kv")
+            trace.append("compact")
+        elif op == "rollback":
+            if not history:
+                continue
+            to = rng.choice(sorted(history))
+            cur_seq = wh.snapshots()[-1]["seq"]
+            # renames/specs are table METADATA shared by all snapshots —
+            # rolling back data must not un-rename; roll data+tombstones
+            wh.rollback("kv", to)
+            try:
+                wh.rollback("__tomb_kv", to)
+            except Exception:
+                pass  # tombstone table may have no runs at `to`
+            state = dict(history[to])
+            # model keys whose values predate metadata updates: the
+            # snapshot copy already reflects value state at `to`
+            trace.append(f"rollback {cur_seq}->{to}")
+        snap()
+        got = read_state()
+        assert got == state, f"divergence after {' | '.join(trace)}"
+
+    wh.vacuum(dead_run_retention_sec=3600.0)
+    assert read_state() == state, f"vacuum changed state after {trace}"
