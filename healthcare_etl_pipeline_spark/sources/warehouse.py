@@ -623,6 +623,28 @@ class TransactionalWarehouse(Warehouse):
             raise ValueError(f"cannot rename partition column {old!r}")
         if old in self._primary_keys.get(table, []):
             raise ValueError(f"cannot rename primary-key column {old!r}")
+        # a CHECK constraint referencing the old name would fail to
+        # resolve at the next stage — block the rename instead (Delta
+        # blocks renames referenced by constraints the same way)
+        renamed = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        for cname, sql in self._constraints.get(table, {}).items():
+            try:
+                self.spark.createDataFrame([], renamed).filter(
+                    F.expr(sql)
+                ).schema
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot rename {table}.{old}: CHECK constraint "
+                    f"{cname!r} ({sql}) references it — drop and re-add "
+                    "the constraint under the new name"
+                ) from exc
         txn = self.begin(operation="rename_column")
         txn.renames[table] = [[old, new]]
         txn.commit()

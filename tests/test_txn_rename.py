@@ -205,3 +205,16 @@ def test_read_changes_across_rename(spark, wh):
     assert got == {1: 1.0, 2: 2.0}
     tail = wh.read_changes("items", since=s1)
     assert {r["k"] for r in tail.collect()} == {2}
+
+
+def test_rename_blocked_by_referencing_constraint(spark, wh):
+    wh.add_constraint("items", "price_nonneg", "price >= 0")
+    _append(spark, wh, [(1, 1.0)])
+    with pytest.raises(ValueError, match="price_nonneg"):
+        wh.rename_column("items", "price", "amount")
+    # unrelated constraints don't block
+    wh.drop_constraint("items", "price_nonneg")
+    wh.add_constraint("items", "k_pos", "k >= 0")
+    wh.rename_column("items", "price", "amount")
+    _append(spark, wh, [(2, 2.0)], col="amount")
+    assert {r["k"] for r in wh.read("items").collect()} == {1, 2}
