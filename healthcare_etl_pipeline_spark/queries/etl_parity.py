@@ -990,6 +990,92 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_lifecycle_read",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CASE WHEN month(o_orderdate) <= 6 AND o_orderkey % 10 = 0
+                THEN round(o_totalprice, 2) + 1000.0
+                ELSE round(o_totalprice, 2) END AS amount,
+           CASE WHEN month(o_orderdate) <= 6 THEN 'h1' ELSE 'h2' END AS src
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      AND NOT (month(o_orderdate) <= 6 AND o_orderkey % 10 = 7)
+    """,
+    description="Full table LIFECYCLE in one value-checked query: H1-1995 "
+    "orders append under column 'price'; rename_column to 'amount' "
+    "(metadata-only); UPDATE surcharges orderkey%10=0; merge-on-read "
+    "DELETE tombstones orderkey%10=7; H2 appends under the new name "
+    "(its %10=7 rows stay VISIBLE — tombstones are sequence-aware); "
+    "set_partition_spec((src,)) evolves the layout; a final COMPACT "
+    "migrates everything to one run under the current spec, applying "
+    "tombstones physically and retiring them. The read after compaction "
+    "must equal the composed oracle exactly, and a time-travel read to "
+    "the pre-delete snapshot must still see the deleted rows (asserted "
+    "in-query) — every metadata dimension and DML verb interacting in "
+    "sequence, the way a real table lives.",
+    tags=("txn", "lifecycle", "rename", "update", "delete", "compact", "etl"),
+)
+def txn_lifecycle_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_life", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "ord_state",
+        T.StructType(
+            [
+                T.StructField("orderkey", T.LongType(), False),
+                T.StructField("price", T.DoubleType(), True),
+                T.StructField("src", T.StringType(), True),
+            ]
+        ),
+        primary_key=("orderkey",),
+    )
+    wh.create_all()
+
+    ord95 = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    h1 = ord95.filter(F.month("o_orderdate") <= 6).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
+        F.lit("h1").alias("src"),
+    )
+    wh.append(h1, "ord_state")
+
+    wh.rename_column("ord_state", "price", "amount")
+    wh.update_where(
+        "ord_state",
+        F.col("orderkey") % 10 == 0,
+        {"amount": F.col("amount") + F.lit(1000.0)},
+    )
+    pre_delete = wh.snapshots()[-1]["seq"]
+    n_del = wh.delete_where("ord_state", F.col("orderkey") % 10 == 7)
+    assert n_del > 0
+
+    h2 = ord95.filter(F.month("o_orderdate") > 6).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("amount"),
+        F.lit("h2").alias("src"),
+    )
+    wh.append(h2, "ord_state")
+    wh.set_partition_spec("ord_state", ("src",))
+    wh.compact("ord_state")
+    assert len(wh.committed_runs_for("ord_state")) == 1
+
+    # time travel predates the delete: the tombstoned rows are still there
+    n_now = wh.read("ord_state").count()
+    n_then = wh.read("ord_state", as_of=pre_delete).count()
+    assert n_then == n_now - h2.count() + n_del, (n_then, n_now, n_del)
+    return wh.read("ord_state")
+
+
+@query(
     "txn_merge_evolve_read",
     oracle="""
     SELECT c_custkey AS custkey, c_name AS name,
