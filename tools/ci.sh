@@ -29,7 +29,13 @@ python -m pytest tests/ -q
 if [[ "${1:-}" == "--full" ]]; then
   echo "== 4/4 oracle drive @ ${SF01} (full registry)"
   python tools/check_oracle.py "${SF01}"
+  # the scale axis cuts both ways: tiny data exposes rank/boundary
+  # conventions dense groups average away (see ORACLE_SF01.md's
+  # sf0.001 sweep, which caught a percentile rank off-by-one)
+  SF0001=${SPARK_GRAFT_SF0001:-/root/testdata/sf0.001}
+  echo "== bonus: oracle drive @ ${SF0001} (small-data boundaries)"
+  python tools/check_oracle.py "${SF0001}"
 else
-  echo "== 4/4 skipped (pass --full for the sf0.1 registry drive)"
+  echo "== 4/4 skipped (pass --full for the sf0.1 + sf0.001 registry drives)"
 fi
 echo "CI gate green"
