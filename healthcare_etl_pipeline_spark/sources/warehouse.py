@@ -227,6 +227,14 @@ class ConcurrentMergeError(RuntimeError):
     merge publishes nothing; retry against the new snapshot."""
 
 
+class NonAppendChangeError(RuntimeError):
+    """An incremental window contains logical changes a rows-appended
+    feed cannot represent (merge/update/overwrite rewrites, MoR deletes,
+    GDPR erasure). Silently skipping them would desynchronize the
+    consumer — full-refresh from the current snapshot instead, or pass
+    ``strict=False`` to knowingly consume appends only."""
+
+
 class IncrementalWindowExpiredError(RuntimeError):
     """An incremental (CDC) read window references runs whose files were
     reclaimed by ``vacuum`` after a compaction superseded them — the same
@@ -918,6 +926,16 @@ class TransactionalWarehouse(Warehouse):
             live.update(m.get("restores", {}).get(table, ()))
         return sorted(live)
 
+    def _resolve_snapshot(self, s: int | str) -> int:
+        if isinstance(s, str):
+            seqs = [
+                m.get("seq", 0) for m in self._manifests() if m["run_id"] == s
+            ]
+            if not seqs:
+                raise KeyError(f"unknown snapshot run_id {s!r}")
+            return seqs[0]
+        return s
+
     def changed_runs_for(
         self, table: str, since: int | str, until: int | str | None = None
     ) -> list[str]:
@@ -927,18 +945,8 @@ class TransactionalWarehouse(Warehouse):
         new rows, so an incremental consumer must skip it (the same rule as
         Iceberg's incremental append scan)."""
 
-        def resolve(s: int | str) -> int:
-            if isinstance(s, str):
-                seqs = [
-                    m.get("seq", 0) for m in self._manifests() if m["run_id"] == s
-                ]
-                if not seqs:
-                    raise KeyError(f"unknown snapshot run_id {s!r}")
-                return seqs[0]
-            return s
-
-        lo = resolve(since)
-        hi = resolve(until) if until is not None else None
+        lo = self._resolve_snapshot(since)
+        hi = self._resolve_snapshot(until) if until is not None else None
         return sorted(
             m["run_id"]
             for m in self._manifests()
@@ -949,7 +957,12 @@ class TransactionalWarehouse(Warehouse):
         )
 
     def read_changes(
-        self, table: str, since: int | str, until: int | str | None = None
+        self,
+        table: str,
+        since: int | str,
+        until: int | str | None = None,
+        *,
+        strict: bool = True,
     ) -> DataFrame:
         """Incremental (CDC-style) read: only rows appended between the
         ``since`` snapshot (exclusive) and ``until`` (inclusive; default
@@ -959,6 +972,17 @@ class TransactionalWarehouse(Warehouse):
         :meth:`read`: the run_id set prunes at file-listing time, so the
         scan cost is proportional to the CHANGE, not the table.
 
+        This is an APPENDS-ONLY feed (Iceberg's incremental append
+        scan). Physical rewrites that change no rows — compaction,
+        OPTIMIZE — are skipped safely, and a rollback keeps its
+        documented skip-until-refresh contract. But a window containing
+        LOGICAL changes a row feed cannot represent — merge / update /
+        overwrite rewrites, merge-on-read deletes, GDPR erasure — raises
+        :class:`NonAppendChangeError` under ``strict`` (the default):
+        silently serving only the appends would desynchronize the
+        consumer without a trace. Pass ``strict=False`` to knowingly
+        consume appends only.
+
         Raises :class:`IncrementalWindowExpiredError` when any run in the
         window was compacted away and then vacuumed — its run_ids are
         still in the commit log but the files are gone, and silently
@@ -967,6 +991,31 @@ class TransactionalWarehouse(Warehouse):
         expired snapshots.) The consumer's recovery is a full refresh
         from the current snapshot.
         """
+        if strict:
+            lo = self._resolve_snapshot(since)
+            hi = self._resolve_snapshot(until) if until is not None else None
+            tomb = self._tombstone_table(table)
+            for m in self._manifests():
+                seq = m.get("seq", 0)
+                if seq <= lo or (hi is not None and seq > hi):
+                    continue
+                op = m.get("operation", "write")
+                if (
+                    m.get("replaces", {}).get(table)
+                    and op not in ("compact", "optimize", "rollback")
+                ):
+                    raise NonAppendChangeError(
+                        f"incremental window over {table!r} contains a "
+                        f"{op!r} rewrite (run {m['run_id']}) — re-sync "
+                        "from the current snapshot or pass strict=False"
+                    )
+                if tomb in m.get("tables", ()) and op == "delete":
+                    raise NonAppendChangeError(
+                        f"incremental window over {table!r} contains a "
+                        f"merge-on-read delete (run {m['run_id']}) — "
+                        "re-sync from the current snapshot or pass "
+                        "strict=False"
+                    )
         runs = self.changed_runs_for(table, since, until)
         schema = self.table_schema(table)
         if not runs:

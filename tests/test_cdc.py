@@ -197,3 +197,51 @@ def test_vacuum_expired_window_triggers_full_refresh(spark, wh):
     assert _view(wh) == {"a": (2, 4.0), "b": (1, 2.0)}
     # and the consumer is current afterwards
     assert _sync(wh) == 0
+
+
+def test_non_append_changes_raise_under_strict(spark, tmp_path):
+    """An incremental window containing logical rewrites or MoR deletes
+    raises instead of silently serving only the appends."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        NonAppendChangeError,
+        TransactionalWarehouse,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    wh = TransactionalWarehouse(spark, str(tmp_path / "na_wh"))
+    wh.register_table("src", schema, primary_key=("k",))
+    wh.create_all()
+
+    def df(rows):
+        return spark.createDataFrame([Row(k=k, v=v) for k, v in rows], schema)
+
+    wh.append(df([(1, 1)]), "src")
+    s1 = wh.snapshots()[-1]["seq"]
+
+    # merge rewrite inside the window -> strict raises, non-strict skips
+    wh.merge(df([(1, 10), (2, 2)]), "src", ["k"])
+    with pytest.raises(NonAppendChangeError, match="merge"):
+        wh.read_changes("src", since=s1)
+    assert wh.read_changes("src", since=s1, strict=False).count() == 0
+    s2 = wh.snapshots()[-1]["seq"]
+
+    # MoR delete inside the window -> strict raises
+    wh.delete_where("src", F.col("k") == 1)
+    with pytest.raises(NonAppendChangeError, match="delete"):
+        wh.read_changes("src", since=s2)
+    s3 = wh.snapshots()[-1]["seq"]
+
+    # compaction stays quietly skippable; plain appends flow as before
+    wh.append(df([(3, 3)]), "src")
+    wh.compact("src")
+    got = {r["k"] for r in wh.read_changes("src", since=s3).collect()}
+    assert got == {3}
