@@ -990,6 +990,86 @@ def txn_stats_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_change_feed_read",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS custkey, round(c_acctbal, 2) AS val FROM customer)
+    SELECT custkey, val, 'update_preimage' AS change_type
+    FROM base WHERE custkey % 10 = 0 AND custkey % 7 <> 0
+    UNION ALL SELECT custkey, val + 100.0, 'update_postimage'
+    FROM base WHERE custkey % 10 = 0 AND custkey % 7 <> 0
+    UNION ALL SELECT custkey, val, 'delete'
+    FROM base WHERE custkey % 7 = 0 AND custkey % 2 = 0
+    UNION ALL SELECT custkey, val, 'update_preimage'
+    FROM base WHERE custkey % 7 = 0 AND custkey % 2 = 1
+    UNION ALL SELECT custkey, 999999.0, 'update_postimage'
+    FROM base WHERE custkey % 7 = 0 AND custkey % 2 = 1
+    UNION ALL SELECT custkey + 5000000, 7.0, 'insert'
+    FROM base WHERE custkey % 13 = 0
+    """,
+    description="NET change-data feed (Delta CDF's net form): from a "
+    "base snapshot of all customers, the window applies an UPDATE "
+    "(custkey%10=0 surcharged), a merge-on-read DELETE (custkey%7=0), a "
+    "re-insert of the odd deleted keys (net = update pair, not "
+    "delete+insert), and an append of brand-new keys. read_change_feed "
+    "diffs the two snapshots through PRUNED scans (only runs retired/"
+    "added in the window plus tombstoned keys) and classifies each key "
+    "as insert / delete / update_preimage+postimage — the consumer for "
+    "windows the appends-only read_changes rejects. The preimage of an "
+    "update-then-delete is the WINDOW-START value; a row rewritten "
+    "unchanged never appears. One misclassified key flips the hash.",
+    tags=("txn", "cdf", "cdc", "change-feed", "etl"),
+)
+def txn_change_feed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_cdf", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_state",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("val", T.DoubleType(), True),
+            ]
+        ),
+        primary_key=("custkey",),
+    )
+    wh.create_all()
+
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("val"),
+    )
+    wh.append(base, "cust_state")
+    s1 = wh.snapshots()[-1]["seq"]
+
+    wh.update_where(
+        "cust_state", F.col("custkey") % 10 == 0, {"val": F.col("val") + 100.0}
+    )
+    wh.delete_where("cust_state", F.col("custkey") % 7 == 0)
+    wh.append(
+        base.filter((F.col("custkey") % 7 == 0) & (F.col("custkey") % 2 == 1))
+        .withColumn("val", F.lit(999999.0)),
+        "cust_state",
+    )
+    wh.append(
+        base.filter(F.col("custkey") % 13 == 0).select(
+            (F.col("custkey") + 5000000).alias("custkey"),
+            F.lit(7.0).alias("val"),
+        ),
+        "cust_state",
+    )
+    return wh.read_change_feed("cust_state", since=s1).select(
+        "custkey", "val", F.col("_change_type").alias("change_type")
+    )
+
+
+@query(
     "txn_lifecycle_read",
     oracle="""
     SELECT o_orderkey AS orderkey,

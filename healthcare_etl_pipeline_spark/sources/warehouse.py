@@ -1017,6 +1017,9 @@ class TransactionalWarehouse(Warehouse):
                         "strict=False"
                     )
         runs = self.changed_runs_for(table, since, until)
+        return self._read_changes_runs(table, runs)
+
+    def _read_changes_runs(self, table: str, runs: list[str]) -> DataFrame:
         schema = self.table_schema(table)
         if not runs:
             return self.spark.createDataFrame([], schema)
@@ -1028,6 +1031,122 @@ class TransactionalWarehouse(Warehouse):
                 "snapshot"
             )
         return self._read_raw(table, runs=runs)
+
+    def read_change_feed(
+        self, table: str, since: int | str, until: int | str | None = None
+    ) -> DataFrame:
+        """NET row-level change feed between two snapshots (Delta CDF's
+        net form): the table's columns plus ``_change_type`` in
+        {'insert', 'delete', 'update_preimage', 'update_postimage'}.
+        This is the consumer for the windows :meth:`read_changes` rejects
+        with :class:`NonAppendChangeError` — merge/update/overwrite
+        rewrites, merge-on-read deletes, erasure — expressed as row
+        diffs a downstream sync can apply.
+
+        Semantics are NET over the window: a row updated then deleted is
+        one 'delete' with the window-start preimage; a deleted key
+        re-inserted is an update pair; a row merely REWRITTEN unchanged
+        (compaction, survivor restage in a copy-on-write op) does not
+        appear at all. Requires the table to be registered with a
+        ``primary_key``, and assumes keys are unique per snapshot (the
+        merge contract).
+
+        Scale shape: both sides are PRUNED scans — the window-start side
+        reads only runs retired within the window (plus keys tombstoned
+        in it), the window-end side only runs added within it — then one
+        key-outer join classifies. Cost is proportional to the CHURN,
+        not the table; a compaction inside the window rewrites every
+        run, so churn degenerates to the table (as with any net-diff
+        feed — window past compactions with :meth:`read_changes` when
+        the log says nothing logical changed).
+        """
+        pk = self._primary_keys.get(table)
+        if not pk:
+            raise ValueError(
+                f"{table!r} has no primary_key — register_table(...,"
+                " primary_key=...) to enable the change feed"
+            )
+        lo = self._resolve_snapshot(since)
+        hi = (
+            self._resolve_snapshot(until)
+            if until is not None
+            else max((m.get("seq", 0) for m in self._manifests()), default=0)
+        )
+        live_lo = set(self.committed_runs_for(table, as_of=lo))
+        live_hi = set(self.committed_runs_for(table, as_of=hi))
+        retired = sorted(live_lo - live_hi)
+        added = sorted(live_hi - live_lo)
+        tomb = self._tombstone_table(table)
+        tomb_runs = [
+            m["run_id"]
+            for m in self._manifests()
+            if tomb in m.get("tables", ())
+            and lo < m.get("seq", 0) <= hi
+            and os.path.isdir(self.run_dir(tomb, m["run_id"]))
+        ]
+        tomb_keys = (
+            self._read_raw(tomb, runs=tomb_runs).select(*pk).distinct()
+            if tomb_runs
+            else None
+        )
+
+        def _side(as_of: int, runs_subset: list[str]) -> DataFrame:
+            base = self._read_raw(table, as_of=as_of, keep_run=True)
+            cond = (
+                F.col(RUN_ID_COL).isin(runs_subset)
+                if runs_subset
+                else F.lit(False)
+            )
+            if tomb_keys is not None:
+                marked = base.join(
+                    F.broadcast(tomb_keys.withColumn("__in_tomb", F.lit(True))),
+                    list(pk),
+                    "left",
+                )
+                base = marked.filter(
+                    cond | F.col("__in_tomb").isNotNull()
+                ).drop("__in_tomb")
+            else:
+                base = base.filter(cond)
+            return self._apply_tombstones(base, table, as_of=as_of)
+
+        old = _side(lo, retired)
+        new = _side(hi, added)
+        val_cols = [c for c in self.table_schema(table).fieldNames() if c not in pk]
+        # dedicated presence markers per side: "any value column non-null"
+        # would misclassify genuinely all-null rows
+        o2 = old.select(*pk, F.lit(True).alias("__has_o"),
+                        *[F.col(c).alias(f"__o_{c}") for c in val_cols])
+        n2 = new.select(*pk, F.lit(True).alias("__has_n"),
+                        *[F.col(c).alias(f"__n_{c}") for c in val_cols])
+        j = o2.join(n2, list(pk), "full_outer")
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        inserts = j.filter(F.col("__has_o").isNull()).select(
+            *pk,
+            *[F.col(f"__n_{c}").alias(c) for c in val_cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        deletes = j.filter(F.col("__has_n").isNull()).select(
+            *pk,
+            *[F.col(f"__o_{c}").alias(c) for c in val_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        changed = j.filter(
+            F.col("__has_o").isNotNull() & F.col("__has_n").isNotNull() & ~same
+        )
+        pre = changed.select(
+            *pk,
+            *[F.col(f"__o_{c}").alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = changed.select(
+            *pk,
+            *[F.col(f"__n_{c}").alias(c) for c in val_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
     def begin(
         self, batch_id: str | None = None, *, operation: str = "write"
