@@ -47,6 +47,7 @@ from healthcare_etl_pipeline_spark.operators.incremental_agg import (
 )
 from healthcare_etl_pipeline_spark.sources.warehouse import (
     IncrementalWindowExpiredError,
+    NonAppendChangeError,
     TransactionalWarehouse,
 )
 
@@ -286,7 +287,9 @@ def cdc_sync(
     max_rounds: int = 1000,
 ) -> int:
     """Drain all pending source changes into the view (poll-until-current).
-    Falls back to a full refresh when the incremental window has expired.
+    Falls back to a full refresh when the incremental window has expired
+    OR contains non-append changes (merge/update/overwrite rewrites, MoR
+    deletes) that an appends-only fold cannot absorb.
     Returns the number of sync rounds performed."""
     rounds = 0
     for _ in range(max_rounds):
@@ -300,7 +303,11 @@ def cdc_sync(
                 prefix=prefix,
                 aggs=aggs,
             )
-        except IncrementalWindowExpiredError:
+        except (IncrementalWindowExpiredError, NonAppendChangeError):
+            # expired window OR logical (non-append) changes a row feed
+            # cannot represent — either way the always-correct recovery
+            # is a rebuild from the current snapshot (works for every
+            # aggregate algebra, including non-invertible min/max/HLL)
             cdc_full_refresh(
                 wh,
                 source_table,

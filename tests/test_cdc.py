@@ -245,3 +245,58 @@ def test_non_append_changes_raise_under_strict(spark, tmp_path):
     wh.compact("src")
     got = {r["k"] for r in wh.read_changes("src", since=s3).collect()}
     assert got == {3}
+
+
+def test_cdc_sync_recovers_from_non_append_changes(spark, tmp_path):
+    """A source UPDATE + MoR delete inside the pending window makes the
+    appends-only fold impossible; cdc_sync must recover via full refresh
+    and converge to the batch recomputation."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    view_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("value_sum", T.DoubleType(), True),
+        ]
+    )
+    wh = TransactionalWarehouse(spark, str(tmp_path / "narec_wh"))
+    wh.register_table("src", schema, primary_key=("k",))
+    wh.register_table("view", view_schema)
+    wh.create_all()
+
+    def df(rows):
+        return spark.createDataFrame(
+            [Row(k=k, grp=g, v=float(v)) for k, g, v in rows], schema
+        )
+
+    wh.append(df([(1, "a", 1), (2, "a", 2), (3, "b", 3)]), "src")
+    assert cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v") == 1
+
+    # non-append churn lands AFTER the consumer's cursor
+    wh.update_where("src", F.col("k") == 1, {"v": F.lit(10.0)})
+    wh.delete_where("src", F.col("k") == 3)
+    wh.append(df([(4, "b", 4)]), "src")
+
+    rounds = cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v")
+    assert rounds >= 1
+    got = {
+        r["grp"]: (r["n"], r["value_sum"])
+        for r in wh.read("view").collect()
+    }
+    # equals the from-scratch recomputation over the CURRENT snapshot
+    assert got == {"a": (2, 12.0), "b": (1, 4.0)}
