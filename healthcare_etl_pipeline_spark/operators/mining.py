@@ -202,3 +202,91 @@ def pareto_frontier(
         .filter(F.col(y_col) > F.col("_best_ahead"))
         .drop("_pid", "_prev_max", "_best_ahead")
     )
+
+
+def sequential_pattern_support(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    patterns: dict[str, list[str]],
+) -> DataFrame:
+    """Support counts for ordered event patterns (the PrefixSpan support
+    primitive): for each pattern [a, b, ...] count users whose event
+    sequence CONTAINS it as a strictly-time-increasing subsequence (any
+    gap allowed — the sequential-containment semantics, not the adjacent-
+    transition semantics of `transition_matrix`).
+
+    Containment is decided by the greedy earliest-feasible matcher, an
+    exact algorithm by the classic exchange argument (if any embedding
+    exists, taking the earliest feasible event per position stays
+    feasible). Each user's sorted sequence is folded ONCE per pattern via
+    the `aggregate` higher-order function with (position, last_ts) state —
+    whole-stage-codegen'd JVM expression, no Python, no joins: ONE shuffle
+    on the user key for any number of patterns, then one global
+    aggregation. State per user is its own event list — the same per-key
+    bound every sequence operator here carries (sessionize, markov).
+
+    Equal-timestamp events cannot extend each other (strictly increasing),
+    and tie order among them provably cannot change the verdict, so the
+    result is deterministic without a unique tiebreak column.
+
+    Output: pattern, n_users, n_total_users, support (6 dp).
+    """
+    seq = df.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t"))
+            )
+        ).alias("seq")
+    )
+
+    def matched(pat: list[str]):
+        arr = F.array(*[F.lit(s) for s in pat])
+        init = F.struct(
+            F.lit(0).cast("int").alias("i"),
+            F.lit(None).cast("timestamp").alias("lt"),
+        )
+
+        def step(s, e):
+            can = (
+                (s["i"] < F.lit(len(pat)))
+                & (e["t"] == F.element_at(arr, s["i"] + F.lit(1)))
+                & (
+                    (s["i"] == F.lit(0))
+                    | F.coalesce(e["ts"] > s["lt"], F.lit(False))
+                )
+            )
+            return F.when(
+                can,
+                F.struct(
+                    (s["i"] + F.lit(1)).alias("i"), e["ts"].alias("lt")
+                ),
+            ).otherwise(s)
+
+        return (F.aggregate(F.col("seq"), init, step)["i"] == len(pat)).cast(
+            "long"
+        )
+
+    counts = seq.agg(
+        F.count(F.lit(1)).alias("n_total_users"),
+        *[
+            F.sum(matched(p)).alias(f"m_{j}")
+            for j, p in enumerate(patterns.values())
+        ],
+    )
+    names = list(patterns)
+    stack = ", ".join(
+        f"'{name}', m_{j}" for j, name in enumerate(names)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS (pattern, n_users)"
+        ),
+        "n_total_users",
+    ).select(
+        "pattern",
+        "n_users",
+        "n_total_users",
+        F.round(F.col("n_users") / F.col("n_total_users"), 6).alias("support"),
+    )

@@ -305,3 +305,90 @@ def cms_inner_product(
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
     return per_row.agg(F.min("ip").alias("join_size_est"))
+
+
+# --- KMV (k minimum values) distinct-value sketches -----------------------
+#
+# The set-operation sketch HLL cannot be: KMV keeps the k smallest distinct
+# 60-bit hash values of a set. Union sketches merge by "union then re-take
+# k smallest" (same algebra as each worker's partial), the kth value d_k
+# estimates the distinct count as (k-1)/frac(d_k) (Bar-Yossef et al. 2002,
+# Beyer et al. 2007), and — unlike HLL — INTERSECTION estimates fall out:
+# rho = |K(A∪B) ∩ A ∩ B| / |K(A∪B)| is an unbiased Jaccard estimate and
+# membership of a union-sketch element against A can be tested against
+# K(A) alone (x <= d_k(A∪B) <= d_k(A), so x in A implies x in K(A)).
+#
+# Hashes use the portable md5 60-bit prefix (same convention as the HLL /
+# CMS sketches above) so a SQL oracle reproduces every value exactly.
+
+KMV_SCALE = float(16 ** 15)  # 2^60: hash values as fractions of this
+
+
+def _kmv_hash(item: Column) -> Column:
+    return F.conv(F.substring(F.md5(item.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    item_col: str,
+    set_col: str,
+    *,
+    k: int = 256,
+    safety: int = 32,
+) -> DataFrame:
+    """One KMV sketch per value of ``set_col``: the k smallest distinct
+    item hashes, as a sorted array column.
+
+    Scale path: after the distinct (one map-side-combined shuffle), a
+    threshold PREFILTER keeps only hashes below safety*k/approx_distinct —
+    by uniform order statistics the k smallest always survive (expected
+    survivors = safety*k; the approx count's few-percent error is absorbed
+    by the safety factor), so the final per-set collect_list state is
+    bounded at ~safety*k longs regardless of input size, never the full
+    distinct set. The prefilter provably cannot change the answer while
+    >= k distinct hashes survive, so the oracle can ignore it.
+
+    Output: set_col, kmv (array<long>, ascending, len <= k).
+    """
+    hv = _kmv_hash(F.col(item_col))
+    distinct = df.select(
+        F.col(set_col).alias("s"), hv.alias("hv")
+    ).distinct()
+    approx = {
+        r["s"]: r["ad"]
+        for r in distinct.groupBy("s")
+        .agg(F.approx_count_distinct("hv").alias("ad"))
+        .collect()  # one row per SET (a handful), never per item
+    }
+    tau = {
+        s: min(1.0, (safety * k) / max(ad, 1)) for s, ad in approx.items()
+    }
+    tau_df = F.create_map(
+        *[x for s, v in tau.items() for x in (F.lit(s), F.lit(v))]
+    )
+    survivors = distinct.filter(
+        (F.col("hv") / F.lit(KMV_SCALE)) <= tau_df[F.col("s")]
+    )
+    return survivors.groupBy("s").agg(
+        F.slice(F.sort_array(F.collect_list("hv")), 1, k).alias("kmv")
+    ).select(F.col("s").alias(set_col), "kmv")
+
+
+def kmv_union(kmv_a: Column, kmv_b: Column, k: int) -> Column:
+    """Merge two sorted KMV arrays: k smallest of the distinct union —
+    the same algebra a partial aggregate would apply, so sketches merge
+    associatively across workers/days/tables."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.concat(kmv_a, kmv_b))), 1, k
+    )
+
+
+def kmv_estimate(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate: exact |kmv| while the sketch is unsaturated
+    (fewer than k distinct values seen), else (k-1)/frac(d_k)."""
+    d_k = F.element_at(kmv, -1) / F.lit(KMV_SCALE)
+    return F.when(
+        F.size(kmv) < k, F.size(kmv).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / d_k)

@@ -142,3 +142,65 @@ def transition_matrix(
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(wtot), 6).alias("prob"),
     )
+
+
+def ewma_fold(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float,
+    min_points: int = 1,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average, evaluated as an
+    exact left fold: state_1 = x_1, state_i = (1-alpha)*state_{i-1} +
+    alpha*x_i over the key's observations ordered by ``order_cols``.
+
+    The recursive definition has no fixed-size window frame, so it is not
+    expressible as a built-in window aggregate; the closed form
+    sum(x_i*(1-a)^(n-i)) overflows (1-a)^(-i) for long series. Instead the
+    per-key sequence is folded JVM-side: sort_array(collect_list(struct))
+    fixes the order inside the aggregation buffer and ``aggregate`` (a
+    Catalyst higher-order function, whole-stage-codegen'd, no Python) runs
+    the recurrence exactly. ONE map-side-combined shuffle on the key; state
+    per key is its own observation list, so memory is bounded by per-key
+    cardinality — the same bound any per-key sequence model carries (the
+    caller bounds keys or time range at 100 TB, not this operator).
+
+    Order ties must be broken by a unique column in ``order_cols`` so the
+    fold order (and therefore the float result) is deterministic and
+    engine-portable.
+
+    The reported ewma is TRUNCATED to 4 dp (floor(x*1e4)/1e4), not
+    rounded: Spark's round() operates on the double's shortest decimal
+    repr (BigDecimal.valueOf) while other engines round the exact binary
+    value, and a fold result landing on a half boundary of the shortest
+    repr (e.g. ...53684999.. printing as ...53685) flips between them.
+    floor of the identically-computed product has no half boundary, so
+    it is stable across engines for bit-identical inputs.
+
+    Output: key, n_points, last_value (4 dp), ewma (truncated 4 dp).
+    """
+    seq = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(*order_cols, F.col(value_col).alias("x")))
+        ).alias("seq")
+    )
+    xs = F.transform(F.col("seq"), lambda s: s["x"].cast("double"))
+    fold = F.aggregate(
+        xs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            acc * F.lit(1.0 - alpha) + x * F.lit(alpha)
+        ),
+    )
+    return (
+        seq.filter(F.size("seq") >= min_points)
+        .select(
+            key_col,
+            F.size("seq").alias("n_points"),
+            F.round(F.element_at(xs, -1), 4).alias("last_value"),
+            (F.floor(fold * F.lit(10000.0)) / F.lit(10000.0)).alias("ewma"),
+        )
+    )

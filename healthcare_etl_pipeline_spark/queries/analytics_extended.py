@@ -1173,3 +1173,182 @@ def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         F.countDistinct("depth_bin").alias("depth_bins_touched"),
     )
+
+
+@query(
+    "ewma_customer_spend",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             list(CAST(o_totalprice AS DOUBLE)
+                  ORDER BY o_orderdate, o_orderkey) AS xs
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(xs) AS n_points,
+           round(xs[-1], 4) AS last_value,
+           floor(list_reduce(xs, (acc, x) -> acc * 0.7 + x * 0.3)
+                 * 10000.0) / 10000.0 AS ewma
+    FROM seq WHERE len(xs) >= 3
+    """,
+    description="Per-customer EWMA of order spend (alpha=0.3, ordered by "
+    "orderdate with orderkey tiebreak): the recursive smoothing every "
+    "monitoring/feature pipeline wants but no fixed-frame window "
+    "aggregate can express. Evaluated as an exact JVM-side left fold — "
+    "sort_array(collect_list) fixes the order inside the aggregation "
+    "buffer, then the `aggregate` higher-order function runs "
+    "state = 0.7*state + 0.3*x with state_1 = x_1. One map-side-combined "
+    "shuffle on the key; identical fold order on both engines makes the "
+    "IEEE double result bit-reproducible (DuckDB mirrors it with "
+    "list(... ORDER BY) + list_reduce, whose first element is likewise "
+    "the initial accumulator).",
+    tags=("timeseries", "ewma", "fold", "features"),
+)
+def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.timeseries import ewma_fold
+
+    orders = t(spark, sf_dir, "orders")
+    return ewma_fold(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice",
+        alpha=0.3, min_points=3,
+    )
+
+
+@query(
+    "kmv_intersection_events",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type AS s,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ka AS (SELECT hv FROM d WHERE s = 'click'    ORDER BY hv LIMIT 256),
+    kb AS (SELECT hv FROM d WHERE s = 'purchase' ORDER BY hv LIMIT 256),
+    ku AS (
+      SELECT hv FROM (
+        SELECT DISTINCT hv FROM (
+          SELECT hv FROM ka UNION ALL SELECT hv FROM kb
+        )
+      ) ORDER BY hv LIMIT 256
+    ),
+    sk AS (
+      SELECT (SELECT count(*) FROM ku) AS nu,
+             (SELECT max(hv) FROM ku)  AS dk,
+             (SELECT count(*) FROM ku
+               WHERE hv IN (SELECT hv FROM ka)
+                 AND hv IN (SELECT hv FROM kb)) AS ni
+    ),
+    est AS (
+      SELECT nu, ni,
+             CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+                  ELSE 255.0 / (CAST(dk AS DOUBLE) / 1152921504606846976.0)
+             END AS eu,
+             CAST(ni AS DOUBLE) / nu AS rho
+      FROM sk
+    ),
+    exact AS (
+      SELECT count(*) AS exact_union,
+             count(*) FILTER (WHERE has_a AND has_b) AS exact_intersection
+      FROM (
+        SELECT user_id,
+               bool_or(event_type = 'click')    AS has_a,
+               bool_or(event_type = 'purchase') AS has_b
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+      )
+    )
+    SELECT 256 AS k, nu AS union_sketch_size,
+           round(eu, 4) AS est_union,
+           exact_union,
+           round(rho, 4) AS jaccard_est,
+           round(rho * eu, 4) AS est_intersection,
+           exact_intersection,
+           abs(eu - exact_union) / exact_union <= 0.25
+             AS union_within_tol,
+           abs(rho * eu - exact_intersection)
+             / greatest(exact_intersection, 1) <= 0.35
+             AS intersection_within_tol
+    FROM est, exact
+    """,
+    description="KMV (k-minimum-values) sketch set algebra over event-user "
+    "sets: the distinct-INTERSECTION estimate HLL cannot give. k=256 "
+    "smallest portable-md5 hashes per event type; union sketches merge by "
+    "re-taking k smallest (worker-mergeable algebra), (k-1)/frac(d_k) "
+    "estimates the union cardinality, and rho = |K(A∪B) ∩ K(A) ∩ K(B)|/k "
+    "estimates Jaccard (membership against the component SKETCHES is "
+    "provably exact for union-sketch elements). Build side is scale-"
+    "bounded: a threshold prefilter (safety*k/approx_distinct) caps the "
+    "per-set aggregation state at ~8k longs regardless of input size, and "
+    "provably cannot change the k-minimum answer. Exact counts + within-"
+    "tolerance booleans form the accuracy contract; every value, estimate "
+    "and boolean is reproduced bit-for-bit by the SQL oracle from the "
+    "same hashes.",
+    tags=("sketch", "kmv", "set-ops", "accuracy-contract"),
+)
+def kmv_intersection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sketch import (
+        KMV_SCALE,
+        kmv_build,
+        kmv_estimate,
+        kmv_union,
+    )
+
+    K = 256
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = kmv_build(ev, "user_id", "event_type", k=K)
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("kmv").alias("kmv_a")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("kmv").alias("kmv_b")
+    )
+    merged = a.crossJoin(F.broadcast(b)).select(
+        kmv_union(F.col("kmv_a"), F.col("kmv_b"), K).alias("ku"),
+        "kmv_a",
+        "kmv_b",
+    )
+    eu = kmv_estimate(F.col("ku"), K)
+    ni = F.size(
+        F.array_intersect(F.array_intersect(F.col("ku"), F.col("kmv_a")), F.col("kmv_b"))
+    )
+    rho = ni.cast("double") / F.size("ku")
+    sketch_row = merged.select(
+        F.lit(K).alias("k"),
+        F.size("ku").alias("union_sketch_size"),
+        eu.alias("eu"),
+        rho.alias("rho"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("has_a"),
+            F.max(F.col("event_type") == "purchase").alias("has_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.count_if(F.col("has_a") & F.col("has_b")).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+    return sketch_row.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "union_sketch_size",
+        F.round("eu", 4).alias("est_union"),
+        "exact_union",
+        F.round("rho", 4).alias("jaccard_est"),
+        F.round(F.col("rho") * F.col("eu"), 4).alias("est_intersection"),
+        "exact_intersection",
+        (
+            F.abs(F.col("eu") - F.col("exact_union")) / F.col("exact_union")
+            <= 0.25
+        ).alias("union_within_tol"),
+        (
+            F.abs(F.col("rho") * F.col("eu") - F.col("exact_intersection"))
+            / F.greatest(F.col("exact_intersection"), F.lit(1))
+            <= 0.35
+        ).alias("intersection_within_tol"),
+    )

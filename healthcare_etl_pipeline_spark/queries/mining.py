@@ -584,3 +584,85 @@ def attribution_credit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_touch_credit"),
         F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("linear_credit"),
     )
+
+
+@query(
+    "seqpattern_support_events",
+    oracle="""
+    WITH tot AS (SELECT count(DISTINCT user_id) AS n_total_users FROM events),
+    p1 AS (
+      SELECT 'view>click' AS pattern, count(DISTINCT a.user_id) AS n_users
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.ts < b.ts
+       AND a.event_type = 'view' AND b.event_type = 'click'
+    ),
+    p2 AS (
+      SELECT 'click>purchase' AS pattern, count(DISTINCT a.user_id) AS n_users
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.ts < b.ts
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+    ),
+    p3 AS (
+      SELECT 'signup>error' AS pattern, count(DISTINCT a.user_id) AS n_users
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.ts < b.ts
+       AND a.event_type = 'signup' AND b.event_type = 'error'
+    ),
+    p4 AS (
+      SELECT 'view>click>purchase' AS pattern,
+             count(DISTINCT a.user_id) AS n_users
+      FROM events a
+      JOIN events b ON a.user_id = b.user_id AND a.ts < b.ts
+      JOIN events c ON b.user_id = c.user_id AND b.ts < c.ts
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+        AND c.event_type = 'purchase'
+    ),
+    p5 AS (
+      SELECT 'signup>view>purchase' AS pattern,
+             count(DISTINCT a.user_id) AS n_users
+      FROM events a
+      JOIN events b ON a.user_id = b.user_id AND a.ts < b.ts
+      JOIN events c ON b.user_id = c.user_id AND b.ts < c.ts
+      WHERE a.event_type = 'signup' AND b.event_type = 'view'
+        AND c.event_type = 'purchase'
+    ),
+    pats AS (
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL
+      SELECT * FROM p3 UNION ALL SELECT * FROM p4 UNION ALL
+      SELECT * FROM p5
+    )
+    SELECT pattern, n_users, n_total_users,
+           round(CAST(n_users AS DOUBLE) / n_total_users, 6) AS support
+    FROM pats, tot
+    """,
+    description="Sequential-pattern support (the PrefixSpan counting "
+    "primitive): per pattern [a>b(>c)], the number of users whose event "
+    "history contains it as a strictly-time-increasing subsequence, any "
+    "gap allowed. Spark evaluates ALL patterns in one pass: one shuffle "
+    "groups each user's sorted sequence, then a codegen'd `aggregate` "
+    "fold runs the greedy earliest-feasible matcher (exact by the "
+    "exchange argument) per pattern, and a single global aggregation + "
+    "stack() emits the per-pattern rows — contrast the oracle's "
+    "quadratic/cubic self-joins, which is exactly the plan this operator "
+    "exists to avoid at scale. Adjacent-transition counting is "
+    "markov_event_transitions; this is containment.",
+    tags=("mining", "sequence", "prefixspan", "fold"),
+)
+def seqpattern_support_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.mining import (
+        sequential_pattern_support,
+    )
+
+    return sequential_pattern_support(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        {
+            "view>click": ["view", "click"],
+            "click>purchase": ["click", "purchase"],
+            "signup>error": ["signup", "error"],
+            "view>click>purchase": ["view", "click", "purchase"],
+            "signup>view>purchase": ["signup", "view", "purchase"],
+        },
+    )

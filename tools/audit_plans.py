@@ -57,6 +57,7 @@ EXPECTED_NESTED_LOOP = {
     "bigram_lm_docs",           # vocabulary-size crossjoin (1-row broadcast agg)
     "perplexity_bucket_docs",   # tercile-cutoff crossjoin (1-row broadcast agg)
     "rrf_hybrid_retrieval",     # bm25 N/avgdl stats crossjoin (1-row broadcast)
+    "kmv_intersection_events",  # two 1-row sketch frames + 1-row exact-stats agg
 }
 
 # Queries expected to run Python (Arrow) stages.
