@@ -15,6 +15,7 @@ Hashing comes in two flavors:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -355,4 +356,82 @@ def annotate_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_ratio": F.round(punct_ratio(c), 6),
             "quality": quality_score(c),
         }
+    )
+
+
+def unicode_normalize_col(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization of a string column (NFC by default): canonical
+    composition so byte-different, render-identical strings ("e" + U+0301
+    vs precomposed U+00E9) compare, hash, and dedup as equals — the
+    normalization every multilingual corpus pipeline applies before
+    fingerprinting/dedup, since crawled text mixes composed and decomposed
+    forms freely.
+
+    Spark has no normalization expression, so this is an Arrow-batched
+    pandas UDF over Python's unicodedata (the canonical composition tables
+    are frozen by the Unicode stability policy, so results agree with any
+    conformant implementation — e.g. DuckDB's utf8proc-backed
+    nfc_normalize, which the oracle uses). Map-only: no shuffle, applied
+    per batch wherever the column flows.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: v if v is None else unicodedata.normalize(form, v)
+        )
+
+    return _norm(col)
+
+
+def positional_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional inverted-index postings: one row per token occurrence
+    with its 1-based position — the index structure phrase and proximity
+    queries run on (document-level presence is `inverted_index_docs`;
+    this keeps WHERE in the document, not just WHETHER).
+
+    Map-only (posexplode of the split), so at scale it materializes as a
+    partitioned postings table written once and range/bucket-laid-out by
+    term; here it is built inline and immediately filtered by the query
+    terms, which pushes each term's selectivity below the join.
+
+    Output: id_col, w (token), p (1-based position).
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "w"),
+    ).select(id_col, "w", (F.col("p0") + 1).alias("p"))
+
+
+def phrase_match(
+    index: DataFrame, id_col: str, phrase: list[str]
+) -> DataFrame:
+    """Exact-phrase query over positional postings: the i-th word's
+    postings shift to their candidate phrase-START position (p - i) and
+    the n lists intersect by an equi-join on (doc, start) — the standard
+    positional-index phrase algorithm. Each term's postings are filtered
+    to that term BEFORE the join, so the join input is the phrase terms'
+    selectivity, never the corpus; joins are plain equi-joins Catalyst
+    can broadcast when a term is rare.
+
+    Output: id_col, n_occurrences, first_pos (start position of the
+    earliest occurrence), one row per document containing the phrase.
+    """
+    if not phrase:
+        raise ValueError("empty phrase")
+    acc = None
+    for i, w in enumerate(phrase):
+        posting = index.filter(F.col("w") == w).select(
+            id_col, (F.col("p") - i).alias("start")
+        )
+        acc = posting if acc is None else acc.join(posting, [id_col, "start"])
+    return acc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("start").alias("first_pos"),
     )

@@ -405,3 +405,39 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "jaro_winkler_part_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT trim(lower(p_name)) AS name, count(*) AS n
+      FROM part GROUP BY 1
+    ), blocked AS (
+      SELECT name, n, (string_split(name, ' '))[-1] AS block FROM names
+    )
+    SELECT a.block, a.name AS name_a, b.name AS name_b,
+           round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_sim,
+           a.n AS n_a, b.n AS n_b
+    FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+    WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9
+    """,
+    description="Jaro-Winkler fuzzy matching (the short-string/name "
+    "matcher edit distance is wrong for — shared prefixes beat raw "
+    "edits): same blocking-then-matching shape as fuzzy_match_part_names "
+    "but scored by an Arrow-batched Jaro-Winkler UDF (p=0.1 prefix boost "
+    "above the 0.7 Jaro threshold, the Winkler 1990 parameterization). "
+    "Spark lacks the expression; the UDF runs only on the block-confined "
+    "candidate pairs, verified BIT-EXACT against DuckDB's native "
+    "jaro_winkler_similarity over every blocked pair, so threshold "
+    "membership and 6-dp rounding agree between engines by construction.",
+    tags=("join", "fuzzy", "entity-resolution", "udf"),
+)
+def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").select("p_name")
+    return J.jaro_winkler_blocked_pairs(
+        part,
+        "p_name",
+        block=F.element_at(F.split(F.col("name"), " "), -1),
+        min_sim=0.9,
+    )

@@ -350,3 +350,111 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "unicode_nfc_parts",
+    oracle="""
+    WITH x AS (
+      SELECT right(trim(p_name), 1) AS last_letter,
+             length(trim(p_name) || chr(769)) AS len_raw,
+             length(nfc_normalize(trim(p_name) || chr(769))) AS len_nfc
+      FROM part
+    )
+    SELECT last_letter,
+           count(*) AS n_names,
+           count(*) FILTER (WHERE len_nfc < len_raw) AS n_composed,
+           count(*) FILTER (WHERE len_nfc = len_raw) AS n_not_composed
+    FROM x GROUP BY last_letter
+    """,
+    description="Unicode NFC normalization (canonical composition): each "
+    "part name gets a decomposed combining acute (U+0301) appended — the "
+    "byte-level mess real crawled text arrives in — then normalizes "
+    "through the Arrow-batched unicodedata UDF. Names ending in a "
+    "composable base letter (e, a, n, ...) shrink by one codepoint as "
+    "base+combining fuse into the precomposed char; non-composable "
+    "finals (d, k, ...) stay decomposed. Grouped by final letter so the "
+    "composition table itself is what's checked — against DuckDB's "
+    "utf8proc-backed nfc_normalize, a fully independent implementation "
+    "(canonical composition is frozen by the Unicode stability policy, "
+    "so conformant engines must agree). Map-only UDF + one aggregation.",
+    tags=("text", "unicode", "normalization", "udf"),
+)
+def unicode_nfc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.text import (
+        unicode_normalize_col,
+    )
+
+    part = t(spark, sf_dir, "part")
+    raw = F.concat(F.trim(F.col("p_name")), F.lit("́"))
+    x = part.select(
+        F.expr("right(trim(p_name), 1)").alias("last_letter"),
+        F.length(raw).alias("len_raw"),
+        F.length(unicode_normalize_col(raw, "NFC")).alias("len_nfc"),
+    )
+    return x.groupBy("last_letter").agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.count_if(F.col("len_nfc") < F.col("len_raw")).alias("n_composed"),
+        F.count_if(F.col("len_nfc") == F.col("len_raw")).alias(
+            "n_not_composed"
+        ),
+    )
+
+
+@query(
+    "phrase_search_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS p
+      FROM documents
+    ),
+    p2 AS (
+      SELECT 'window fast' AS phrase, a.doc_id,
+             count(*) AS n_occurrences, min(a.p) AS first_pos
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.w = 'window' AND b.w = 'fast'
+      GROUP BY a.doc_id
+    ),
+    p3 AS (
+      SELECT 'slow hash batch' AS phrase, a.doc_id,
+             count(*) AS n_occurrences, min(a.p) AS first_pos
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                 JOIN tok c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+      WHERE a.w = 'slow' AND b.w = 'hash' AND c.w = 'batch'
+      GROUP BY a.doc_id
+    )
+    SELECT * FROM p2 UNION ALL SELECT * FROM p3
+    """,
+    description="Exact-phrase search over a POSITIONAL inverted index "
+    "(document-level presence is inverted_index_docs; phrase queries "
+    "need WHERE in the document): the i-th phrase word's postings shift "
+    "to their candidate start position (p - i) and the lists intersect "
+    "by equi-join on (doc, start) — the standard positional-index "
+    "algorithm. Each term's postings filter BEFORE the join, so join "
+    "input is the phrase terms' selectivity, never the corpus; at scale "
+    "the postings table is written once, term-bucketed, and each query "
+    "touches only its terms' buckets. Two phrases (a bigram and a "
+    "trigram) verified against the oracle's direct positional self-join.",
+    tags=("text", "retrieval", "phrase", "index"),
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+    from healthcare_etl_pipeline_spark.operators.text import (
+        phrase_match,
+        positional_index,
+    )
+
+    idx = bounded_persist(
+        positional_index(t(spark, sf_dir, "documents"), "doc_id", "text")
+    )
+    out = None
+    for phrase in (["window", "fast"], ["slow", "hash", "batch"]):
+        m = phrase_match(idx, "doc_id", phrase).select(
+            F.lit(" ".join(phrase)).alias("phrase"),
+            "doc_id",
+            "n_occurrences",
+            "first_pos",
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -142,3 +142,106 @@ class TestKmvSketch:
         tight = kmv_build(df, "item", "s", k=64, safety=4)
         loose = kmv_build(df, "item", "s", k=64, safety=1000)
         assert tight.collect()[0].kmv == loose.collect()[0].kmv
+
+
+class TestJaroWinkler:
+    def test_known_values_and_threshold(self, spark):
+        from healthcare_etl_pipeline_spark.operators.joins import (
+            jaro_winkler_blocked_pairs,
+        )
+
+        # one block; martha/marhta is the canonical Winkler example
+        df = spark.createDataFrame(
+            [("martha x",), ("marhta x",), ("zzzz x",)], "nm string"
+        )
+        out = jaro_winkler_blocked_pairs(
+            df,
+            "nm",
+            block=F.element_at(F.split(F.col("name"), " "), -1),
+            min_sim=0.9,
+        ).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert {r.name_a, r.name_b} == {"martha x", "marhta x"}
+        # jw("martha x","marhta x"): matches 8, transpo 1, prefix 3
+        assert 0.9 < r.jw_sim < 1.0
+
+    def test_identical_strings_collapse_to_one_name(self, spark):
+        from healthcare_etl_pipeline_spark.operators.joins import (
+            jaro_winkler_blocked_pairs,
+        )
+
+        # duplicates dedup into one distinct name with n=2: no self-pair
+        df = spark.createDataFrame([("abc k",), ("abc k",)], "nm string")
+        out = jaro_winkler_blocked_pairs(
+            df, "nm", block=F.lit("k"), min_sim=0.0
+        ).collect()
+        assert out == []
+
+
+class TestUnicodeNormalize:
+    def test_nfc_composes_and_nfd_decomposes(self, spark):
+        from healthcare_etl_pipeline_spark.operators.text import (
+            unicode_normalize_col,
+        )
+
+        df = spark.createDataFrame([("é",), ("é",), (None,)], "s string")
+        out = df.select(
+            F.length(unicode_normalize_col(F.col("s"), "NFC")).alias("nfc_len"),
+            F.length(unicode_normalize_col(F.col("s"), "NFD")).alias("nfd_len"),
+        ).collect()
+        assert [r.nfc_len for r in out] == [1, 1, None]
+        assert [r.nfd_len for r in out] == [2, 2, None]
+
+    def test_rejects_unknown_form(self, spark):
+        from healthcare_etl_pipeline_spark.operators.text import (
+            unicode_normalize_col,
+        )
+
+        with pytest.raises(ValueError):
+            unicode_normalize_col(F.col("s"), "NFX")
+
+
+class TestPhraseMatch:
+    def test_counts_and_positions(self, spark):
+        from healthcare_etl_pipeline_spark.operators.text import (
+            phrase_match,
+            positional_index,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c a b"),     # "a b" at 1 and 4
+                (2, "b a"),            # reversed: no match
+                (3, "a a b"),          # "a b" at 2
+            ],
+            "doc_id long, text string",
+        )
+        idx = positional_index(df, "doc_id", "text")
+        out = {r.doc_id: r for r in phrase_match(idx, "doc_id", ["a", "b"]).collect()}
+        assert out[1].n_occurrences == 2 and out[1].first_pos == 1
+        assert out[3].n_occurrences == 1 and out[3].first_pos == 2
+        assert 2 not in out
+
+    def test_trigram_requires_adjacency(self, spark):
+        from healthcare_etl_pipeline_spark.operators.text import (
+            phrase_match,
+            positional_index,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x a b c y"), (2, "a b x c")], "doc_id long, text string"
+        )
+        idx = positional_index(df, "doc_id", "text")
+        out = {r.doc_id for r in phrase_match(idx, "doc_id", ["a", "b", "c"]).collect()}
+        assert out == {1}
+
+    def test_empty_phrase_rejected(self, spark):
+        from healthcare_etl_pipeline_spark.operators.text import (
+            phrase_match,
+            positional_index,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            phrase_match(positional_index(df, "doc_id", "text"), "doc_id", [])

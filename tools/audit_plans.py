@@ -79,6 +79,8 @@ EXPECTED_PYTHON = {
     "audio_frame_energy",   # real WAV decode kernel (mapInPandas)
     "video_frame_sample_y4m",     # real Y4M container parse (mapInPandas)
     "ann_ivf_persisted",    # Arrow cell-assignment + einsum re-rank kernels
+    "jaro_winkler_part_pairs",  # Arrow JW scorer on block-confined pairs
+    "unicode_nfc_parts",    # Arrow unicodedata NFC normalization kernel
 }
 
 
