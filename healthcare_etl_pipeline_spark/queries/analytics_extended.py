@@ -1352,3 +1352,39 @@ def kmv_intersection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.35
         ).alias("intersection_within_tol"),
     )
+
+
+@query(
+    "rolling_active_users_events",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT d.day, e.event_type,
+           count(*) AS events_w,
+           count(DISTINCT e.user_id) AS active_users_w
+    FROM days d JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE)
+         BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day, e.event_type
+    """,
+    description="Rolling 7-day active users and event volume per (day, "
+    "event_type) — the trailing DAU/WAU family. Sliding COUNT DISTINCT "
+    "has no incremental window frame (distinct is not subtractable), so "
+    "each event fans out to the <= 7 report days it affects (bounded "
+    "explode, map-side partial agg) and report days are confined to "
+    "observed days by a broadcast join against the tiny distinct-days "
+    "frame — no global scalar pass, no days x events range join, which "
+    "is exactly the plan the oracle runs and the one that dies at "
+    "100 TB.",
+    tags=("timeseries", "window", "distinct", "activity"),
+)
+def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.timeseries import (
+        rolling_window_activity,
+    )
+
+    return rolling_window_activity(
+        t(spark, sf_dir, "events"), "ts", "event_type", "user_id",
+        window_days=7,
+    )
