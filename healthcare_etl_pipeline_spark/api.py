@@ -43,10 +43,24 @@ MAX_LIMIT = 200
 class EngineAPI:
     """Request-independent core: each method returns (status_code, payload)."""
 
-    def __init__(self, spark: SparkSession, warehouse, sf_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse,
+        sf_dir: str,
+        *,
+        audit_list_reads: bool = False,
+    ):
         self.spark = spark
         self.warehouse = warehouse
         self.sf_dir = sf_dir
+        # The reference audits single-patient reads (routes.py:190) but NOT
+        # list reads (routes.py:209) — an inconsistency SURVEY §3.3 flags.
+        # Default replicates the reference as-is; the flag opts in to ONE
+        # audit row per served listing page (action='list', resource_id
+        # null, detail records the page shape) — page-level, not per-row,
+        # so a 200-row page costs one append, not 200.
+        self.audit_list_reads = audit_list_reads
 
     # -- endpoints ----------------------------------------------------------
 
@@ -149,6 +163,11 @@ class EngineAPI:
             offset=offset,
             limit=limit,
         )
+        rows = page.collect()
+        if self.audit_list_reads:
+            self._append_list_audit(
+                n_rows=len(rows), limit=limit, offset=offset, after=after
+            )
         return 200, [
             {
                 "id": r.id,
@@ -157,8 +176,47 @@ class EngineAPI:
                 "created_at": str(r.created_at),
                 "has_data_sharing_consent": True,
             }
-            for r in page.collect()
+            for r in rows
         ]
+
+    def _append_list_audit(self, *, n_rows, limit, offset, after) -> None:
+        """One audit row per served listing page (flag-gated deviation
+        from the reference, which does not audit list reads)."""
+        import datetime
+        import uuid
+
+        from pyspark.sql import Row
+
+        from healthcare_etl_pipeline_spark.sources.warehouse import (
+            AUDIT_LOG_SCHEMA,
+        )
+
+        now = datetime.datetime.now()
+        self.warehouse.append(
+            self.spark.createDataFrame(
+                [
+                    Row(
+                        id=str(uuid.uuid4()),
+                        actor="api_user",
+                        action="list",
+                        resource_type="Patient",
+                        resource_id=None,
+                        detail=json.dumps(
+                            {
+                                "rows": n_rows,
+                                "limit": limit,
+                                "offset": offset,
+                                "after": list(after) if after else None,
+                            }
+                        ),
+                        timestamp=now,
+                        dt=now.date(),
+                    )
+                ],
+                AUDIT_LOG_SCHEMA,
+            ),
+            "audit_log",
+        )
 
     def list_queries(self) -> tuple[int, list]:
         from healthcare_etl_pipeline_spark.queries import all_queries

@@ -216,20 +216,57 @@ def _probe_salt_buckets(
     return min(max_salt, -(-hot_pairs // pairs_per_task))
 
 
-def _hottest_bucket_size(buckets: DataFrame) -> int:
-    """Max per-bucket doc count — the skew probe. One map-side-combined
-    aggregation over the (already persisted-signature-derived) bucket
-    frame with a k-byte shuffle of per-bucket counts; cost is one cheap
+#: skew-probe sample fraction. The probe only needs to DETECT buckets hot
+#: enough to matter (the salting threshold is ~707 docs in one bucket =
+#: 250k pairs); a Binomial(m, 0.05) sample sees ~35±6 of those, so the
+#: decision is reliable while the probe job reads 5% of the bucket rows.
+#: Round-5 A/B (BENCH_NOTES.md): the full-frame probe cost ~40% of the
+#: minhash_lsh_pairs headline at sf0.1; sampling returns it to the noise
+#: band while keeping the Zipfian guard on AQE-off/streaming paths.
+_SALT_PROBE_FRACTION = 0.05
+
+
+def _aqe_handles_skew(spark) -> bool:
+    """True when AQE's skew-join split is active: the runtime already
+    collects per-partition shuffle stats and splits a hot key of a
+    sort-merge join (the physical form every at-scale bucket self-join
+    takes), so the manual probe+salt is redundant there. Callers running
+    with AQE off — or inside engines/paths that bypass AQE, e.g. a
+    foreachBatch that disabled it — fall back to the sampled probe, and
+    can always pass an explicit ``salt_buckets``."""
+    try:
+        conf = spark.conf
+        return (
+            conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+            and conf.get(
+                "spark.sql.adaptive.skewJoin.enabled", "true"
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
+def _hottest_bucket_size(
+    buckets: DataFrame, fraction: float = _SALT_PROBE_FRACTION
+) -> int:
+    """ESTIMATED max per-bucket doc count — the skew probe. One map-side-
+    combined aggregation over a ``fraction`` sample of the (persisted-
+    signature-derived) bucket frame, scaled back up; cost is one small
     extra job, paid once per band join to decide the salting plan (the
     runtime analogue of AQE's skew stats, usable on AQE-off and streaming
-    paths too)."""
+    paths too). Estimation error only matters near the salting threshold,
+    where both choices are fine — batch plans additionally keep AQE's
+    native skew-join split as the backstop."""
     row = (
-        buckets.groupBy("bucket")
+        buckets.sample(fraction=fraction, seed=7)
+        .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("m"))
         .agg(F.max("m").alias("m"))
         .first()
     )
-    return int(row["m"] or 0) if row else 0
+    m = int(row["m"] or 0) if row else 0
+    return int(round(m / fraction))
 
 
 def _band_pairs(
@@ -265,8 +302,16 @@ def _band_pairs(
         F.col(id_col), F.explode(F.array(*_band_bucket_cols(k, bands))).alias("bucket")
     )
     if salt_buckets == "auto":
-        m = _hottest_bucket_size(buckets)
-        salt_buckets = _probe_salt_buckets(m * (m - 1) // 2)
+        if _aqe_handles_skew(sigs.sparkSession):
+            # batch plans with AQE skew-join on: at scale the bucket
+            # self-join is sort-merge, and AQE splits a Zipfian-hot key
+            # natively from runtime shuffle stats — the probe job would
+            # duplicate work AQE already does (round-5 A/B: the probe
+            # cost ~40% of the sf0.1 headline; BENCH_NOTES.md)
+            salt_buckets = 1
+        else:
+            m = _hottest_bucket_size(buckets)
+            salt_buckets = _probe_salt_buckets(m * (m - 1) // 2)
     if salt_buckets > 1:
         left = buckets.withColumn(
             "__salt",

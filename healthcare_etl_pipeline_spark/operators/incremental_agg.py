@@ -86,6 +86,60 @@ def partial_exprs(specs: list[AggSpec]) -> list[Column]:
     return out
 
 
+#: aggregate kinds with an INVERSE — a retraction (deleted/pre-update row)
+#: can be SUBTRACTED from the state, so a NET row-level change feed applies
+#: incrementally. min/max/approx_distinct are not invertible (removing the
+#: current max needs the runner-up, which the state discarded) and fall
+#: back to full refresh.
+INVERTIBLE_KINDS = ("count", "sum", "avg")
+
+
+def supports_incremental_apply(specs: list[AggSpec]) -> bool:
+    """True iff a NET change feed (insert/delete/update_pre/postimage)
+    can maintain these aggregates by signed addition alone. Requires a
+    count-role state field: a group whose rows were ALL retracted must be
+    DROPPED from the view (a recomputation would not emit it), and only a
+    row count can witness emptiness."""
+    return all(s.kind in INVERTIBLE_KINDS for s in specs) and any(
+        role == "count" for s in specs for _, role in _state_fields(s)
+    )
+
+
+def signed_partial_exprs(specs: list[AggSpec], sign: Column) -> list[Column]:
+    """Signed form of :func:`partial_exprs` for NET change-feed rows:
+    ``sign`` is +1 for insert/update_postimage, -1 for delete/
+    update_preimage, so the group's partial is the net delta — count adds
+    the signs, sum adds sign·value. Only invertible kinds are legal."""
+    out: list[Column] = []
+    for spec in specs:
+        for state_col, role in _state_fields(spec):
+            if role == "count":
+                out.append(F.sum(sign).alias(state_col))
+            elif role == "sum":
+                out.append(
+                    F.sum(sign * F.col(spec.col).cast("double")).alias(
+                        state_col
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"aggregate kind for {state_col!r} is not invertible —"
+                    " guard with supports_incremental_apply()"
+                )
+    return out
+
+
+def non_empty_filter(specs: list[AggSpec]) -> Column:
+    """Predicate keeping only groups with surviving rows after a signed
+    merge (count-role state > 0) — retracted-to-empty groups disappear
+    from the view exactly as a recomputation would drop them."""
+    for spec in specs:
+        for state_col, role in _state_fields(spec):
+            if role == "count":
+                return F.col(state_col) > 0
+    raise ValueError("no count-role state field to witness emptiness")
+
+
 def _merge_one(role: str, s: Column, p: Column) -> Column:
     if role in ("count", "sum"):
         zero = F.lit(0) if role == "count" else F.lit(0.0)

@@ -855,3 +855,92 @@ def stream_txn_cdc_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_users")
         ).alias("users_within_tolerance"),
     )
+
+
+@query(
+    "stream_txn_cdc_feed",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN value * 2
+                          ELSE value END), 2) AS total_value
+    FROM events
+    WHERE event_id % 5 <> 0
+    GROUP BY event_type
+    """,
+    description="TRUE-incremental CDC under update+delete churn: the "
+    "consumer first folds an append window, then the source takes a "
+    "copy-on-write UPDATE (value doubled where event_id%7=0) and a "
+    "merge-on-read DELETE (event_id%5=0). The appends-only fold rejects "
+    "that window (NonAppendChangeError), and cdc_sync applies the NET "
+    "row-level change feed instead — update = subtract preimage, add "
+    "postimage; delete = subtract preimage — because count/sum is an "
+    "invertible algebra. The query asserts NO full-refresh commit was "
+    "needed (refresh remains only for min/max/HLL or vacuum-expired "
+    "windows) and the view must equal the batch recomputation of the "
+    "post-churn snapshot, per the oracle. Cost ∝ churn + |view|, never "
+    "source history.",
+    tags=("streaming", "txn", "cdc", "change-feed", "incremental"),
+)
+def stream_txn_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    root = scratch_dir("txn_cdc_feed", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "event_log",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        primary_key=("event_id",),  # enables the row-level change feed
+    )
+    wh.register_table(
+        "event_agg",
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n", T.LongType()),
+                T.StructField("value_sum", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    sync = lambda: cdc_sync(  # noqa: E731
+        wh, "event_log", "event_agg",
+        group_cols=["event_type"], value_col="value",
+    )
+    wh.append(ev, "event_log")
+    assert sync() == 1  # plain append window
+
+    # non-append churn: a rewrite UPDATE and a merge-on-read DELETE
+    wh.update_where(
+        "event_log", F.col("event_id") % 7 == 0, {"value": F.col("value") * 2}
+    )
+    wh.delete_where("event_log", F.col("event_id") % 5 == 0)
+    assert sync() >= 1
+    assert sync() == 0  # drained
+
+    # the whole point: churn was absorbed WITHOUT a full refresh
+    feed_prefix = "cdc_event_log_event_agg"
+    assert not any(
+        r.startswith(f"{feed_prefix}__refresh__")
+        for r in wh.committed_run_ids()
+    ), "invertible algebra must apply the change feed, not refresh"
+
+    return wh.read("event_agg").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("value_sum", 2).alias("total_value"),
+    )

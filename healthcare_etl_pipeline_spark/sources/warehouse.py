@@ -29,6 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .commit_backend import (
+    EXISTS,
+    IN_FLIGHT,
+    PUBLISHED,
+    CommitBackend,
+    LocalFSBackend,
+)
+
 PATIENTS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), False),
@@ -306,23 +314,30 @@ class Transaction:
     def commit(self) -> bool:
         """Publish every staged table at once.
 
-        Commit protocol (all steps POSIX-atomic or idempotent):
+        Commit protocol — every step is either atomic or idempotent,
+        using only the two primitives of the warehouse's
+        :class:`~.commit_backend.CommitBackend` (POSIX rename/link on
+        local FS; conditional PUT alone on object stores):
 
-        1. ``os.rename`` each private staging dir to its final
-           ``__run_id=<run_id>`` dir, in sorted table order. If a rename
-           target already exists, a concurrent committer of the same
-           run_id won first — this transaction cleans its staging and
-           reports False (no partial interleave: both committers process
-           tables in the same order, so the loser fails on its FIRST
-           rename, before publishing anything).
-        2. Claim the next snapshot ``seq`` via an O_EXCL claim-file create
-           (``_txn/seqs/``) — strictly serialized across concurrent
-           drivers; a crash between claim and marker leaves a harmless
-           hole in the sequence.
-        3. fsync the manifest to a temp name, then ``os.link`` it to
-           ``_txn/commits/<run_id>.json`` — atomic create-if-absent, so
-           exactly one marker (with exactly one seq) ever exists per
-           run_id, and readers see the whole multi-table batch or none.
+        1. ``backend.publish_dir`` each private staging dir to its final
+           ``__run_id=<run_id>`` dir, in sorted table order. A dir a
+           same-run_id peer already COMPLETED counts as published (same
+           batch, identical semantics — this committer keeps going, which
+           also recovers a peer that crashed after publishing data but
+           before the marker). A dir a peer claimed but has not completed
+           means that peer is (or was) mid-publish — this transaction
+           cleans its staging and reports False; if the peer died, the
+           batch stays invisible and a ``begin(batch_id)`` retry wipes
+           and republishes it.
+        2. Claim the next snapshot ``seq`` via ``put_if_absent`` on
+           ``_txn/seqs/<seq>.claim`` — strictly serialized across
+           concurrent drivers; a crash between claim and marker leaves a
+           harmless hole in the sequence.
+        3. ``put_if_absent`` the manifest at ``_txn/commits/
+           <run_id>.json`` — atomic create-if-absent with all-or-nothing
+           content, so exactly one marker (with exactly one seq) ever
+           exists per run_id, and readers see the whole multi-table batch
+           or none.
 
         Returns False (no-op) if this run_id is already committed.
         """
@@ -332,18 +347,24 @@ class Transaction:
         if self._done:
             raise RuntimeError(f"transaction {self.run_id} already finished")
         self._done = True
+        backend = self._wh.backend
         marker = self._wh.marker_path(self.run_id)
         if os.path.exists(marker):
             self._drop_staging()
             return False
         for table in sorted(self.staged_tables):
             dest = self._wh.run_dir(table, self.run_id)
-            try:
-                os.rename(self._stage_dir(table), dest)
-            except OSError:
-                # lost the same-run_id race (dest already published)
+            status = backend.publish_dir(self._stage_dir(table), dest)
+            if status == IN_FLIGHT:
+                # a peer claimed this dest but completion is not (yet)
+                # observable — stand down; the peer's marker (or a retry
+                # via begin()) finishes the batch
                 self._drop_staging()
                 return False
+            if status == EXISTS:
+                # peer already completed this table's data for the same
+                # run_id — our identical copy is redundant
+                shutil.rmtree(self._stage_dir(table), ignore_errors=True)
         seq = self._wh._claim_seq(self.run_id)
         manifest = {
             "run_id": self.run_id,
@@ -365,20 +386,8 @@ class Transaction:
             "seq": seq,
             "format_version": 4,
         }
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        tmp = os.path.join(
-            os.path.dirname(marker), f".tmp.{self.run_id}.{self.nonce}"
-        )
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, marker)  # atomic create-if-absent (never overwrites)
-        except FileExistsError:
+        if not backend.put_if_absent(marker, json.dumps(manifest)):
             return False  # concurrent committer published first
-        finally:
-            os.unlink(tmp)
         self._wh._maybe_checkpoint()  # keep the marker tail short
         return True
 
@@ -433,8 +442,17 @@ class TransactionalWarehouse(Warehouse):
       small-files story is unchanged).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        backend: CommitBackend | None = None,
+    ):
         super().__init__(spark, root)
+        #: storage primitives the commit protocol rests on — LocalFSBackend
+        #: (POSIX rename/link) by default; pass ConditionalPutBackend for
+        #: S3-class stores with no atomic rename (commit_backend.py)
+        self.backend: CommitBackend = backend or LocalFSBackend()
         self._extra_schemas: dict[str, T.StructType] = {}
         self._extra_partitions: dict[str, list[str]] = {}
         self._constraints: dict[str, dict[str, str]] = {}
@@ -830,14 +848,15 @@ class TransactionalWarehouse(Warehouse):
     def _claim_seq(self, run_id: str) -> int:
         """Atomically claim the next snapshot sequence number.
 
-        ``O_CREAT|O_EXCL`` on ``_txn/seqs/<seq>.claim`` is the
+        ``put_if_absent`` on ``_txn/seqs/<seq>.claim`` is the
         serialization point: of N concurrent committers (threads OR
-        separate driver processes on a shared POSIX filesystem), each
-        claim file is created by exactly one, so snapshot order is a
-        strict total order — no two commits ever share a seq. A crash
-        between claim and marker leaves an unused seq (a hole), which
-        readers — who order by the seqs recorded in markers — never see.
-        """
+        separate driver processes), each claim object is created by
+        exactly one, so snapshot order is a strict total order — no two
+        commits ever share a seq. A crash between claim and marker
+        leaves an unused seq (a hole), which readers — who order by the
+        seqs recorded in markers — never see. On POSIX the primitive is
+        an O_EXCL hard-link create; on object stores a conditional PUT
+        (see commit_backend.py)."""
         d = self._seq_dir()
         os.makedirs(d, exist_ok=True)
         seq = (
@@ -848,19 +867,11 @@ class TransactionalWarehouse(Warehouse):
             + 1
         )
         while True:
-            try:
-                fd = os.open(
-                    os.path.join(d, f"{seq:020d}.claim"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                seq += 1
-                continue
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(run_id)
-                fh.flush()
-                os.fsync(fh.fileno())
-            return seq
+            if self.backend.put_if_absent(
+                os.path.join(d, f"{seq:020d}.claim"), run_id
+            ):
+                return seq
+            seq += 1
 
     def snapshots(self) -> list[dict]:
         """The table history: one row per commit, in snapshot order —
@@ -1074,6 +1085,20 @@ class TransactionalWarehouse(Warehouse):
         )
         live_lo = set(self.committed_runs_for(table, as_of=lo))
         live_hi = set(self.committed_runs_for(table, as_of=hi))
+        expired = sorted(
+            r
+            for r in live_lo | live_hi
+            if not os.path.isdir(self.run_dir(table, r))
+        )
+        if expired:
+            # some run this diff must read was vacuumed (snapshot expiry):
+            # a partial feed would silently lose changes — refuse, the
+            # consumer's recovery is a full refresh (Iceberg raises the
+            # same way for incremental scans over expired snapshots)
+            raise IncrementalWindowExpiredError(
+                f"change feed over {table!r} needs vacuumed runs "
+                f"{expired[:5]} — full-refresh from the current snapshot"
+            )
         retired = sorted(live_lo - live_hi)
         added = sorted(live_hi - live_lo)
         tomb = self._tombstone_table(table)
@@ -1157,12 +1182,33 @@ class TransactionalWarehouse(Warehouse):
         ``commit()`` reports False and ``stage()`` raises — callers should
         check :meth:`is_committed` first for a clean skip. If a previous
         attempt crashed mid-stage (staged dirs, no marker), its leftovers
-        are wiped so the retry stages from scratch instead of doubling rows.
+        are wiped so the retry stages from scratch instead of doubling
+        rows; a COMPLETELY published (but unmarked) dest is adopted — the
+        retry finishes the dead attempt's commit instead of re-copying.
+
+        Contract: the retry-wipe is CRASH recovery. Concurrent live
+        committers of one batch_id are safe through ``stage``/``commit``
+        (exactly one marker ever wins), but calling ``begin(batch_id)``
+        while a live peer of the same batch is mid-commit may wipe that
+        peer's in-progress staging — the peer then loses gracefully
+        (False) and the caller republishes. Serializing retry scheduling
+        per batch (as any job scheduler does) avoids even that.
         """
         run_id = _sanitize_run_id(batch_id) if batch_id else uuid.uuid4().hex
         if batch_id and not self.is_committed(run_id):
             for table in self.all_tables():
-                shutil.rmtree(self.run_dir(table, run_id), ignore_errors=True)
+                dest = self.run_dir(table, run_id)
+                if not self.backend.is_complete_dir(dest):
+                    # a crashed attempt's half-published dest (and, on the
+                    # object-store backend, its publish claim) — wipe so
+                    # the retry can republish. A COMPLETE dest is ADOPTED
+                    # instead: the retry's own publish sees EXISTS and
+                    # proceeds straight to the marker, finishing a peer
+                    # that died between data publish and marker.
+                    shutil.rmtree(dest, ignore_errors=True)
+                    clear = getattr(self.backend, "clear_claim", None)
+                    if clear is not None:
+                        clear(dest)
                 staging = os.path.join(self.path(table), STAGING_DIR)
                 if os.path.isdir(staging):
                     for entry in os.listdir(staging):
@@ -2344,10 +2390,20 @@ class TransactionalWarehouse(Warehouse):
             if not os.path.isdir(tdir):
                 continue
             live = set(self.committed_runs_for(table))
+            claim_prefix = f".publish.{prefix}"
+            claims: list[tuple[str, str]] = []  # (claimed run_id, path)
             for entry in os.listdir(tdir):
-                if entry.startswith(prefix):
+                if entry.startswith(claim_prefix):
+                    # object-store publish claim (commit_backend.py) —
+                    # reclaimed below, once its run dir is gone
+                    claims.append(
+                        (entry[len(claim_prefix):], os.path.join(tdir, entry))
+                    )
+                elif entry.startswith(prefix):
                     run_id = entry[len(prefix):]
                     path = os.path.join(tdir, entry)
+                    if not os.path.isdir(path):
+                        continue
                     try:
                         old_enough = os.path.getmtime(path) <= run_cutoff
                     except OSError:
@@ -2355,6 +2411,20 @@ class TransactionalWarehouse(Warehouse):
                     if run_id not in live and old_enough:
                         shutil.rmtree(path, ignore_errors=True)
                         reclaimed.add(run_id)
+            for claimed, path in claims:
+                try:
+                    claim_old = os.path.getmtime(path) <= run_cutoff
+                except OSError:
+                    claim_old = True
+                # claim-age guard: a just-created claim may belong to a
+                # live committer between claim and first copied object
+                if claimed not in live and claim_old and not os.path.isdir(
+                    self.run_dir(table, claimed)
+                ):
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        pass
             staging = os.path.join(tdir, STAGING_DIR)
             if os.path.isdir(staging):
                 cutoff = time.time() - staging_retention_sec
@@ -2403,6 +2473,9 @@ class TransactionalWarehouse(Warehouse):
                 e[len(prefix):]
                 for e in os.listdir(tdir)
                 if e.startswith(prefix)
+                # dirs only: ``<dest>.publish`` claim FILES (object-store
+                # backend) are commit plumbing, not runs
+                and os.path.isdir(os.path.join(tdir, e))
             }
             staging = os.path.join(tdir, STAGING_DIR)
             staged = (

@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame
 from healthcare_etl_pipeline_spark.operators.incremental_agg import (
     AggSpec,
     merge_state,
+    non_empty_filter,
     partial_exprs,
+    signed_partial_exprs,
+    supports_incremental_apply,
 )
 from healthcare_etl_pipeline_spark.sources.warehouse import (
     IncrementalWindowExpiredError,
@@ -67,12 +70,17 @@ def cdc_cursor(wh: TransactionalWarehouse, prefix: str) -> int:
 
 def source_watermark(wh: TransactionalWarehouse, source_table: str) -> int:
     """Highest committed seq that touched ``source_table`` (the view's own
-    commits don't advance the source watermark)."""
+    commits don't advance the source watermark). A merge-on-read delete
+    stages only the table's TOMBSTONE sidecar, yet logically changes the
+    table — it advances the watermark too, so a trailing delete is synced
+    without waiting for the next append."""
+    tomb = wh._tombstone_table(source_table)
     return max(
         (
             s["seq"]
             for s in wh.snapshots()
             if source_table in s.get("tables", ())
+            or tomb in s.get("tables", ())
         ),
         default=0,
     )
@@ -165,6 +173,60 @@ def cdc_sync_once(
         wh.read(view_table) if wh.committed_runs_for(view_table) else None
     )
     merged = merge_partials(state, partial, group_cols, specs)
+    _publish_view(wh, view_table, merged, f"{prefix}__{lo}__{hi}")
+    return (lo, hi)
+
+
+def cdc_apply_feed_once(
+    wh: TransactionalWarehouse,
+    source_table: str,
+    view_table: str,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    prefix: str | None = None,
+    aggs: list[AggSpec] | None = None,
+) -> tuple[int, int] | None:
+    """Fold one window of NET row-level changes (``read_change_feed``:
+    insert / delete / update_preimage / update_postimage) into the view
+    by SIGNED addition — the true-incremental path for windows containing
+    updates/deletes/merges that the appends-only fold must reject.
+
+    Legal only for invertible algebras (count/sum/avg — guard with
+    :func:`supports_incremental_apply`); deletes subtract the preimage,
+    updates subtract the preimage and add the postimage, and groups
+    retracted to zero rows are dropped, so the result is exactly what a
+    recomputation from the ``hi`` snapshot would produce. Cost stays
+    proportional to the CHURN plus the view — never source history.
+    Exactly-once bookkeeping is identical to :func:`cdc_sync_once` (the
+    window-keyed view commit IS the checkpoint).
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    prefix = prefix or f"cdc_{source_table}_{view_table}"
+    specs = aggs or default_aggs(value_col)
+    if not supports_incremental_apply(specs):
+        raise ValueError(
+            "cdc_apply_feed_once needs an invertible aggregate algebra —"
+            " use cdc_full_refresh for min/max/approx_distinct views"
+        )
+    lo = cdc_cursor(wh, prefix)
+    hi = source_watermark(wh, source_table)
+    if hi <= lo:
+        return None
+    feed = wh.read_change_feed(source_table, since=lo, until=hi)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    partial = feed.groupBy(*group_cols).agg(
+        *signed_partial_exprs(specs, sign)
+    )
+    state = (
+        wh.read(view_table) if wh.committed_runs_for(view_table) else None
+    )
+    merged = merge_state(state, partial, group_cols, specs).filter(
+        non_empty_filter(specs)
+    )
     _publish_view(wh, view_table, merged, f"{prefix}__{lo}__{hi}")
     return (lo, hi)
 
@@ -287,10 +349,16 @@ def cdc_sync(
     max_rounds: int = 1000,
 ) -> int:
     """Drain all pending source changes into the view (poll-until-current).
-    Falls back to a full refresh when the incremental window has expired
-    OR contains non-append changes (merge/update/overwrite rewrites, MoR
-    deletes) that an appends-only fold cannot absorb.
+
+    Non-append windows (merge/update/overwrite rewrites, MoR deletes)
+    are applied INCREMENTALLY from the NET row-level change feed whenever
+    the aggregate algebra is invertible and the table has a primary key —
+    deletes subtract, updates subtract-then-add, cost ∝ churn. Full
+    refresh remains only for (a) non-invertible algebras (min/max/HLL —
+    removing the max needs state the view discarded) and (b) expired
+    windows (vacuumed past an unconsumed rewrite), where NO feed exists.
     Returns the number of sync rounds performed."""
+    specs = aggs or default_aggs(value_col)
     rounds = 0
     for _ in range(max_rounds):
         try:
@@ -301,13 +369,30 @@ def cdc_sync(
                 group_cols=group_cols,
                 value_col=value_col,
                 prefix=prefix,
-                aggs=aggs,
+                aggs=specs,
             )
-        except (IncrementalWindowExpiredError, NonAppendChangeError):
-            # expired window OR logical (non-append) changes a row feed
-            # cannot represent — either way the always-correct recovery
-            # is a rebuild from the current snapshot (works for every
-            # aggregate algebra, including non-invertible min/max/HLL)
+        except NonAppendChangeError:
+            # logical (non-append) changes: true-incremental apply from
+            # the NET change feed when the algebra admits subtraction
+            if supports_incremental_apply(specs) and wh._primary_keys.get(
+                source_table
+            ):
+                try:
+                    window = cdc_apply_feed_once(
+                        wh,
+                        source_table,
+                        view_table,
+                        group_cols=group_cols,
+                        value_col=value_col,
+                        prefix=prefix,
+                        aggs=specs,
+                    )
+                    if window is None:
+                        return rounds
+                    rounds += 1
+                    continue
+                except IncrementalWindowExpiredError:
+                    pass  # feed inputs vacuumed — refresh below
             cdc_full_refresh(
                 wh,
                 source_table,
@@ -315,7 +400,22 @@ def cdc_sync(
                 group_cols=group_cols,
                 value_col=value_col,
                 prefix=prefix,
-                aggs=aggs,
+                aggs=specs,
+            )
+            rounds += 1
+            continue
+        except IncrementalWindowExpiredError:
+            # vacuumed past an unconsumed window: no feed can be derived —
+            # the always-correct recovery is a rebuild from the current
+            # snapshot (works for every algebra, including min/max/HLL)
+            cdc_full_refresh(
+                wh,
+                source_table,
+                view_table,
+                group_cols=group_cols,
+                value_col=value_col,
+                prefix=prefix,
+                aggs=specs,
             )
             rounds += 1
             continue

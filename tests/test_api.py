@@ -6,6 +6,7 @@ import urllib.error
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from healthcare_etl_pipeline_spark.api import EngineAPI, serve_background
 from healthcare_etl_pipeline_spark.sources.warehouse import TransactionalWarehouse
@@ -158,3 +159,46 @@ def test_concurrent_ingest_isolates_batches_and_mrn_uniqueness(api_server):
     assert len(runs) == 4
     seqs = [s["seq"] for s in wh.snapshots()]
     assert len(set(seqs)) == 4
+
+
+def test_list_reads_unaudited_by_default_audited_with_flag(spark, tmp_path):
+    """SURVEY §3.3: the reference audits point reads but NOT list reads —
+    default replicates that as-is; audit_list_reads=True opts in to ONE
+    audit row per served page (page-level, never per-row)."""
+    from healthcare_etl_pipeline_spark.plans.pipeline import (
+        ingest_batch_atomic,
+    )
+    from tests.conftest import make_patient
+
+    wh = TransactionalWarehouse(spark, str(tmp_path / "audit_wh"))
+    wh.create_all()
+    ingest_batch_atomic(
+        spark,
+        [make_patient(mrn=f"MRN-{i:03d}") for i in range(3)],
+        wh,
+        batch_id="seed",
+    )
+    base_audit = wh.read("audit_log").count()
+
+    # default: reference-parity, list reads leave no audit trace
+    api = EngineAPI(spark, wh, "/root/testdata/sf0.001")
+    status, body = api.list_patients(
+        limit=10, offset=None, after_mrn=None
+    )
+    assert status == 200 and len(body) == 3
+    assert wh.read("audit_log").count() == base_audit
+
+    # flag on: exactly one audit row per page serve, action='list'
+    audited = EngineAPI(
+        spark, wh, "/root/testdata/sf0.001", audit_list_reads=True
+    )
+    status, body = audited.list_patients(limit=2, offset=None, after_mrn=None)
+    assert status == 200 and len(body) == 2
+    log = wh.read("audit_log")
+    assert log.count() == base_audit + 1
+    row = log.filter(F.col("action") == "list").orderBy(
+        F.col("timestamp").desc()
+    ).first()
+    assert row is not None
+    assert row.resource_type == "Patient" and row.resource_id is None
+    assert json.loads(row.detail)["rows"] == 2

@@ -249,8 +249,9 @@ def test_non_append_changes_raise_under_strict(spark, tmp_path):
 
 def test_cdc_sync_recovers_from_non_append_changes(spark, tmp_path):
     """A source UPDATE + MoR delete inside the pending window makes the
-    appends-only fold impossible; cdc_sync must recover via full refresh
-    and converge to the batch recomputation."""
+    appends-only fold impossible; cdc_sync must recover (round 5: via the
+    NET change-feed incremental apply, since count/sum is invertible and
+    src has a primary key) and converge to the batch recomputation."""
     from pyspark.sql import Row
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -300,3 +301,150 @@ def test_cdc_sync_recovers_from_non_append_changes(spark, tmp_path):
     }
     # equals the from-scratch recomputation over the CURRENT snapshot
     assert got == {"a": (2, 12.0), "b": (1, 4.0)}
+
+
+def _churn_wh(spark, tmp_path, name):
+    """src table WITH a primary key (change-feed capable) + view table."""
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    view_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("value_sum", T.DoubleType(), True),
+        ]
+    )
+    w = TransactionalWarehouse(spark, str(tmp_path / name))
+    w.register_table("src", schema, primary_key=("k",))
+    w.register_table("view", view_schema)
+    w.create_all()
+
+    def df(rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(k=k, grp=g, v=float(v)) for k, g, v in rows], schema
+        )
+
+    return w, df
+
+
+def test_non_append_window_applies_change_feed_not_refresh(spark, tmp_path):
+    """Update+delete churn with an INVERTIBLE algebra (count/sum): cdc_sync
+    must apply the NET change feed incrementally — no full-refresh commit —
+    and still equal the batch recomputation, including DROPPING a group
+    whose rows were all deleted."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    wh, df = _churn_wh(spark, tmp_path, "feed_wh")
+    wh.append(df([(1, "a", 1), (2, "a", 2), (3, "b", 3), (4, "c", 4)]), "src")
+    assert cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v") == 1
+
+    wh.update_where("src", F.col("k") == 1, {"v": F.lit(10.0)})  # a: 1→10
+    wh.delete_where("src", F.col("grp") == "b")  # group b emptied
+    wh.append(df([(5, "c", 5)]), "src")
+
+    rounds = cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v")
+    assert rounds >= 1
+    run_ids = [r for r in wh.committed_run_ids() if r.startswith("cdc_src_view")]
+    assert run_ids, "consumer committed nothing"
+    assert not any("__refresh__" in r for r in run_ids), (
+        "invertible algebra must use the change feed, not full refresh: "
+        f"{run_ids}"
+    )
+    got = {r["grp"]: (r["n"], r["value_sum"]) for r in wh.read("view").collect()}
+    assert got == {"a": (2, 12.0), "c": (2, 9.0)}  # b dropped entirely
+
+
+def test_non_invertible_algebra_still_full_refreshes(spark, tmp_path):
+    """max is not invertible (deleting the max needs the runner-up the
+    state discarded): the same churn must take the full-refresh path and
+    still converge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+        AggSpec,
+        supports_incremental_apply,
+    )
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    specs = [AggSpec("n", "count"), AggSpec("v_max", "max", "v")]
+    assert not supports_incremental_apply(specs)
+    assert supports_incremental_apply(
+        [AggSpec("n", "count"), AggSpec("s", "sum", "v"), AggSpec("a", "avg", "v")]
+    )
+    # sum alone cannot witness retracted-to-empty groups either
+    assert not supports_incremental_apply([AggSpec("s", "sum", "v")])
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    view_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("v_max", T.DoubleType(), True),
+        ]
+    )
+    wh = TransactionalWarehouse(spark, str(tmp_path / "maxwh"))
+    wh.register_table("src", schema, primary_key=("k",))
+    wh.register_table("view", view_schema)
+    wh.create_all()
+    from pyspark.sql import Row
+
+    def df(rows):
+        return spark.createDataFrame(
+            [Row(k=k, grp=g, v=float(v)) for k, g, v in rows], schema
+        )
+
+    sync = lambda: cdc_sync(  # noqa: E731
+        wh, "src", "view", group_cols=["grp"], value_col="v", aggs=specs
+    )
+    wh.append(df([(1, "a", 1), (2, "a", 9), (3, "b", 3)]), "src")
+    assert sync() == 1
+    wh.delete_where("src", F.col("k") == 2)  # removes group a's max
+    assert sync() >= 1
+    run_ids = [r for r in wh.committed_run_ids() if r.startswith("cdc_src_view")]
+    assert any("__refresh__" in r for r in run_ids), (
+        f"non-invertible algebra must refresh: {run_ids}"
+    )
+    got = {r["grp"]: (r["n"], r["v_max"]) for r in wh.read("view").collect()}
+    assert got == {"a": (1, 1.0), "b": (1, 3.0)}
+
+
+def test_trailing_mor_delete_advances_watermark(spark, tmp_path):
+    """A merge-on-read delete stages only the tombstone sidecar; the
+    watermark must still advance so the delete syncs without waiting for
+    a later append."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.streaming.cdc import cdc_sync
+
+    wh, df = _churn_wh(spark, tmp_path, "trail_wh")
+    wh.append(df([(1, "a", 1), (2, "a", 2)]), "src")
+    assert cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v") == 1
+    wh.delete_where("src", F.col("k") == 2)  # tombstone-only commit
+    assert cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v") == 1
+    got = {r["grp"]: (r["n"], r["value_sum"]) for r in wh.read("view").collect()}
+    assert got == {"a": (1, 1.0)}

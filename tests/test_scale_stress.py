@@ -231,11 +231,14 @@ def test_salted_band_join_identical_pairs(spark, adversarial_docs):
 
 
 def test_auto_salting_engages_on_skew_with_flag_unset(spark, adversarial_docs):
-    """Round-4 hardening (verdict #6): with salt_buckets UNSET the band
-    join must detect the ~900-doc hot bucket itself, choose >1 salts, and
-    still emit exactly the unsalted pair set — the Zipfian guard no longer
-    depends on the caller knowing the flag exists."""
+    """Round-4 hardening (verdict #6), round-5 refinement (verdict #6):
+    with salt_buckets UNSET the band join defers to AQE's native skew-join
+    split when that is active (the probe job cost ~40% of the sf0.1
+    headline — BENCH_NOTES.md round-5 A/B), and otherwise probes bucket
+    skew itself — sampled — choosing >1 salts for the ~900-doc hot bucket.
+    Either path must emit exactly the unsalted pair set."""
     from healthcare_etl_pipeline_spark.operators.dedup import (
+        _aqe_handles_skew,
         _band_bucket_cols,
         _hottest_bucket_size,
         _banded_signatures,
@@ -245,22 +248,35 @@ def test_auto_salting_engages_on_skew_with_flag_unset(spark, adversarial_docs):
 
     slice_df = adversarial_docs.filter(F.col("doc_id") < 3000)
     # the probe itself: hottest bucket is the duplicate cluster (~900 docs
-    # per band), whose pair load crosses the per-task target -> salts on
+    # per band), whose pair load crosses the per-task target -> salts on.
+    # The SAMPLED estimate is deterministic (fixed seed) per dataset.
     sigs = _banded_signatures(slice_df, "doc_id", "text", 8, 4, 3, "portable")
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*_band_bucket_cols(8, 4))).alias("bucket")
     )
     m = _hottest_bucket_size(buckets)
-    assert m > 800
+    assert m > 500  # sampled estimate of a ~900-doc bucket
     assert _probe_salt_buckets(m * (m - 1) // 2) > 1
     # uniform workload: probe stays off
     assert _probe_salt_buckets(10 * 9 // 2) == 1
-    # default (auto) result set identical to the explicit unsalted join
+    # the test session runs AQE+skewJoin on, so auto defers to AQE
+    assert _aqe_handles_skew(spark)
+    # default (auto) result set identical to the explicit unsalted join,
+    # under BOTH gates: AQE-deferred (session as-is) and probe-engaged
+    # (skew-join disabled for the call)
     auto = lsh_candidate_pairs(slice_df, "doc_id", "text")
     plain = lsh_candidate_pairs(slice_df, "doc_id", "text", salt_buckets=1)
     assert auto.count() == plain.count() > 0
     assert auto.exceptAll(plain).count() == 0
     assert plain.exceptAll(auto).count() == 0
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        assert not _aqe_handles_skew(spark)
+        probed = lsh_candidate_pairs(slice_df, "doc_id", "text")
+        assert probed.count() == plain.count()
+        assert probed.exceptAll(plain).count() == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
 def test_salted_cross_candidates_identical(spark, adversarial_docs):

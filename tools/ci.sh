@@ -6,9 +6,15 @@
 #
 # Stages:
 #   1. oracle drive  — every registered query vs its DuckDB oracle (sf0.01,
-#                      the driver's correctness gate)
+#                      the driver's correctness gate); stdout tee'd to
+#                      CHECK_ORACLE.log so the full-registry evidence is
+#                      committed in-tree every round (not just the
+#                      driver's 50-query sample)
 #   2. plan audit    — pushdown/join-strategy/Python-stage anti-patterns,
-#                      regenerates PLANS.md
+#                      regenerates PLANS.md, then ASSERTS its row count
+#                      equals the query registry (a late-wave query whose
+#                      plan was never audited fails the gate — the
+#                      round-3/round-4 stale-PLANS.md class)
 #   3. pytest        — unit + pipeline + stress + model-based suites
 #   4. (--full) sf0.1 drive — scale-dependent behavior (see ORACLE_SF01.md)
 set -euo pipefail
@@ -17,11 +23,22 @@ cd "$(dirname "$0")/.."
 SF001=${SPARK_GRAFT_SF001:-/root/testdata/sf0.01}
 SF01=${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}
 
-echo "== 1/4 oracle drive @ ${SF001}"
-python tools/check_oracle.py "${SF001}"
+echo "== 1/4 oracle drive @ ${SF001} (log: CHECK_ORACLE.log)"
+python tools/check_oracle.py "${SF001}" 2>/dev/null | tee CHECK_ORACLE.log
+tail -1 CHECK_ORACLE.log | grep -q " 0 FAIL" || { echo "oracle drive has FAILs"; exit 1; }
 
 echo "== 2/4 plan audit @ ${SF01}"
 python tools/audit_plans.py "${SF01}" --write-report
+
+# close-out completeness: every registered query must have a PLANS.md row
+REGISTRY=$(python -c "from healthcare_etl_pipeline_spark.queries import all_queries; print(len(all_queries()))")
+AUDITED=$(grep -c '^| ' PLANS.md || true)
+AUDITED=$((AUDITED - 1))  # header row
+if [[ "${AUDITED}" -ne "${REGISTRY}" ]]; then
+  echo "PLANS.md is stale: ${AUDITED} audited rows vs ${REGISTRY} registered queries"
+  exit 1
+fi
+echo "PLANS.md covers all ${REGISTRY} registered queries"
 
 echo "== 3/4 pytest"
 python -m pytest tests/ -q
