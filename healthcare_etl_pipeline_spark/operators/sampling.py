@@ -75,6 +75,35 @@ def hash_split(
     return df.withColumn(split_col, assigned)
 
 
+def grouped_hash_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    fractions: dict[str, float] | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: bucket on a GROUP key so every member of a
+    group lands on the same side.
+
+    Splitting training corpora on the ROW key leaks: near-duplicate
+    documents (or documents by one author, turns of one conversation,
+    frames of one video) straddle train and eval, and the model is scored
+    on rephrasings of its own training data. The fix is to split on the
+    unit of correlation — e.g. the connected-component id of the near-dup
+    graph (``operators.dedup.connected_components`` over LSH pair
+    evidence), a session id, or a source domain — which this wrapper
+    makes explicit: same zero-shuffle deterministic bucket arithmetic as
+    :func:`hash_split`, applied to ``group_col``. Disjointness is then a
+    THEOREM (one group → one bucket → one split), not a post-hoc filter;
+    the ``leakage_safe_split_docs`` query asserts zero crossing pairs
+    against the oracle anyway.
+    """
+    return hash_split(
+        df, group_col, fractions=fractions, salt=salt, split_col=split_col
+    )
+
+
 def hash_sample(
     df: DataFrame, id_col: str, *, fraction: float, salt: int = 0
 ) -> DataFrame:

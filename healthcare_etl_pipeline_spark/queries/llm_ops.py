@@ -2827,3 +2827,115 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _ann_recall_contract(spark, sf_dir, approx, floor=0.3)
+
+
+@query(
+    "leakage_safe_split_docs",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD}
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), prop AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, p.label
+      FROM prop p JOIN edges e ON p.id = e.src
+      WHERE p.label < e.dst
+    ), comp AS (
+      SELECT id, min(label) AS component FROM prop GROUP BY id
+    ), assigned AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS group_id,
+             CASE WHEN {hash_bucket_sql("coalesce(c.component, d.doc_id)")} < 9000
+                    THEN 'train'
+                  WHEN {hash_bucket_sql("coalesce(c.component, d.doc_id)")} < 9500
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ), summary AS (
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT group_id) AS n_groups
+      FROM assigned GROUP BY split
+    ), leak AS (
+      SELECT count(*) AS leaked_pairs
+      FROM pairs p
+      JOIN assigned a ON p.id_a = a.doc_id
+      JOIN assigned b ON p.id_b = b.doc_id
+      WHERE a.split <> b.split
+    )
+    SELECT s.split, s.n_docs, s.n_groups, l.leaked_pairs
+    FROM summary s CROSS JOIN leak l
+    """,
+    description="Leakage-safe train/val/test split: documents are split on "
+    "their near-dup CLUSTER id (connected components over MinHash-LSH pair "
+    "evidence; singletons are their own group), so rephrasings of one "
+    "document can never straddle train and eval — the contamination a "
+    "row-keyed split bakes into benchmarks. Same zero-shuffle deterministic "
+    "bucket arithmetic as hash_split, applied to the group id; the result "
+    "carries per-split doc/group counts plus the crossing-pair count, which "
+    "must be ZERO by construction (one group -> one bucket -> one split). "
+    "The final 1-row leak frame is a broadcast crossJoin (whitelisted).",
+    tags=("llm", "split", "dedup", "leakage"),
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        grouped_hash_split,
+    )
+
+    docs = td(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text", k=8, bands=4, n=3)
+    pairs = pairs.transform(
+        lambda df: df.localCheckpoint(eager=True)
+    )  # reused by assignment AND the leak audit: cut the LSH lineage once
+    comp = D.connected_components(pairs)
+    assigned = (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(comp["component"], docs["doc_id"]).alias("group_id"),
+        )
+        .transform(
+            lambda df: grouped_hash_split(
+                df,
+                "group_id",
+                fractions={"train": 0.90, "val": 0.05, "test": 0.05},
+            )
+        )
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    leak = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    )
+    return summary.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_groups", "leaked_pairs"
+    )

@@ -114,3 +114,22 @@ def test_feed_composes_with_rename(spark, wh):
         (1, 10, "update_preimage"),
         (1, 11, "update_postimage"),
     }
+
+
+def test_feed_over_vacuumed_window_raises_expired(spark, wh):
+    """Snapshot expiry: when a run the diff must read was compacted away
+    and vacuumed, the feed REFUSES (IncrementalWindowExpiredError) instead
+    of returning a silently partial changeset — the consumer's recovery is
+    a full refresh."""
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        IncrementalWindowExpiredError,
+    )
+
+    wh.append(_df(spark, [(1, 10), (2, 20)]), "kv")
+    s1 = wh.snapshots()[-1]["seq"]
+    wh.update_where("kv", F.col("k") == 1, {"v": F.lit(11)})
+    # compaction supersedes the pre-update runs; vacuum reclaims them
+    wh.compact("kv")
+    wh.vacuum()
+    with pytest.raises(IncrementalWindowExpiredError):
+        wh.read_change_feed("kv", since=s1).collect()

@@ -142,3 +142,37 @@ def test_temperature_mix_between_uniform_and_natural(spark):
     ids1 = {r.doc_id for r in temp.collect()}
     ids2 = {r.doc_id for r in temperature_mix(df, "doc_id", "source", alpha=0.5, salt=3).collect()}
     assert ids1 == ids2
+
+
+def test_grouped_hash_split_never_straddles_groups(spark):
+    """Leakage-safe split: every member of a group lands on the same side,
+    splits partition the rows, and the assignment is a pure function of
+    the group key (same key -> same split across frames and reruns)."""
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        grouped_hash_split,
+        hash_split,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 700).alias("group_id")
+    )
+    out = grouped_hash_split(
+        df, "group_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # one split per group, all rows assigned
+    per_group = out.groupBy("group_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_group.filter(F.col("k") != 1).count() == 0
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == 5000
+    # pure function of the key: identical to hash_split on the group col,
+    # and stable under repartitioning
+    again = hash_split(
+        df.repartition(17),
+        "group_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert out.exceptAll(again).count() == 0
+    # all three splits are populated at this group count
+    assert out.select("split").distinct().count() == 3

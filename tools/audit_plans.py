@@ -58,6 +58,7 @@ EXPECTED_NESTED_LOOP = {
     "perplexity_bucket_docs",   # tercile-cutoff crossjoin (1-row broadcast agg)
     "rrf_hybrid_retrieval",     # bm25 N/avgdl stats crossjoin (1-row broadcast)
     "kmv_intersection_events",  # two 1-row sketch frames + 1-row exact-stats agg
+    "leakage_safe_split_docs",  # leak-audit crossjoin (1-row broadcast agg)
 }
 
 # Queries expected to run Python (Arrow) stages.
