@@ -1612,6 +1612,89 @@ def txn_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_branch_read",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer
+    WHERE (c_custkey % 2 = 0 AND c_custkey % 10 <> 0)
+       OR (c_custkey % 2 = 1 AND c_custkey % 3 = 0)
+    """,
+    description="Zero-copy branch lifecycle over the commit log "
+    "(Nessie/LakeFS-style refs, no reference equivalent): main commits "
+    "the even custkeys, a 'dev' branch appends odds divisible by 3 and "
+    "MoR-deletes the multiples of 10, all invisible to main; a tag pins "
+    "the pre-merge snapshot; the fast-forward merge publishes the "
+    "branch's net effect as ONE metadata-only commit (restores adopt the "
+    "branch runs — no data copies, asserted by run-dir census). The "
+    "final main read must equal evens-minus-tens plus odd-threes; a "
+    "leaked pre-merge branch row, a lost tombstone, or a wrong seq "
+    "replay order flips the hash.",
+    tags=("txn", "branch", "ref", "etl"),
+)
+def txn_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_branch", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_log",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+        primary_key=("custkey",),
+    )
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    txn = wh.begin("br-even")
+    txn.stage(cust.filter(F.col("custkey") % 2 == 0), "cust_log")
+    txn.commit()
+
+    dev = wh.create_branch("dev")
+    txn = dev.begin("br-odd3")
+    txn.stage(
+        cust.filter(
+            (F.col("custkey") % 2 == 1) & (F.col("custkey") % 3 == 0)
+        ),
+        "cust_log",
+    )
+    txn.commit()
+    dev.delete_where("cust_log", F.col("custkey") % 10 == 0)
+
+    # branch work is invisible on main until the merge
+    wh.create_tag("pre-merge")
+    n_main_rows = wh.read("cust_log").count()
+    runs_before = {
+        e
+        for e in os.listdir(wh.path("cust_log"))
+        if e.startswith("__run_id=")
+    }
+    report = wh.merge_branch("dev")
+    assert report["merged"], report
+    runs_after = {
+        e
+        for e in os.listdir(wh.path("cust_log"))
+        if e.startswith("__run_id=")
+    }
+    assert runs_after == runs_before, "merge must be metadata-only"
+    assert (
+        wh.read("cust_log", as_of="tag:pre-merge").count() == n_main_rows
+    ), "tag must still see the pre-merge snapshot"
+    return wh.read("cust_log")
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

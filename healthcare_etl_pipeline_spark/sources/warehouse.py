@@ -243,6 +243,12 @@ class NonAppendChangeError(RuntimeError):
     ``strict=False`` to knowingly consume appends only."""
 
 
+class BranchConflictError(RuntimeError):
+    """Fast-forward merge refused: main advanced on a table the branch
+    also changed since the fork point. Nothing was committed — rebase by
+    re-running the branch's work on a fresh fork, or resolve by hand."""
+
+
 class IncrementalWindowExpiredError(RuntimeError):
     """An incremental (CDC) read window references runs whose files were
     reclaimed by ``vacuum`` after a compaction superseded them — the same
@@ -274,6 +280,12 @@ class Transaction:
         self.renames: dict[str, list[list[str]]] = {}  # table -> [[old,new]]
         self.partition_specs: dict[str, list[str]] = {}  # table -> new spec
         self.operation = "write"  # history label: append/merge/compact/...
+        #: ref this commit lands on (None = main) — inherited from the
+        #: warehouse handle that opened it, so every existing DML verb
+        #: (merge/delete_where/compact/rollback/...) is branch-aware for
+        #: free when invoked through a branch view
+        self.branch: str | None = getattr(warehouse, "_ref", None)
+        self.extra_manifest: dict = {}  # merge_branch provenance etc.
         self._done = False
         self._already_committed = False  # set by begin() for committed ids
 
@@ -386,6 +398,9 @@ class Transaction:
             "seq": seq,
             "format_version": 4,
         }
+        if self.branch:
+            manifest["branch"] = self.branch
+        manifest.update(self.extra_manifest)
         if not backend.put_if_absent(marker, json.dumps(manifest)):
             return False  # concurrent committer published first
         self._wh._maybe_checkpoint()  # keep the marker tail short
@@ -457,6 +472,11 @@ class TransactionalWarehouse(Warehouse):
         self._extra_partitions: dict[str, list[str]] = {}
         self._constraints: dict[str, dict[str, str]] = {}
         self._primary_keys: dict[str, list[str]] = {}
+        #: ref this handle reads/writes — None = main; a branch view
+        #: (:meth:`branch`) is a shallow copy with these two set, sharing
+        #: every registry dict with the parent handle
+        self._ref: str | None = None
+        self._ref_base: int = 0
 
     # -- CHECK constraints ---------------------------------------------------
 
@@ -823,11 +843,26 @@ class TransactionalWarehouse(Warehouse):
         return sorted(out, key=lambda m: (m.get("seq", 0), m["run_id"]))
 
     def _manifests(self) -> list[dict]:
-        """All commit manifests in snapshot order (seq, then run_id for
-        legacy seq-less markers, which sort first). Served from the log
-        checkpoint plus the un-checkpointed marker tail — O(tail) file
-        opens per call instead of O(total commits)."""
-        return self._read_manifests()
+        """Commit manifests VISIBLE TO THIS REF in snapshot order (seq,
+        then run_id for legacy seq-less markers, which sort first).
+        Served from the log checkpoint plus the un-checkpointed marker
+        tail — O(tail) file opens per call instead of O(total commits).
+
+        Ref visibility (the single point every read/history/time-travel/
+        CDC path flows through): the main handle sees only un-branched
+        commits; a :meth:`branch` view sees main's prefix up to its fork
+        seq plus the branch's own commits. Physical concerns (seq
+        claiming, vacuum/fsck liveness, tombstone seq mapping) use the
+        unfiltered :meth:`_read_manifests` instead."""
+        ms = self._read_manifests()
+        if self._ref is None:
+            return [m for m in ms if not m.get("branch")]
+        return [
+            m
+            for m in ms
+            if (not m.get("branch") and m.get("seq", 0) <= self._ref_base)
+            or m.get("branch") == self._ref
+        ]
 
     def _seq_dir(self) -> str:
         return os.path.join(self.txn_root(), "seqs")
@@ -862,7 +897,11 @@ class TransactionalWarehouse(Warehouse):
         seq = (
             max(
                 max(self._claimed_seqs(), default=0),
-                max((m.get("seq", 0) for m in self._manifests()), default=0),
+                # unfiltered: branch commits share the global seq chain
+                max(
+                    (m.get("seq", 0) for m in self._read_manifests()),
+                    default=0,
+                ),
             )
             + 1
         )
@@ -919,11 +958,7 @@ class TransactionalWarehouse(Warehouse):
         compaction commit's ``replaces`` entry inside that same prefix."""
         manifests = self._manifests()
         if as_of is not None:
-            if isinstance(as_of, str):
-                seqs = [m.get("seq", 0) for m in manifests if m["run_id"] == as_of]
-                if not seqs:
-                    raise KeyError(f"unknown snapshot run_id {as_of!r}")
-                as_of = seqs[0]
+            as_of = self._resolve_snapshot(as_of)
             manifests = [m for m in manifests if m.get("seq", 0) <= as_of]
         # sequential fold in snapshot order: adds, then retirements, then
         # restorations (rollback markers) apply at their commit point —
@@ -938,7 +973,10 @@ class TransactionalWarehouse(Warehouse):
         return sorted(live)
 
     def _resolve_snapshot(self, s: int | str) -> int:
+        """seq | committed run_id | ``"tag:<name>"`` -> snapshot seq."""
         if isinstance(s, str):
+            if s.startswith("tag:"):
+                return self.resolve_tag(s[len("tag:"):])
             seqs = [
                 m.get("seq", 0) for m in self._manifests() if m["run_id"] == s
             ]
@@ -1172,6 +1210,225 @@ class TransactionalWarehouse(Warehouse):
             F.lit("update_postimage").alias("_change_type"),
         )
         return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+    # -- branches & tags (zero-copy refs over the commit log) ---------------
+
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9_.-]{1,64}$")
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.txn_root(), "refs")
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self.txn_root(), "tags")
+
+    def _check_ref_name(self, name: str) -> None:
+        if not self._REF_NAME_RE.match(name):
+            raise ValueError(f"invalid ref name {name!r}")
+
+    def list_branches(self) -> list[str]:
+        d = self._refs_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def list_tags(self) -> list[str]:
+        d = self._tags_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def create_branch(
+        self, name: str, as_of: int | str | None = None
+    ) -> "TransactionalWarehouse":
+        """Fork a zero-copy branch at snapshot ``as_of`` (default: the
+        current main snapshot) and return a handle onto it.
+
+        A branch is one tiny ref object (``_txn/refs/<name>.json``, a
+        conditional PUT — duplicate names lose atomically even across
+        drivers). No data moves: branch commits are ordinary commits
+        whose manifests carry a ``branch`` field, claimed off the same
+        global seq chain, and the ref filter in :meth:`_manifests` is
+        the only divergence point — so reads, time travel, DML, CDC and
+        change feeds all work on a branch unchanged. Main never sees
+        branch commits until :meth:`merge_branch`; the branch never sees
+        main commits after its fork seq (repeatable experiment input).
+
+        Branches fork from main only (no branch-of-branch)."""
+        if self._ref is not None:
+            raise ValueError("branches fork from main only")
+        self._check_ref_name(name)
+        base = (
+            self._resolve_snapshot(as_of)
+            if as_of is not None
+            else max((m.get("seq", 0) for m in self._manifests()), default=0)
+        )
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        ref = {"name": name, "base_seq": base}
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        if not self.backend.put_if_absent(path, json.dumps(ref)):
+            raise ValueError(f"branch {name!r} already exists")
+        return self.branch(name)
+
+    def branch(self, name: str) -> "TransactionalWarehouse":
+        """A handle pinned to branch ``name``: a shallow copy of this
+        warehouse sharing every registry (schemas, constraints, primary
+        keys, backend, Spark session) with ref visibility switched — the
+        copy costs nothing and holds no state beyond the two ref fields."""
+        import copy as _copy
+
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                ref = json.load(fh)
+        except OSError:
+            raise KeyError(f"unknown branch {name!r}") from None
+        view = _copy.copy(self)
+        view._ref = name
+        view._ref_base = int(ref["base_seq"])
+        return view
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the ref. A merged branch's runs stay live through the
+        merge commit's restores; an UNMERGED branch's runs lose their
+        only liveness anchor and become :meth:`vacuum` fuel — deleting
+        an unmerged branch discards its writes, like any ref store."""
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            raise KeyError(f"unknown branch {name!r}") from None
+
+    def create_tag(self, name: str, as_of: int | str | None = None) -> int:
+        """Pin an immutable name to a snapshot seq of THIS ref (default:
+        current). Readable forever via ``read(..., as_of="tag:<name>")``
+        — subject to :meth:`vacuum` retention, like any snapshot."""
+        self._check_ref_name(name)
+        seq = (
+            self._resolve_snapshot(as_of)
+            if as_of is not None
+            else max((m.get("seq", 0) for m in self._manifests()), default=0)
+        )
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        if not self.backend.put_if_absent(
+            path, json.dumps({"name": name, "seq": seq})
+        ):
+            raise ValueError(f"tag {name!r} already exists")
+        return seq
+
+    def resolve_tag(self, name: str) -> int:
+        path = os.path.join(self._tags_dir(), f"{name}.json")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                return int(json.load(fh)["seq"])
+        except OSError:
+            raise KeyError(f"unknown tag {name!r}") from None
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise KeyError(f"unknown tag {name!r}") from None
+
+    def merge_branch(self, name: str) -> dict:
+        """Fast-forward merge: publish the branch's net effect on main as
+        ONE metadata-only commit (zero data copy — branch run dirs already
+        sit in the table directories; only the ref filter hid them).
+
+        Per touched table the commit's ``restores`` adopts runs live at
+        the branch tip but not on main, and ``replaces`` retires main
+        runs the branch rewrote (compaction/overwrite/merge on the
+        branch) — the same sequential-fold verbs :meth:`rollback` uses,
+        so readers, time travel, and vacuum need nothing new. Atomic
+        across all touched tables like every commit.
+
+        Fast-forward ONLY: if main advanced on any touched table after
+        the fork seq, raises :class:`BranchConflictError` and commits
+        nothing (re-fork and replay to rebase). Merging twice conflicts
+        with the first merge by the same rule."""
+        if self._ref is not None:
+            raise ValueError("merge_branch must run on the main handle")
+        view = self.branch(name)
+        all_ms = self._read_manifests()
+        branch_ms = [m for m in all_ms if m.get("branch") == name]
+        if not branch_ms:
+            return {"merged": False, "tables": {}}
+        touched: set[str] = set()
+        for m in branch_ms:
+            touched.update(m.get("tables", ()))
+            touched.update(m.get("replaces", {}).keys())
+            touched.update(m.get("restores", {}).keys())
+        base = view._ref_base
+        conflicts = sorted(
+            t
+            for t in touched
+            if any(
+                not m.get("branch")
+                and m.get("seq", 0) > base
+                and (
+                    t in m.get("tables", ())
+                    or t in m.get("replaces", {})
+                    or t in m.get("restores", {})
+                )
+                for m in all_ms
+            )
+        )
+        if conflicts:
+            raise BranchConflictError(
+                f"main advanced on {conflicts} since branch {name!r} forked"
+                f" at seq {base} — fast-forward merge refused"
+            )
+        txn = self.begin(operation="merge_branch")
+        report: dict[str, dict] = {}
+        for t in sorted(touched):
+            live_branch = set(view.committed_runs_for(t))
+            live_main = set(self.committed_runs_for(t))
+            adds = sorted(live_branch - live_main)
+            removes = sorted(live_main - live_branch)
+            gone = [
+                r for r in adds if not os.path.isdir(self.run_dir(t, r))
+            ]
+            if gone:
+                txn.abort()
+                raise IncrementalWindowExpiredError(
+                    f"merge of branch {name!r} needs vacuumed runs {gone}"
+                    f" of table {t!r}"
+                )
+            if adds:
+                txn.restores[t] = adds
+            if removes:
+                txn.replaces[t] = removes
+            if adds or removes:
+                report[t] = {"adds": adds, "removes": removes}
+        if not report:
+            txn.abort()
+            return {"merged": False, "tables": {}}
+        txn.extra_manifest = {"merged_branch": name, "merge_base": base}
+        txn.commit()
+        return {"merged": True, "run_id": txn.run_id, "tables": report}
+
+    def _main_view(self) -> "TransactionalWarehouse":
+        if self._ref is None:
+            return self
+        import copy as _copy
+
+        view = _copy.copy(self)
+        view._ref = None
+        view._ref_base = 0
+        return view
+
+    def _live_runs_all_refs(self, table: str) -> set[str]:
+        """Liveness across EVERY ref — what vacuum/fsck must protect: a
+        run invisible on main may be a branch's only copy of its work."""
+        main = self._main_view()
+        live = set(main.committed_runs_for(table))
+        for name in self.list_branches():
+            live.update(self.branch(name).committed_runs_for(table))
+        return live
 
     def begin(
         self, batch_id: str | None = None, *, operation: str = "write"
@@ -1439,9 +1696,12 @@ class TransactionalWarehouse(Warehouse):
     def _run_seq_expr(self, as_of: int | str | None = None) -> "Column":
         """Map the ``__run_id`` column to its commit seq (tiny literal
         map built from the manifest log — bounded by live commits, which
-        checkpointing and compaction keep small)."""
+        checkpointing and compaction keep small). Built from the
+        UNFILTERED log: a branch run merged to main (restored by the
+        merge commit) must still map to its original seq so
+        merge-on-read tombstones replay in true commit order."""
         entries: list[Column] = []
-        for m in self._manifests():
+        for m in self._read_manifests():
             entries.append(F.lit(m["run_id"]))
             entries.append(F.lit(m.get("seq", 0)))
         if not entries:
@@ -2389,7 +2649,7 @@ class TransactionalWarehouse(Warehouse):
             tdir = self.path(table)
             if not os.path.isdir(tdir):
                 continue
-            live = set(self.committed_runs_for(table))
+            live = self._live_runs_all_refs(table)
             claim_prefix = f".publish.{prefix}"
             claims: list[tuple[str, str]] = []  # (claimed run_id, path)
             for entry in os.listdir(tdir):
@@ -2461,14 +2721,15 @@ class TransactionalWarehouse(Warehouse):
         Cost is one directory listing per table plus the manifest tail —
         no data file is opened, so this runs at any scale.
         """
-        committed_ever = set(self.committed_run_ids())
+        # unfiltered: a branch commit is still a commit (not an orphan)
+        committed_ever = {m["run_id"] for m in self._read_manifests()}
         report: dict[str, dict] = {}
         prefix = f"{RUN_ID_COL}="
         for table in self.all_tables():
             tdir = self.path(table)
             if not os.path.isdir(tdir):
                 continue
-            live = set(self.committed_runs_for(table))
+            live = self._live_runs_all_refs(table)
             on_disk = {
                 e[len(prefix):]
                 for e in os.listdir(tdir)

@@ -1,0 +1,262 @@
+"""Branches and tags over the transactional warehouse's commit log.
+
+A branch is a named ref (one conditional-PUT JSON) whose reads fold main's
+commit prefix up to the fork seq plus the branch's own commits; merge is a
+single metadata-only fast-forward commit on main (restores/replaces — the
+rollback verbs). Nothing here exists in the reference (its Postgres store
+has no refs); this is warehouse surface beyond parity, modeled on
+Nessie/LakeFS ref semantics.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from healthcare_etl_pipeline_spark.sources.warehouse import (
+    BranchConflictError,
+    TransactionalWarehouse,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def twh(spark, tmp_path):
+    wh = TransactionalWarehouse(spark, str(tmp_path / "wh"))
+    wh.register_table("tbl", SCHEMA, primary_key=["k"])
+    wh.create_all()
+    return wh
+
+
+def _frame(spark, pairs):
+    return spark.createDataFrame(pairs, SCHEMA)
+
+
+def _commit(wh, batch, pairs, table="tbl"):
+    txn = wh.begin(batch)
+    txn.stage(_frame(wh.spark, pairs), table)
+    assert txn.commit()
+
+
+def _keys(df):
+    return sorted(r.k for r in df.collect())
+
+
+def test_branch_isolation_both_directions(spark, twh):
+    _commit(twh, "base", [(1, "a"), (2, "b")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(3, "c")])
+    _commit(twh, "main2", [(10, "z")])  # after the fork: invisible on dev
+    assert _keys(twh.read("tbl")) == [1, 2, 10]
+    assert _keys(dev.read("tbl")) == [1, 2, 3]
+
+
+def test_branch_fork_at_historic_snapshot(spark, twh):
+    _commit(twh, "s1", [(1, "a")])
+    s1 = twh.snapshots()[-1]["seq"]
+    _commit(twh, "s2", [(2, "b")])
+    old = twh.create_branch("from-s1", as_of=s1)
+    assert _keys(old.read("tbl")) == [1]
+
+
+def test_branch_time_travel_within_branch(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    _commit(dev, "dev2", [(3, "c")])
+    assert _keys(dev.read("tbl", as_of="dev1")) == [1, 2]
+
+
+def test_duplicate_and_invalid_branch_names(twh):
+    twh.create_branch("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        twh.create_branch("dev")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        twh.create_branch("a/b")
+    with pytest.raises(KeyError):
+        twh.branch("nope")
+    dev = twh.branch("dev")
+    with pytest.raises(ValueError, match="fork from main"):
+        dev.create_branch("dev2")
+
+
+def test_fast_forward_merge_is_metadata_only(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    run_dirs_before = {
+        e
+        for e in os.listdir(twh.path("tbl"))
+        if e.startswith("__run_id=")
+    }
+    rep = twh.merge_branch("dev")
+    assert rep["merged"] and rep["tables"]["tbl"]["adds"] == ["dev1"]
+    run_dirs_after = {
+        e
+        for e in os.listdir(twh.path("tbl"))
+        if e.startswith("__run_id=")
+    }
+    assert run_dirs_after == run_dirs_before  # zero copy: no new run dirs
+    assert _keys(twh.read("tbl")) == [1, 2]
+    # merge commit provenance lands in the marker
+    marker = json.load(
+        open(twh.marker_path(rep["run_id"]), encoding="utf-8")
+    )
+    assert marker["operation"] == "merge_branch"
+    assert marker["merged_branch"] == "dev"
+
+
+def test_merge_conflict_on_touched_table(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    _commit(twh, "main2", [(3, "c")])  # main advanced on tbl
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+    # nothing committed: main unchanged, branch intact
+    assert _keys(twh.read("tbl")) == [1, 3]
+    assert _keys(dev.read("tbl")) == [1, 2]
+
+
+def test_merge_no_conflict_on_untouched_table(spark, twh):
+    twh.register_table("other", SCHEMA)
+    twh.create_all()
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    _commit(twh, "mo", [(9, "x")], table="other")  # disjoint table
+    rep = twh.merge_branch("dev")
+    assert rep["merged"]
+    assert _keys(twh.read("tbl")) == [1, 2]
+
+
+def test_second_merge_conflicts_with_first(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    assert twh.merge_branch("dev")["merged"]
+    _commit(dev, "dev2", [(3, "c")])
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+
+
+def test_merge_empty_branch_is_noop(twh):
+    _commit(twh, "base", [(1, "a")])
+    twh.create_branch("dev")
+    assert twh.merge_branch("dev") == {"merged": False, "tables": {}}
+
+
+def test_branch_mor_delete_merges_with_correct_seq_order(spark, twh):
+    """Tombstones committed on a branch must replay in true commit order
+    after the merge — the run->seq map is built from the unfiltered log
+    precisely because the merged runs' manifests stay branch-tagged."""
+    _commit(twh, "base", [(1, "a"), (2, "b")])
+    dev = twh.create_branch("dev")
+    dev.delete_where("tbl", F.col("k") == 1)
+    _commit(dev, "dev-reinsert", [(1, "a2")])  # re-insert AFTER the delete
+    assert _keys(dev.read("tbl")) == [1, 2]
+    twh.merge_branch("dev")
+    out = {r.k: r.v for r in twh.read("tbl").collect()}
+    assert out == {1: "a2", 2: "b"}  # resurrected row visible, old one dead
+
+
+def test_branch_compaction_merges_as_replaces(spark, twh):
+    _commit(twh, "b1", [(1, "a")])
+    _commit(twh, "b2", [(2, "b")])
+    dev = twh.create_branch("dev")
+    dev.compact("tbl")
+    rep = twh.merge_branch("dev")
+    assert sorted(rep["tables"]["tbl"]["removes"]) == ["b1", "b2"]
+    assert len(rep["tables"]["tbl"]["adds"]) == 1
+    assert _keys(twh.read("tbl")) == [1, 2]
+
+
+def test_vacuum_protects_unmerged_branch_and_reclaims_deleted(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    twh.vacuum()
+    assert _keys(dev.read("tbl")) == [1, 2]  # branch work survives
+    twh.delete_branch("dev")
+    assert "dev1" in twh.vacuum()
+    assert _keys(twh.read("tbl")) == [1]
+
+
+def test_vacuum_called_on_branch_view_protects_main(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(twh, "main2", [(2, "b")])  # after fork: invisible on dev
+    dev.vacuum()
+    assert _keys(twh.read("tbl")) == [1, 2]  # main run not reclaimed
+
+
+def test_merged_branch_delete_then_vacuum_keeps_main_data(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    twh.merge_branch("dev")
+    twh.delete_branch("dev")
+    reclaimed = twh.vacuum()
+    assert "dev1" not in reclaimed  # adopted by the merge commit's restores
+    assert _keys(twh.read("tbl")) == [1, 2]
+
+
+def test_fsck_clean_with_branches(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    report = twh.fsck()
+    assert report == {}, report  # branch run is neither orphan nor dead
+
+
+def test_tags_pin_snapshots(spark, twh):
+    _commit(twh, "s1", [(1, "a")])
+    twh.create_tag("v1")
+    _commit(twh, "s2", [(2, "b")])
+    assert _keys(twh.read("tbl", as_of="tag:v1")) == [1]
+    assert _keys(twh.read("tbl")) == [1, 2]
+    with pytest.raises(ValueError, match="already exists"):
+        twh.create_tag("v1")
+    with pytest.raises(KeyError):
+        twh.read("tbl", as_of="tag:nope")
+    assert twh.list_tags() == ["v1"]
+    twh.delete_tag("v1")
+    assert twh.list_tags() == []
+
+
+def test_tag_on_branch_resolves_branch_snapshot(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    dev.create_tag("dev-v1")
+    _commit(dev, "dev2", [(3, "c")])
+    assert _keys(dev.read("tbl", as_of="tag:dev-v1")) == [1, 2]
+
+
+def test_change_feed_on_branch(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    s0 = dev.snapshots()[-1]["seq"]
+    _commit(dev, "dev1", [(2, "b")])
+    feed = dev.read_change_feed("tbl", since=s0)
+    rows = [(r.k, r._change_type) for r in feed.collect()]
+    assert rows == [(2, "insert")]
+
+
+def test_list_branches(twh):
+    assert twh.list_branches() == []
+    twh.create_branch("a")
+    twh.create_branch("b")
+    assert twh.list_branches() == ["a", "b"]
+    twh.delete_branch("a")
+    assert twh.list_branches() == ["b"]
+    with pytest.raises(KeyError):
+        twh.delete_branch("a")
