@@ -953,3 +953,193 @@ def ann_ivf_from_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ, the FAISS-style 100 TB ANN memory story)
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+) -> list:
+    """Deterministic seed codebooks: subspace ``j`` of the ``ks``
+    smallest-id vectors (the same smallest-ids seeding convention as the
+    k-means contract query, so the oracle can rebuild them in SQL).
+    Returns ``m`` numpy arrays of shape (ks, dim/m) — k·dim doubles, the
+    only driver traffic in the whole PQ family."""
+    import numpy as np
+
+    sub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(ks)
+        .collect()
+    )
+    seeds = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return [seeds[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+) -> list:
+    """Lloyd-refine the seed codebooks per subspace: each round is ONE
+    corpus scan — encode against the current books (map-only Arrow
+    kernel), posexplode the residual components, and a map-side-combined
+    groupBy((subspace, code, pos)) average; only the m·ks·(dim/m) = dim·ks
+    refreshed doubles visit the driver per round, exactly the k-means
+    driver-traffic contract. Empty cells keep their previous codeword
+    (standard k-means empty-cluster fallback)."""
+    import numpy as np
+
+    books = pq_seed_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, ks=ks
+    )
+    sub = dim // m
+    for _ in range(iters):
+        enc = pq_encode(
+            corpus, books, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col(id_col),
+            F.posexplode("codes").alias("sub_m", "code"),
+        )
+        comps = corpus.select(
+            F.col(id_col),
+            F.posexplode(F.col(vec_col)).alias("pos", "comp"),
+        ).select(
+            id_col,
+            (F.col("pos") / sub).cast("int").alias("sub_m"),
+            (F.col("pos") % sub).alias("sub_pos"),
+            F.col("comp").cast("double").alias("comp"),
+        )
+        means = (
+            enc.join(comps, [id_col, "sub_m"])
+            .groupBy("sub_m", "code", "sub_pos")
+            .agg(F.avg("comp").alias("mu"))
+            .collect()
+        )
+        new_books = [b.copy() for b in books]
+        for r in means:
+            new_books[r["sub_m"]][r["code"]][r["sub_pos"]] = r["mu"]
+        books = new_books
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte codes (nearest codeword per
+    subspace, L2; ties break to the lowest code, matching the oracle's
+    ORDER BY d, code): dim floats -> m bytes, a 32x memory cut at dim=64/
+    m=8 float32. Map-only Arrow kernel — one (n x ks) einsum per subspace
+    per batch, the codebooks riding in the closure like every centroid
+    kernel here. Output: (id, codes array<int> of length m)."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # n × dim
+        out = np.empty((x.shape[0], m), dtype=np.int64)
+        for j, book in enumerate(books):
+            seg = x[:, j * sub : (j + 1) * sub]  # n × sub
+            # ||seg - book||² = ||seg||² - 2·seg·bookᵀ + ||book||²;
+            # ||seg||² is constant per row → argmin over the last two terms
+            d = seg @ book.T * (-2.0) + (book * book).sum(axis=1)[None, :]
+            out[:, j] = d.argmin(axis=1)  # first min = lowest code
+        return pd.Series([row.tolist() for row in out])
+
+    return df.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: list,
+    codebooks: list,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query-to-codeword
+    lookup table (m x ks doubles) is computed on the driver and becomes
+    ``element_at`` literals — the scan is pure whole-stage codegen over
+    m-byte codes (never touching the original vectors), which is the
+    entire point of PQ at 100 TB: the index is ~m bytes/vector and the
+    per-row work is m array lookups + a sum. Ascending L2-ADC order,
+    ties to the lowest id; distances rounded to 6 (float-compare
+    convention)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sub = len(codebooks[0][0])
+    dist = None
+    for j, book in enumerate(codebooks):
+        qseg = q[j * sub : (j + 1) * sub]
+        lut = ((np.asarray(book, dtype=np.float64) - qseg[None, :]) ** 2).sum(
+            axis=1
+        )
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut]),
+            F.col("codes")[j] + 1,
+        )
+        dist = term if dist is None else dist + term
+    w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        encoded.select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    codebooks: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Total quantization error sum(||x - decode(encode(x))||²) — the
+    quantity Lloyd refinement must not increase (training invariant).
+    One encode scan + a decode-lookup fold; single aggregate row out."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @F.pandas_udf(T.DoubleType())
+    def _err(vecs: pd.Series, codes: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        total = np.zeros(x.shape[0], dtype=np.float64)
+        for j, book in enumerate(books):
+            seg = x[:, j * sub : (j + 1) * sub]
+            total += ((seg - book[c[:, j]]) ** 2).sum(axis=1)
+        return pd.Series(total)
+
+    enc = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    joined = corpus.select(id_col, vec_col).join(enc, id_col)
+    return joined.agg(
+        F.sum(_err(F.col(vec_col), F.col("codes"))).alias("distortion")
+    )

@@ -185,3 +185,74 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+# -- product quantization -----------------------------------------------------
+
+
+def test_pq_encode_reconstruction_and_shape(spark):
+    from healthcare_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = S.pq_seed_codebooks(emb, dim=64, m=8, ks=16)
+    assert len(books) == 8 and books[0].shape == (16, 8)
+    enc = S.pq_encode(emb, books)
+    rows = enc.collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    # a seed vector must encode EXACTLY to itself (zero subspace error)
+    import numpy as np
+
+    seed_ids = [
+        r.vec_id for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    first = next(r for r in rows if r.vec_id == seed_ids[0])
+    seed_vec = np.array(
+        emb.filter(f"vec_id = {seed_ids[0]}").collect()[0].embedding
+    )
+    recon = np.concatenate([books[j][first.codes[j]] for j in range(8)])
+    assert np.allclose(recon, seed_vec)
+
+
+def test_pq_training_reduces_distortion(spark):
+    from healthcare_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books0 = S.pq_seed_codebooks(emb, dim=64, m=8, ks=16)
+    books2 = S.pq_train_codebooks(emb, dim=64, m=8, ks=16, iters=2)
+    d0 = S.pq_distortion(emb, books0).collect()[0].distortion
+    d2 = S.pq_distortion(emb, books2).collect()[0].distortion
+    assert d2 <= d0 * 1.000001 + 1e-9, (d0, d2)
+    assert d2 < d0, "Lloyd rounds should strictly improve on real data"
+
+
+def test_pq_adc_topk_agrees_with_exact_on_coarse_data(spark):
+    """On data where codewords reproduce the vectors exactly, ADC == exact
+    L2 and the top-k must match brute force."""
+    rows = []
+    # 4 well-separated prototype vectors, 16 copies each (ids interleaved)
+    protos = [
+        [10.0] * 64,
+        [-10.0] * 64,
+        [10.0] * 32 + [-10.0] * 32,
+        [-10.0] * 32 + [10.0] * 32,
+    ]
+    for i in range(64):
+        rows.append((i, [v + 0.0 for v in protos[i % 4]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.pq_train_codebooks(df, dim=64, m=8, ks=4, iters=1)
+    enc = S.pq_encode(df, books)
+    q = protos[0]
+    top = S.pq_adc_topk(enc, q, books, k=16).collect()
+    got = sorted(r.vec_id for r in top)
+    assert got == [i for i in range(64) if i % 4 == 0]
+    assert all(r.adc_dist == 0.0 for r in top)
+
+
+def test_pq_adc_rank_deterministic_ties(spark):
+    rows = [(i, [1.0] * 64) for i in range(5)]  # all identical
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.pq_seed_codebooks(df, dim=64, m=8, ks=4)
+    enc = S.pq_encode(df, books)
+    top = S.pq_adc_topk(enc, [1.0] * 64, books, k=3).collect()
+    assert [r.vec_id for r in sorted(top, key=lambda r: r.rank)] == [0, 1, 2]

@@ -59,6 +59,7 @@ EXPECTED_NESTED_LOOP = {
     "rrf_hybrid_retrieval",     # bm25 N/avgdl stats crossjoin (1-row broadcast)
     "kmv_intersection_events",  # two 1-row sketch frames + 1-row exact-stats agg
     "leakage_safe_split_docs",  # leak-audit crossjoin (1-row broadcast agg)
+    "pq_adc_topk_embeddings",   # distortion-invariant crossjoin (1-row aggs)
 }
 
 # Queries expected to run Python (Arrow) stages.
@@ -82,6 +83,7 @@ EXPECTED_PYTHON = {
     "ann_ivf_persisted",    # Arrow cell-assignment + einsum re-rank kernels
     "jaro_winkler_part_pairs",  # Arrow JW scorer on block-confined pairs
     "unicode_nfc_parts",    # Arrow unicodedata NFC normalization kernel
+    "pq_adc_topk_embeddings",   # Arrow subspace-argmin encode kernel
 }
 
 
