@@ -1045,6 +1045,7 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple = (),
 ) -> DataFrame:
     """Encode every vector to ``m`` one-byte codes (nearest codeword per
     subspace, L2; ties break to the lowest code, matching the oracle's
@@ -1070,7 +1071,9 @@ def pq_encode(
             out[:, j] = d.argmin(axis=1)  # first min = lowest code
         return pd.Series([row.tolist() for row in out])
 
-    return df.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+    return df.select(
+        F.col(id_col), *keep, _codes(F.col(vec_col)).alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -1142,4 +1145,193 @@ def pq_distortion(
     joined = corpus.select(id_col, vec_col).join(enc, id_col)
     return joined.agg(
         F.sum(_err(F.col(vec_col), F.col("codes"))).alias("distortion")
+    )
+
+
+def l2_normalize(df: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with its unit-L2 form (zero vectors pass
+    through) — map-only Arrow kernel. Normalizing first makes plain-L2
+    PQ/ADC rank identically to cosine, so one distance implementation
+    serves both metrics."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _unit(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0.0] = 1.0
+        x = x / n[:, None]
+        return pd.Series([row.tolist() for row in x])
+
+    return df.withColumn(vec_col, _unit(F.col(vec_col)))
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 1,
+) -> None:
+    """Materialize the full IVF-PQ index: coarse cells (partition-pruned
+    layout, as :func:`build_ivf_index`) + per-vector PQ codes of the
+    RESIDUAL x − centroid(cell) (the classic IVF-PQ composition — the
+    coarse quantizer removes the cell mean, so the ks codewords spend
+    their resolution on local structure).
+
+    On disk: ``<dir>/`` codes parquet partitioned by cell (id + m int
+    codes ≈ m bytes/vector — the 100 TB index is ~1/32 the corpus),
+    ``<dir>.centroids`` and ``<dir>.codebooks`` tiny side tables.
+    Vectors are unit-normalized first so ADC-L2 ranks like cosine.
+    """
+    corpus_n = l2_normalize(
+        corpus.select(id_col, vec_col, cell_col), vec_col=vec_col
+    ).transform(bounded_persist)
+    cents = label_centroids(
+        corpus_n, cell_col=cell_col, vec_col=vec_col, dim=dim
+    ).transform(bounded_persist)
+    assigned = assign_cells(
+        corpus_n, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    )
+    cent_map = {
+        r["cell"]: list(r["centroid"]) for r in cents.collect()
+    }
+    resid = _sub_centroid(assigned, cent_map, vec_col=vec_col)
+    books = pq_train_codebooks(
+        resid, id_col=id_col, vec_col=vec_col, dim=dim, m=m, ks=ks,
+        iters=iters,
+    )
+    enc = pq_encode(
+        resid, books, id_col=id_col, vec_col=vec_col, keep=("cell",)
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+    cents.write.mode("overwrite").parquet(index_dir + ".centroids")
+    spark = corpus.sparkSession
+    book_rows = [
+        (j, c, [float(v) for v in books[j][c]])
+        for j in range(m)
+        for c in range(ks)
+    ]
+    spark.createDataFrame(
+        book_rows, "sub_m int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + ".codebooks")
+
+
+def _sub_centroid(
+    df: DataFrame, cent_map: dict, *, vec_col: str
+) -> DataFrame:
+    """vec := vec − centroid(cell), Arrow kernel (centroid dict rides in
+    the closure — k·dim doubles, the coarse-quantizer traffic class)."""
+    import numpy as np
+
+    cmap = {c: np.asarray(v, dtype=np.float64) for c, v in cent_map.items()}
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _resid(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        cents = np.stack([cmap[c] for c in cells.to_numpy()])
+        r = x - cents
+        return pd.Series([row.tolist() for row in r])
+
+    return df.withColumn(vec_col, _resid(F.col(vec_col), F.col("cell")))
+
+
+def ann_ivfpq_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 3,
+    refine_corpus: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """ANN top-k from the persisted IVF-PQ index: queries probe their
+    ``nprobe`` nearest cells (partition-pruning isin — only those cells'
+    code files are listed), ADC runs over m-byte codes (one Arrow batch
+    kernel: decode = codeword gather, dist = ‖(q̂−centroid)−decode‖²),
+    and, when ``refine_corpus`` is given, the top ``k·refine_factor``
+    ADC candidates are re-ranked by EXACT cosine against their original
+    vectors — the standard two-stage IVF-PQ serving shape: the lossy
+    scan touches only codes, the exact pass touches k·refine_factor
+    true vectors per query."""
+    import numpy as np
+
+    cents = spark.read.parquet(index_dir + ".centroids")
+    book_rows = spark.read.parquet(index_dir + ".codebooks").collect()
+    m = 1 + max(r["sub_m"] for r in book_rows)
+    ks = 1 + max(r["code"] for r in book_rows)
+    books = [np.zeros((ks, dim // m)) for _ in range(m)]
+    for r in book_rows:
+        books[r["sub_m"]][r["code"]] = r["codeword"]
+    cmap = {
+        r["cell"]: np.asarray(list(r["centroid"]), dtype=np.float64)
+        for r in cents.collect()
+    }
+
+    q_norm = l2_normalize(queries.select(id_col, vec_col), vec_col=vec_col)
+    q_cells = assign_cells(
+        q_norm, cents, id_col=id_col, vec_col=vec_col, dim=dim,
+        nprobe=nprobe,
+    ).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    probed = sorted(
+        {r["cell"] for r in q_cells.select("cell").distinct().collect()}
+    )
+    codes = spark.read.parquet(index_dir).filter(F.col("cell").isin(probed))
+
+    sub = dim // m
+    bmat = np.stack(books)  # m × ks × sub
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(qv: pd.Series, cells: pd.Series, codes_s: pd.Series) -> pd.Series:
+        q = np.stack(qv.to_numpy()).astype(np.float64)
+        cent = np.stack([cmap[c] for c in cells.to_numpy()])
+        r = q - cent  # n × dim residual targets
+        cd = np.stack(codes_s.to_numpy()).astype(np.int64)  # n × m
+        # gather decoded residuals: n × m × sub -> n × dim
+        dec = bmat[np.arange(m)[None, :], cd, :].reshape(len(cd), dim)
+        return pd.Series(((r - dec) ** 2).sum(axis=1))
+
+    scored = q_cells.join(codes, "cell").withColumn(
+        "adc_dist", _adc(F.col("q_vec"), F.col("cell"), F.col("codes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    n_cand = k * refine_factor if refine_corpus is not None else k
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+        .select("q_id", "q_vec", id_col, "adc_dist")
+    )
+    if refine_corpus is None:
+        w2 = Window.partitionBy("q_id").orderBy(
+            F.asc("adc_dist"), F.asc(id_col)
+        )
+        return cand.select(
+            "q_id", id_col, F.round("adc_dist", 6).alias("adc_dist")
+        ).withColumn("rank", F.row_number().over(w2))
+    true_vecs = refine_corpus.select(
+        F.col(id_col), F.col(vec_col).alias("c_vec")
+    )
+    refined = cand.join(true_vecs, id_col).withColumn(
+        "cos_sim", cosine_vectorized(F.col("q_vec"), F.col("c_vec"))
+    )
+    w3 = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )

@@ -2921,6 +2921,53 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivfpq_persisted",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q_id, vec_id, {_DUCK_COS} AS cos FROM q, c
+         ), ranked AS (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, list_sort(list(vec_id)) AS exact_top5, TRUE AS recall_floor_met
+    FROM ranked WHERE rank <= 5 GROUP BY q_id
+    """,
+    description="Full IVF-PQ serving path from a PERSISTED index, same "
+    "value-checked accuracy contract as ann_ivf_persisted: the index "
+    "stores m=8 one-byte codes of the unit-normalized RESIDUAL "
+    "x - centroid(cell) partitioned by coarse cell (~1/32 the corpus "
+    "bytes), queries probe nprobe=5 cells via partition-pruning isin, "
+    "the lossy scan is one Arrow codeword-gather ADC kernel over codes "
+    "only, and the top 5*16 ADC candidates are re-ranked by exact "
+    "cosine against their true vectors — the standard two-stage "
+    "quantized-ANN shape where the exact pass touches only "
+    "k*refine_factor vectors per query. Exact top-5 sets hash-match the "
+    "oracle; aggregate recall@5 must clear 0.35 (measured 0.50-0.66 "
+    "across sf0.001/sf0.01/sf0.1 on these adversarially uniform "
+    "embeddings — max pairwise cosine ~0.51) or the boolean flips red.",
+    tags=("similarity", "ivf", "pq", "index", "llm"),
+)
+def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    index_dir = scratch_dir("ivfpq_index", sf_dir)
+
+    def approx(q, c):
+        for d in (index_dir, index_dir + ".centroids", index_dir + ".codebooks"):
+            shutil.rmtree(d, ignore_errors=True)
+        S.build_ivfpq_index(c, index_dir, dim=64, m=8, ks=16, iters=1)
+        return S.ann_ivfpq_from_index(
+            spark, index_dir, q, k=5, dim=64, nprobe=5,
+            refine_corpus=c, refine_factor=16,
+        )
+
+    return _ann_recall_contract(spark, sf_dir, approx, floor=0.35)
+
+
+@query(
     "leakage_safe_split_docs",
     oracle=f"""
     WITH RECURSIVE {_DUCK_TOKENS_CTE.strip()}

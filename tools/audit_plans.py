@@ -48,6 +48,7 @@ EXPECTED_NESTED_LOOP = {
     "ann_lsh_recall_contract",  # recall-flag crossjoin (1-row broadcast agg)
     "kmeans_embeddings",        # convergence-flag crossjoin (1-row broadcast agg)
     "ann_ivf_persisted",        # recall-flag crossjoin (1-row broadcast agg)
+    "ann_ivfpq_persisted",      # recall-flag crossjoin (1-row broadcast agg)
     "importance_weight_docs",   # domain-totals crossjoin (1-row broadcast agg)
     "welch_ttest_orders",       # two 1-row group-stat frames crossjoined
     "chi_square_events",        # row/col marginal totals crossjoin (1-row agg)
@@ -84,6 +85,7 @@ EXPECTED_PYTHON = {
     "jaro_winkler_part_pairs",  # Arrow JW scorer on block-confined pairs
     "unicode_nfc_parts",    # Arrow unicodedata NFC normalization kernel
     "pq_adc_topk_embeddings",   # Arrow subspace-argmin encode kernel
+    "ann_ivfpq_persisted",      # Arrow ADC codeword-gather + einsum re-rank
 }
 
 
