@@ -193,3 +193,107 @@ def test_killed_between_claim_and_marker(spark, tmp_path, backend_name):
     _stage_with_pyarrow(t, "pipeline_runs", "row-victim-retry")
     assert t.commit() is True
     assert wh.read("pipeline_runs").count() == 4
+
+
+# -- branch refs under multi-process races ------------------------------------
+
+
+def _branch_worker(root, backend_name, action, name, barrier, q):
+    wh = TransactionalWarehouse(None, root, backend=BACKENDS[backend_name]())
+    barrier.wait(timeout=240)
+    if action == "create":
+        try:
+            wh.create_branch(name)
+            q.put(("created", True))
+        except ValueError:
+            q.put(("created", False))
+    elif action == "commit":
+        view = wh.branch(name)
+        txn = view.begin()
+        _stage_with_pyarrow(
+            txn, "pipeline_runs", f"row-{name}-{os.getpid()}"
+        )
+        q.put(("committed", txn.commit()))
+    elif action == "merge":
+        from healthcare_etl_pipeline_spark.sources.warehouse import (
+            BranchConflictError,
+        )
+
+        try:
+            q.put(("merged", wh.merge_branch(name)["merged"]))
+        except BranchConflictError:
+            q.put(("merged", False))
+
+
+def _run_branch_race(root, backend_name, actions):
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(len(actions))
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_branch_worker,
+            args=(root, backend_name, act, name, barrier, q),
+        )
+        for act, name in actions
+    ]
+    [p.start() for p in procs]
+    [p.join(timeout=300) for p in procs]
+    out = []
+    while not q.empty():
+        out.append(q.get())
+    assert all(p.exitcode == 0 for p in procs)
+    return out
+
+
+def test_branch_create_race_one_winner(spark, tmp_path, backend_name):
+    """4 processes race create_branch('dev'): the ref is one conditional
+    PUT, so exactly one wins — on both backends."""
+    root = str(tmp_path / "wh")
+    TransactionalWarehouse(None, root).create_all()
+    results = _run_branch_race(
+        root, backend_name, [("create", "dev")] * 4
+    )
+    assert sum(1 for _, ok in results if ok) == 1, results
+    wh = TransactionalWarehouse(spark, root, backend=BACKENDS[backend_name]())
+    assert wh.list_branches() == ["dev"]
+
+
+def test_branch_commit_storm_isolated_from_main(spark, tmp_path, backend_name):
+    """4 processes commit concurrently onto one branch: strict seq order
+    on the shared chain, all rows visible on the branch, ZERO on main."""
+    root = str(tmp_path / "wh")
+    boot = TransactionalWarehouse(None, root, backend=BACKENDS[backend_name]())
+    boot.create_all()
+    boot.create_branch("dev")
+    results = _run_branch_race(
+        root, backend_name, [("commit", "dev")] * 4
+    )
+    assert [ok for _, ok in results] == [True] * 4
+    wh = TransactionalWarehouse(spark, root, backend=BACKENDS[backend_name]())
+    assert wh.read("pipeline_runs").count() == 0
+    dev = wh.branch("dev")
+    assert dev.read("pipeline_runs").count() == 4
+    seqs = [s["seq"] for s in dev.snapshots()]
+    assert len(seqs) == len(set(seqs)) == 4
+    assert wh.fsck() == {}
+
+
+def test_concurrent_merge_is_idempotent(spark, tmp_path, backend_name):
+    """Two processes race merge_branch of the same branch. The merge
+    commit carries pure set verbs (restores/replaces), so even the
+    both-pass-the-conflict-check interleaving converges: the fold applies
+    the same sets twice. Final main state equals the branch tip either
+    way, and reads stay consistent."""
+    root = str(tmp_path / "wh")
+    boot = TransactionalWarehouse(None, root, backend=BACKENDS[backend_name]())
+    boot.create_all()
+    boot.create_branch("dev")
+    view = boot.branch("dev")
+    txn = view.begin("devwork")
+    _stage_with_pyarrow(txn, "pipeline_runs", "row-dev")
+    assert txn.commit()
+    results = _run_branch_race(root, backend_name, [("merge", "dev")] * 2)
+    assert sum(1 for _, ok in results if ok) >= 1, results
+    wh = TransactionalWarehouse(spark, root, backend=BACKENDS[backend_name]())
+    assert wh.read("pipeline_runs").count() == 1
+    assert wh.fsck() == {}
