@@ -1038,7 +1038,15 @@ def lang_id_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_SIMHASH_CTE = f"""
+def _duck_simhash_cte(bits: int) -> str:
+    """Portable SimHash signature CTE at the given width. Widths above 16
+    exist because band selectivity is what keeps the pigeonhole candidate
+    join sub-quadratic: at 16 bits / 2 bands there are only 256 bucket
+    values, and a 50 k-doc corpus (sf1) piles thousands of docs into hot
+    buckets — the candidate join OOM'd the sf1 scale rung. 30 bits keeps
+    every bit honest under the < 2^30 portable-hash reduction and gives
+    2^15 values per band."""
+    return f"""
     WITH toks AS (
       SELECT *, list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tk
       FROM documents
@@ -1047,7 +1055,7 @@ _DUCK_SIMHASH_CTE = f"""
       FROM toks
     ), sigs AS (
       SELECT doc_id,
-        list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(0, 16), i ->
+        list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(0, {bits}), i ->
           CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)],
                  list_transform(hashes, h -> CASE WHEN (h >> i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
                  (a, b) -> a + b) >= 0
@@ -1056,6 +1064,9 @@ _DUCK_SIMHASH_CTE = f"""
       FROM th WHERE len(hashes) > 0
     )
 """
+
+
+_DUCK_SIMHASH_CTE = _duck_simhash_cte(30)
 
 
 @query(
@@ -1071,12 +1082,16 @@ _DUCK_SIMHASH_CTE = f"""
     description="SimHash Hamming-ball near-dup pairs (distance <= 1): "
     "pigeonhole band bucketing for candidates (two sigs within d agree on "
     "one of d+1 bands), exact popcount verify — never O(n^2). Oracle "
-    "recomputes the exact pair set from the portable signatures.",
+    "recomputes the exact pair set from the portable signatures. 30-bit "
+    "signatures (2 bands x 15 bits = 32 k bucket values): the sf1 scale "
+    "rung caught the 16-bit form OOMing — 256 bucket values put "
+    "thousands of a 50 k-doc corpus into hot buckets and the candidate "
+    "join went quadratic; width, not a cap, is the lossless fix.",
     tags=("dedup", "simhash", "llm"),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, "doc_id", "text", bits=16, max_hamming=1)
+    return D.simhash_near_pairs(docs, "doc_id", "text", bits=30, max_hamming=1)
 
 
 @query(
