@@ -983,6 +983,8 @@ def pq_seed_codebooks(
         .limit(ks)
         .collect()
     )
+    if not rows:
+        raise ValueError("PQ codebooks need a non-empty corpus")
     seeds = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     return [seeds[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
 

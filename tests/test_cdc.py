@@ -448,3 +448,34 @@ def test_trailing_mor_delete_advances_watermark(spark, tmp_path):
     assert cdc_sync(wh, "src", "view", group_cols=["grp"], value_col="v") == 1
     got = {r["grp"]: (r["n"], r["value_sum"]) for r in wh.read("view").collect()}
     assert got == {"a": (1, 1.0)}
+
+
+def test_cdc_sync_on_branch_view_is_isolated(spark, tmp_path):
+    """The whole CDC consumer runs unchanged against a BRANCH view (the
+    ref filter is below _manifests, so cursors, watermarks, windows, and
+    view commits all stay branch-local), and nothing leaks to main until
+    a merge publishes both src and agg together."""
+    wh = TransactionalWarehouse(spark, str(tmp_path / "cdc_br_wh"))
+    wh.register_table("src", SRC_SCHEMA)
+    wh.register_table("agg", AGG_SCHEMA)
+    wh.create_all()
+    _append(spark, wh, [("a", 1), ("b", 2)])
+    _sync(wh)
+    assert _view(wh) == {"a": (1, 1.0), "b": (1, 2.0)}
+
+    dev = wh.create_branch("dev")
+    _append(spark, dev, [("a", 10)])
+    assert _sync(dev) >= 1
+    assert _view(dev) == {"a": (2, 11.0), "b": (1, 2.0)}
+    # main's source AND view are untouched
+    assert _view(wh) == {"a": (1, 1.0), "b": (1, 2.0)}
+    assert wh.read("src").count() == 2
+
+    # merge adopts src + agg + the consumer's cursor table atomically
+    wh.merge_branch("dev")
+    assert _view(wh) == {"a": (2, 11.0), "b": (1, 2.0)}
+    assert wh.read("src").count() == 3
+    # post-merge main sync is a no-op: the cursor merged too
+    before = len(wh.committed_run_ids())
+    _sync(wh)
+    assert len(wh.committed_run_ids()) == before
