@@ -1337,3 +1337,47 @@ def ann_ivfpq_from_index(
         .filter(F.col("rank") <= k)
         .select("q_id", id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def ivfpq_index_append(
+    spark,
+    index_dir: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> int:
+    """Incrementally extend a persisted IVF-PQ index: encode NEW vectors
+    with the index's FROZEN coarse centroids and codebooks and append
+    their codes into the cell partitions — no retrain, no rewrite of
+    existing codes. This is how a 100 TB vector index absorbs a daily
+    ingest: the append touches only the new rows' cells, and encode
+    determinism (same books -> same codes) means an appended index is
+    bit-identical to a full rebuild OVER THE SAME BOOKS. Codebook drift
+    (distribution shift) is a rebuild decision, as in any IVF system —
+    monitor via :func:`pq_distortion` on a sample. Returns rows appended.
+    """
+    import numpy as np
+
+    cents = spark.read.parquet(index_dir + ".centroids")
+    book_rows = spark.read.parquet(index_dir + ".codebooks").collect()
+    m = 1 + max(r["sub_m"] for r in book_rows)
+    ks = 1 + max(r["code"] for r in book_rows)
+    books = [np.zeros((ks, dim // m)) for _ in range(m)]
+    for r in book_rows:
+        books[r["sub_m"]][r["code"]] = r["codeword"]
+    cmap = {
+        r["cell"]: list(r["centroid"]) for r in cents.collect()
+    }
+
+    new_n = l2_normalize(
+        new_vectors.select(id_col, vec_col), vec_col=vec_col
+    )
+    assigned = assign_cells(
+        new_n, cents, id_col=id_col, vec_col=vec_col, dim=dim, nprobe=1
+    )
+    resid = _sub_centroid(assigned, cmap, vec_col=vec_col)
+    enc = pq_encode(resid, books, id_col=id_col, vec_col=vec_col, keep=("cell",))
+    enc.write.mode("append").partitionBy("cell").parquet(index_dir)
+    return new_vectors.count()

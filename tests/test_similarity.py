@@ -318,3 +318,44 @@ def test_ivfpq_adc_only_path_returns_k(spark, tmp_path):
         )
         dists = [r.adc_dist for r in mine]
         assert dists == sorted(dists)  # ascending ADC order
+
+
+def test_ivfpq_index_append_matches_full_rebuild(spark, tmp_path):
+    """Appending new vectors with the FROZEN books must produce exactly
+    the codes a full rebuild over the same books would — encode is
+    deterministic — and the served top-k must be identical."""
+    from healthcare_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 3")
+    first = emb.filter("vec_id >= 3 AND vec_id % 2 = 1")
+    rest = emb.filter("vec_id >= 3 AND vec_id % 2 = 0")
+
+    idx = str(tmp_path / "inc")
+    S.build_ivfpq_index(first, idx, dim=64, m=8, ks=16, iters=1)
+    n_before = spark.read.parquet(idx).count()
+    appended = S.ivfpq_index_append(spark, idx, rest, dim=64)
+    assert appended == rest.count()
+    assert spark.read.parquet(idx).count() == n_before + appended
+
+    out_inc = S.ann_ivfpq_from_index(
+        spark, idx, q, k=5, dim=64, nprobe=5,
+        refine_corpus=emb.filter("vec_id >= 3"), refine_factor=16,
+    )
+    inc_pairs = {(r.q_id, r.vec_id, r.rank) for r in out_inc.collect()}
+
+    # full rebuild over the SAME seed corpus ('first') -> same books,
+    # then encode everything in one shot
+    idx2 = str(tmp_path / "full")
+    S.build_ivfpq_index(first, idx2, dim=64, m=8, ks=16, iters=1)
+    S.ivfpq_index_append(spark, idx2, rest, dim=64)
+    # codes agree row-for-row between the two indexes
+    a = {r.vec_id: (r.cell, tuple(r.codes)) for r in spark.read.parquet(idx).collect()}
+    b = {r.vec_id: (r.cell, tuple(r.codes)) for r in spark.read.parquet(idx2).collect()}
+    assert a == b
+    out_full = S.ann_ivfpq_from_index(
+        spark, idx2, q, k=5, dim=64, nprobe=5,
+        refine_corpus=emb.filter("vec_id >= 3"), refine_factor=16,
+    )
+    full_pairs = {(r.q_id, r.vec_id, r.rank) for r in out_full.collect()}
+    assert inc_pairs == full_pairs
