@@ -232,3 +232,118 @@ def test_random_walk_extended_verbs(spark, tmp_path, seed):
 
     wh.vacuum(dead_run_retention_sec=3600.0)
     assert read_state() == state, f"vacuum changed state after {trace}"
+
+
+@pytest.mark.parametrize("seed", [11, 57, 123])
+def test_random_walk_with_branches(spark, tmp_path, seed):
+    """Dual-state random walk: ops land on MAIN or on a live BRANCH, the
+    model tracks both states independently, and merge attempts are
+    verified against the fast-forward rule — conflict iff main touched
+    the table after the fork; on success main adopts the branch state
+    atomically and the walk re-forks. Reads of BOTH refs are checked
+    against their model after every op (branch isolation in both
+    directions is the invariant unit tests can't stress across op
+    interleavings)."""
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        BranchConflictError,
+    )
+
+    rng = random.Random(seed)
+    wh = TransactionalWarehouse(spark, str(tmp_path / f"br_wh_{seed}"))
+    wh.register_table("kv", SCHEMA)
+    wh.create_all()
+    wh.append(_df(spark, [(0, 0), (1, 0)]), "kv")
+
+    def read_state(handle):
+        out = {}
+        for r in handle.read("kv").collect():
+            assert r["k"] not in out
+            out[r["k"]] = r["v"]
+        return out
+
+    epoch = 0
+    dev = wh.create_branch(f"dev{epoch}")
+    main_state = {0: 0, 1: 0}
+    branch_state = dict(main_state)
+    main_dirty = False
+    trace: list[str] = []
+    counter = 0
+
+    def apply_op(handle, state, tag):
+        nonlocal counter
+        counter += 1
+        op = rng.choice(["append", "merge", "overwrite", "compact"])
+        if op == "append":
+            fresh = [k for k in KEYS if k not in state]
+            ks = rng.sample(fresh, min(len(fresh), rng.randint(1, 3)))
+            if not ks:
+                return False
+            rows = [(k, counter) for k in ks]
+            handle.append(_df(spark, rows), "kv")
+            state.update(dict(rows))
+            trace.append(f"{tag}:append{ks}")
+            return True
+        elif op == "merge":
+            ks = rng.sample(list(KEYS), rng.randint(1, 3))
+            rows = [(k, counter) for k in ks]
+            handle.merge(_df(spark, rows), "kv", ["k"])
+            state.update(dict(rows))
+            trace.append(f"{tag}:merge{ks}")
+            return True
+        elif op == "overwrite":
+            lo = rng.randint(0, 15)
+            hi = lo + rng.randint(1, 4)
+            kept = [k for k in range(lo, hi + 1) if rng.random() < 0.5]
+            rows = [(k, counter) for k in kept]
+            handle.overwrite_where(
+                _df(spark, rows), "kv", F.col("k").between(lo, hi)
+            )
+            for k in range(lo, hi + 1):
+                state.pop(k, None)
+            state.update(dict(rows))
+            trace.append(f"{tag}:overwrite[{lo},{hi}]")
+            return True
+        else:
+            handle.compact("kv")
+            trace.append(f"{tag}:compact")
+            return True
+
+    branch_committed = False
+    for _ in range(14):
+        side = rng.choice(["main", "branch", "branch", "try_merge"])
+        if side == "main":
+            main_dirty |= bool(apply_op(wh, main_state, "main"))
+        elif side == "branch":
+            branch_committed |= bool(apply_op(dev, branch_state, "dev"))
+        else:
+            trace.append(
+                f"try_merge(dirty={main_dirty},committed={branch_committed})"
+            )
+            if main_dirty and branch_committed:
+                # fast-forward rule: main advanced on a table the branch
+                # also touched -> refuse
+                with pytest.raises(BranchConflictError):
+                    wh.merge_branch(f"dev{epoch}")
+            else:
+                rep = wh.merge_branch(f"dev{epoch}")
+                assert rep["merged"] == branch_committed, (rep, trace)
+                if rep["merged"]:
+                    main_state = dict(branch_state)
+                # re-fork (a merged branch can't fast-forward again)
+                wh.delete_branch(f"dev{epoch}")
+                epoch += 1
+                dev = wh.create_branch(f"dev{epoch}")
+                branch_state = dict(main_state)
+                main_dirty = False
+                branch_committed = False
+        assert read_state(wh) == main_state, (
+            f"MAIN diverged after {' | '.join(trace)}"
+        )
+        assert read_state(dev) == branch_state, (
+            f"BRANCH diverged after {' | '.join(trace)}"
+        )
+
+    # maintenance respects both refs
+    wh.vacuum(dead_run_retention_sec=3600.0)
+    assert read_state(wh) == main_state, trace
+    assert read_state(dev) == branch_state, trace
