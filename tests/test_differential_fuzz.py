@@ -202,3 +202,113 @@ def test_random_relational_queries_agree(spark, duck, q):
         _normalize(drows, len(q["group_by"])),
     )
     assert ok, f"{why}\nAST: {q}\nSQL: {_duck_sql(q)}"
+
+
+# -- property 2: window functions ---------------------------------------------
+
+WIN_FUNCS = [
+    "row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg", "min",
+    "max", "count",
+]
+
+win_ast = st.fixed_dictionaries(
+    {
+        "partition": st.sampled_from(
+            ["o_orderstatus", "o_orderpriority", "__ckmod", None]
+        ),
+        "order_col": st.sampled_from(["o_totalprice", "o_orderdate"]),
+        "desc": st.booleans(),
+        "func": st.sampled_from(WIN_FUNCS),
+        "frame_preceding": st.integers(min_value=0, max_value=5),
+        "filter_status": st.sampled_from([None, "O", "F"]),
+    }
+)
+
+
+def _spark_win(spark, q):
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "__ckmod", F.pmod(F.col("o_custkey"), F.lit(5))
+    )
+    if q["filter_status"]:
+        df = df.filter(F.col("o_orderstatus") == q["filter_status"])
+    order = [
+        F.desc(q["order_col"]) if q["desc"] else F.asc(q["order_col"]),
+        F.asc("o_orderkey"),  # total order: deterministic across engines
+    ]
+    w = (
+        Window.partitionBy(q["partition"]) if q["partition"] else Window.partitionBy()
+    ).orderBy(*order)
+    fn = q["func"]
+    if fn in ("row_number", "rank", "dense_rank"):
+        expr = getattr(F, fn)().over(w).cast("long")
+    elif fn in ("lag", "lead"):
+        expr = getattr(F, fn)(F.col("o_totalprice"), 1).over(w).cast("double")
+    else:
+        wf = w.rowsBetween(-q["frame_preceding"], Window.currentRow)
+        col = F.col("o_totalprice")
+        expr = (
+            F.count(col).over(wf).cast("long")
+            if fn == "count"
+            else getattr(F, fn)(col).over(wf).cast("double")
+        )
+    return df.select(
+        "o_orderkey", expr.alias("w")
+    )
+
+
+def _duck_win_sql(q):
+    where = (
+        f"WHERE o_orderstatus = '{q['filter_status']}'"
+        if q["filter_status"]
+        else ""
+    )
+    part = (
+        "PARTITION BY "
+        + (
+            "CAST(o_custkey % 5 AS BIGINT)"
+            if q["partition"] == "__ckmod"
+            else q["partition"]
+        )
+        if q["partition"]
+        else ""
+    )
+    order = f"ORDER BY {q['order_col']} {'DESC' if q['desc'] else 'ASC'}, o_orderkey ASC"
+    fn = q["func"]
+    if fn in ("row_number", "rank", "dense_rank"):
+        call, cast = f"{fn}()", "BIGINT"
+        frame = ""
+    elif fn in ("lag", "lead"):
+        call, cast = f"{fn}(o_totalprice, 1)", "DOUBLE"
+        frame = ""
+    else:
+        call = f"{fn}(o_totalprice)"
+        cast = "BIGINT" if fn == "count" else "DOUBLE"
+        frame = f" ROWS BETWEEN {q['frame_preceding']} PRECEDING AND CURRENT ROW"
+    return (
+        f"SELECT o_orderkey, CAST({call} OVER ({part} {order}{frame}) AS {cast}) AS w "
+        f"FROM orders {where}"
+    )
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=win_ast)
+def test_random_window_functions_agree(spark, duck, q):
+    srows = {r[0]: r[1] for r in _spark_win(spark, q).collect()}
+    drows = {r[0]: r[1] for r in duck.execute(_duck_win_sql(q)).fetchall()}
+    assert len(srows) == len(drows), (len(srows), len(drows), q)
+    bad = []
+    for k, sv in srows.items():
+        dv = drows.get(k)
+        if sv is None or dv is None:
+            if sv is not dv:
+                bad.append((k, sv, dv))
+        elif not math.isclose(float(sv), float(dv), rel_tol=1e-9, abs_tol=1e-9):
+            bad.append((k, sv, dv))
+    assert not bad, f"{bad[:5]}\nAST: {q}\nSQL: {_duck_win_sql(q)}"
