@@ -944,3 +944,88 @@ def stream_txn_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.round("value_sum", 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_pyds_commitlog",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    WHERE event_id % 4 <> 3
+    GROUP BY event_type
+    """,
+    description="The commit log as a FIRST-CLASS Structured Streaming "
+    "source (Spark 4 Python Data Source API, sources/pyds.py): stream "
+    "offsets ARE snapshot seqs, so each microbatch is a half-open seq "
+    "window of append commits and the stream's own offset checkpoint "
+    "provides exactly-once consumption with no hand-built cursor. Three "
+    "warehouse commits land between two availableNow stream runs sharing "
+    "one checkpoint — the second run must pick up EXACTLY the unseen "
+    "commits (a re-emitted or lost run flips the hash); the settled sink "
+    "aggregate must equal the batch recomputation over the source rows. "
+    "Partition = one committed run dir, read as Arrow batches with hive "
+    "partition resolution — executors evaluate partitions from file ops "
+    "alone.",
+    tags=("streaming", "txn", "datasource", "exactly-once"),
+)
+def stream_pyds_commitlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.queries.helpers import t
+    from healthcare_etl_pipeline_spark.sources import pyds
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    pyds.register(spark)
+    root = scratch_dir("pyds_wh", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "event_log",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    wh.create_all()
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("warehouse_commits")
+            .option("root", root)
+            .option("table", "event_log")
+            .option("schema_ddl", "event_id bigint, event_type string, value double")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    wh.append(ev.filter(F.col("event_id") % 4 == 0), "event_log")
+    drain()
+    wh.append(ev.filter(F.col("event_id") % 4 == 1), "event_log")
+    wh.append(ev.filter(F.col("event_id") % 4 == 2), "event_log")
+    drain()  # same checkpoint: exactly the two unseen commits
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )

@@ -1,0 +1,241 @@
+"""The warehouse commit log as a FIRST-CLASS Spark data source (Spark 4
+Python Data Source API, ``pyspark.sql.datasource``).
+
+``spark.read.format("warehouse_commits")`` scans exactly the committed
+snapshot, and ``spark.readStream.format("warehouse_commits")`` turns the
+commit log into a streaming source whose OFFSETS ARE SNAPSHOT SEQS — each
+microbatch is a half-open seq window of append commits, so Structured
+Streaming's own offset checkpointing provides exactly-once consumption
+with no separate cursor state (the property the driver-loop consumer in
+streaming/cdc.py builds by hand). Works against the same on-disk layout
+as :class:`~.warehouse.TransactionalWarehouse`, reading ONLY files and
+markers — no warehouse object, no Spark session inside the reader, so
+executors can evaluate partitions independently.
+
+Scope contract (documented, asserted where cheap): append-only tables —
+a commit carrying ``replaces`` for the table (compaction/rewrite) is
+skipped exactly like :meth:`read_changes`; column-mapping renames and
+partition-spec epochs are NOT remapped here (use the warehouse reader
+for evolved tables). ``branch`` option applies the same ref-visibility
+fold as a branch view.
+
+Options: ``root`` (warehouse dir), ``table``, ``schema_ddl`` (required
+for non-built-in tables), ``starting_seq`` (default 0), ``branch``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+RUN_ID_COL = "__run_id"
+
+
+# -- pure manifest-log helpers (file ops only; run anywhere) -----------------
+
+
+def _read_manifests(root: str) -> list[dict]:
+    """Checkpoint + marker tail, sorted by (seq, run_id) — the same fold
+    as TransactionalWarehouse._read_manifests, reimplemented over pure
+    file ops so reader code needs no warehouse object."""
+    txn = os.path.join(root, "_txn")
+    commits = os.path.join(txn, "commits")
+    if not os.path.isdir(commits):
+        return []
+    out: list[dict] = []
+    covered: set[str] = set()
+    try:
+        with open(os.path.join(txn, "checkpoint.json"), encoding="utf-8") as fh:
+            cp = json.load(fh)
+        out = list(cp["manifests"])
+        covered = {f"{r}.json" for r in cp["covered"]}
+    except (OSError, json.JSONDecodeError, KeyError):
+        out, covered = [], set()
+    for f in sorted(os.listdir(commits)):
+        if f.endswith(".json") and not f.startswith(".") and f not in covered:
+            try:
+                with open(os.path.join(commits, f), encoding="utf-8") as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+    return sorted(out, key=lambda m: (m.get("seq", 0), m["run_id"]))
+
+
+def _ref_filter(ms: list[dict], root: str, branch: str | None) -> list[dict]:
+    if branch is None:
+        return [m for m in ms if not m.get("branch")]
+    ref_path = os.path.join(root, "_txn", "refs", f"{branch}.json")
+    with open(ref_path, encoding="utf-8") as fh:
+        base = int(json.load(fh)["base_seq"])
+    return [
+        m
+        for m in ms
+        if (not m.get("branch") and m.get("seq", 0) <= base)
+        or m.get("branch") == branch
+    ]
+
+
+def _append_runs(
+    root: str, table: str, branch: str | None, lo: int, hi: int
+) -> list[tuple[int, str]]:
+    """(seq, run_id) of APPEND commits touching ``table`` with
+    lo < seq <= hi — rewrites (``replaces``) are skipped, per the
+    incremental-scan contract."""
+    out = []
+    for m in _ref_filter(_read_manifests(root), root, branch):
+        seq = m.get("seq", 0)
+        if (
+            lo < seq <= hi
+            and table in m.get("tables", ())
+            and not m.get("replaces", {}).get(table)
+        ):
+            out.append((seq, m["run_id"]))
+    return out
+
+
+def _live_runs(root: str, table: str, branch: str | None) -> list[str]:
+    """The committed-live fold (adds, replaces, restores in seq order)."""
+    live: set[str] = set()
+    for m in _ref_filter(_read_manifests(root), root, branch):
+        if table in m.get("tables", ()):
+            live.add(m["run_id"])
+        live.difference_update(m.get("replaces", {}).get(table, ()))
+        live.update(m.get("restores", {}).get(table, ()))
+    return sorted(live)
+
+
+def _max_seq(root: str, branch: str | None) -> int:
+    ms = _ref_filter(_read_manifests(root), root, branch)
+    return max((m.get("seq", 0) for m in ms), default=0)
+
+
+class _RunPartition(InputPartition):
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+
+
+def _read_run_batches(run_dir: str, spark_schema: T.StructType) -> Iterator:
+    """Arrow batches of one run dir, aligned to the declared schema
+    (column order + types); hive partition subdirs are resolved."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if not os.path.isdir(run_dir):
+        return
+    target = to_arrow_schema(spark_schema)
+    d = ds.dataset(run_dir, format="parquet", partitioning="hive")
+    tbl = d.to_table()
+    cols = []
+    for f in target:
+        if f.name in tbl.column_names:
+            cols.append(tbl.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(len(tbl), f.type))
+    aligned = pa.table(cols, schema=target)
+    yield from aligned.to_batches(max_chunksize=65536)
+
+
+class _CommitLogStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._root = options["root"]
+        self._table = options["table"]
+        self._branch = options.get("branch")
+        self._start = int(options.get("starting_seq", 0))
+
+    def initialOffset(self) -> dict:
+        return {"seq": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"seq": max(self._start, _max_seq(self._root, self._branch))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        runs = _append_runs(
+            self._root, self._table, self._branch, start["seq"], end["seq"]
+        )
+        return [
+            _RunPartition(
+                os.path.join(
+                    self._root, self._table, f"{RUN_ID_COL}={run_id}"
+                )
+            )
+            for _, run_id in runs
+        ] or [_RunPartition("")]  # empty batch: one no-op partition
+
+    def read(self, partition: _RunPartition) -> Iterator:
+        if not partition.run_dir:
+            return
+        yield from _read_run_batches(partition.run_dir, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream's own checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class _CommitLogBatchReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._root = options["root"]
+        self._table = options["table"]
+        self._branch = options.get("branch")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        runs = _live_runs(self._root, self._table, self._branch)
+        return [
+            _RunPartition(
+                os.path.join(self._root, self._table, f"{RUN_ID_COL}={r}")
+            )
+            for r in runs
+        ] or [_RunPartition("")]
+
+    def read(self, partition: _RunPartition) -> Iterator:
+        if not partition.run_dir:
+            return
+        yield from _read_run_batches(partition.run_dir, self._schema)
+
+
+class WarehouseCommitsDataSource(DataSource):
+    """format name: ``warehouse_commits``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warehouse_commits"
+
+    def schema(self):
+        ddl = self.options.get("schema_ddl")
+        if ddl:
+            # a DDL string: parsed by the engine (no session exists in
+            # the data-source worker, so StructType.fromDDL can't run here)
+            return ddl
+        from healthcare_etl_pipeline_spark.sources.warehouse import (
+            TABLE_SCHEMAS,
+        )
+
+        table = self.options["table"]
+        if table in TABLE_SCHEMAS:
+            return TABLE_SCHEMAS[table]
+        raise ValueError(
+            f"{table!r} is not a built-in table — pass schema_ddl"
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _CommitLogBatchReader(schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return _CommitLogStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(WarehouseCommitsDataSource)
