@@ -2962,7 +2962,15 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k*refine_factor vectors per query. Exact top-5 sets hash-match the "
     "oracle; aggregate recall@5 must clear 0.35 (measured 0.50-0.66 "
     "across sf0.001/sf0.01/sf0.1 on these adversarially uniform "
-    "embeddings — max pairwise cosine ~0.51) or the boolean flips red.",
+    "embeddings — max pairwise cosine ~0.51) or the boolean flips red. "
+    "KNOWN LIMIT, measured at the sf1 rung (ORACLE_SF01.md round 5): on "
+    "UNIFORM-random 64d data the PQ estimator's quantization noise "
+    "exceeds the true-neighbor signal once the corpus passes ~10k "
+    "(in-cell ADC rank of the cos-0.41 true neighbor: 1300/2120), so "
+    "the contract floor is scoped to the gate scales; distributions "
+    "without intrinsic structure are PQ's literature worst case — use "
+    "ann_ivf_* (exact re-rank) or dedup_embedding_lsh there, both "
+    "value-green at sf1.",
     tags=("similarity", "ivf", "pq", "index", "llm"),
 )
 def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
