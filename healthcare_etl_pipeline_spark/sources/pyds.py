@@ -21,6 +21,12 @@ fold as a branch view.
 
 Options: ``root`` (warehouse dir), ``table``, ``schema_ddl`` (required
 for non-built-in tables), ``starting_seq`` (default 0), ``branch``.
+
+The SINK side closes the loop: ``writeStream.format("warehouse_commits")``
+lands every microbatch as ONE warehouse transaction with
+``batch_id = stream-<batchId>`` — idempotent replay, atomic multi-file
+publish, visible to readers all-or-nothing (see
+:class:`_CommitLogStreamWriter`).
 """
 
 from __future__ import annotations
@@ -33,7 +39,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -236,6 +244,110 @@ class WarehouseCommitsDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _CommitLogStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return _CommitLogStreamWriter(schema, dict(self.options))
+
 
 def register(spark) -> None:
     spark.dataSource.register(WarehouseCommitsDataSource)
+
+
+# -- streaming SINK: each microbatch is one warehouse transaction -------------
+
+
+class _PendingFiles(WriterCommitMessage):
+    def __init__(self, paths: list):
+        self.paths = paths
+
+
+class _CommitLogStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming sink THROUGH the warehouse commit protocol.
+
+    Executors write their partition's rows as parquet into a pending
+    area under the table's staging dir and report the file paths; the
+    driver-side ``commit(messages, batchId)`` folds every pending file
+    into ONE transaction with ``batch_id = stream-<batchId>`` — so a
+    retried microbatch replays into an already-committed run_id and
+    no-ops (the same idempotence contract as every warehouse ingest),
+    and a crash before the marker leaves nothing visible. Readers see
+    each microbatch atomically or not at all.
+
+    CHECK constraints are not evaluated on this path (no session exists
+    in the sink worker) — enforce upstream or on read for streamed
+    tables.
+    """
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._root = options["root"]
+        self._table = options["table"]
+        self._pending = os.path.join(
+            self._root, self._table, ".staging", "__stream_pending__"
+        )
+
+    def write(self, iterator) -> "_PendingFiles":
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return _PendingFiles([])
+        target = to_arrow_schema(self._schema)
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {
+                f.name: pa.array(cols[i], type=f.type)
+                for i, f in enumerate(target)
+            },
+            schema=target,
+        )
+        os.makedirs(self._pending, exist_ok=True)
+        path = os.path.join(self._pending, f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path)
+        return _PendingFiles([path])
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from healthcare_etl_pipeline_spark.sources.warehouse import (
+            TransactionalWarehouse,
+        )
+
+        paths = [p for m in messages if m is not None for p in m.paths]
+        wh = TransactionalWarehouse(None, self._root)
+        txn = wh.begin(f"stream-{batchId}")
+        if txn._already_committed:
+            # microbatch replay after a post-commit crash: drop the
+            # re-written pending files, the marker already exists
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            txn.commit()
+            return
+        stage = txn._stage_dir(self._table)
+        os.makedirs(stage, exist_ok=True)
+        for i, p in enumerate(paths):
+            os.replace(p, os.path.join(stage, f"part-{i:05d}.parquet"))
+        if self._table not in txn.staged_tables:
+            txn.staged_tables.append(self._table)
+        txn.operation = "stream"
+        txn.commit()
+        try:  # drop the pending dir when drained (fsck hygiene)
+            os.rmdir(self._pending)
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass

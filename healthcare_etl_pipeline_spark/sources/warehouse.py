@@ -477,6 +477,7 @@ class TransactionalWarehouse(Warehouse):
         #: every registry dict with the parent handle
         self._ref: str | None = None
         self._ref_base: int = 0
+        self._load_registrations()  # durable extra-table registry
 
     # -- CHECK constraints ---------------------------------------------------
 
@@ -606,6 +607,60 @@ class TransactionalWarehouse(Warehouse):
             tomb = self._tombstone_table(name)
             self._extra_schemas[tomb] = T.StructType([schema[c] for c in pk])
             self._extra_partitions[tomb] = self._extra_partitions.get(tomb, [])
+        self._persist_registration(name)
+
+    # -- durable table registry ---------------------------------------------
+
+    def _tables_dir(self) -> str:
+        return os.path.join(self.txn_root(), "tables")
+
+    def _persist_registration(self, name: str) -> None:
+        """Write the registration to ``_txn/tables/<name>.json`` so ANY
+        later handle — another driver process, the streaming-sink commit
+        worker, a branch view opened cold — sees the extra table without
+        re-registering (before this, registrations were handle-local
+        memory and extra tables silently vanished across processes).
+        Atomic replace; re-registration (schema evolution) overwrites."""
+        os.makedirs(self._tables_dir(), exist_ok=True)
+        payload = {
+            "name": name,
+            "schema": self._extra_schemas[name].jsonValue(),
+            "partition_by": self._extra_partitions.get(name, []),
+            "primary_key": self._primary_keys.get(name, []),
+        }
+        tmp = os.path.join(self._tables_dir(), f".{name}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(self._tables_dir(), f"{name}.json"))
+
+    def _load_registrations(self) -> None:
+        d = self._tables_dir()
+        if not os.path.isdir(d):
+            return
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, f), encoding="utf-8") as fh:
+                    payload = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            name = payload["name"]
+            if name in self._extra_schemas:
+                continue  # in-memory (possibly newer) registration wins
+            schema = T.StructType.fromJson(payload["schema"])
+            self._extra_schemas[name] = schema
+            self._extra_partitions[name] = list(
+                payload.get("partition_by") or []
+            )
+            pk = list(payload.get("primary_key") or [])
+            if pk:
+                self._primary_keys[name] = pk
+                tomb = self._tombstone_table(name)
+                self._extra_schemas[tomb] = T.StructType(
+                    [schema[c] for c in pk]
+                )
+                self._extra_partitions.setdefault(tomb, [])
 
     def _renames_for(self, table: str) -> list[tuple[int, str, str]]:
         """Committed column renames for ``table`` in snapshot order:

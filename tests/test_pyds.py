@@ -158,3 +158,60 @@ def test_schema_evolution_null_fills_missing_column(spark, twh):
     )
     row = wide.collect()[0]
     assert (row.k, row.v, row.extra) == (1, "a", None)
+
+
+def _sink_stream(spark, src, root, ckpt):
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .writeStream.format("warehouse_commits")
+        .option("root", root)
+        .option("table", "sink_tbl")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_sink_commits_microbatches_as_txns(spark, tmp_path):
+    pyds.register(spark)
+    root = str(tmp_path / "wh")
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table("sink_tbl", SCHEMA)
+    wh.create_all()
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA).write.parquet(src)
+    _sink_stream(spark, src, root, ckpt)
+    assert sorted(r.k for r in wh.read("sink_tbl").collect()) == [1, 2]
+    ops = [(h["operation"], h["run_id"]) for h in wh.history()]
+    assert ops == [("stream", "stream-0")]
+
+    # incremental second drain: ONE new txn, exactly the new rows
+    spark.createDataFrame([(3, "c")], SCHEMA).write.mode("append").parquet(src)
+    _sink_stream(spark, src, root, ckpt)
+    assert sorted(r.k for r in wh.read("sink_tbl").collect()) == [1, 2, 3]
+    assert [h["run_id"] for h in wh.history()] == ["stream-0", "stream-1"]
+    assert wh.fsck() == {}, wh.fsck()
+
+    # idle drain commits nothing
+    _sink_stream(spark, src, root, ckpt)
+    assert [h["run_id"] for h in wh.history()] == ["stream-0", "stream-1"]
+
+
+def test_registrations_are_durable_across_handles(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table("extra", SCHEMA, primary_key=("k",))
+    wh.create_all()
+    txn = wh.begin("b0")
+    txn.stage(spark.createDataFrame([(1, "a")], SCHEMA), "extra")
+    txn.commit()
+    # a COLD handle (fresh process semantics) sees the extra table,
+    # its schema, and its primary key without re-registering
+    cold = TransactionalWarehouse(spark, root)
+    assert "extra" in cold.all_tables()
+    assert sorted(r.k for r in cold.read("extra").collect()) == [1]
+    cold.delete_where("extra", F.col("k") == 1)  # needs the durable pk
+    assert cold.read("extra").count() == 0
