@@ -281,6 +281,7 @@ class _CommitLogStreamWriter(DataSourceStreamWriter):
         self._schema = schema
         self._root = options["root"]
         self._table = options["table"]
+        self._branch = options.get("branch")
         self._pending = os.path.join(
             self._root, self._table, ".staging", "__stream_pending__"
         )
@@ -319,6 +320,8 @@ class _CommitLogStreamWriter(DataSourceStreamWriter):
         paths = [p for m in messages if m is not None for p in m.paths]
         wh = TransactionalWarehouse(None, self._root)
         txn = wh.begin(f"stream-{batchId}")
+        if self._branch:
+            txn.branch = self._branch  # land microbatches on a ref
         if txn._already_committed:
             # microbatch replay after a post-commit crash: drop the
             # re-written pending files, the marker already exists

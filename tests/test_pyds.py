@@ -215,3 +215,31 @@ def test_registrations_are_durable_across_handles(spark, tmp_path):
     assert sorted(r.k for r in cold.read("extra").collect()) == [1]
     cold.delete_where("extra", F.col("k") == 1)  # needs the durable pk
     assert cold.read("extra").count() == 0
+
+
+def test_stream_sink_onto_branch(spark, tmp_path):
+    pyds.register(spark)
+    root = str(tmp_path / "wh")
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table("sink_tbl", SCHEMA)
+    wh.create_all()
+    wh.create_branch("ingest")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], SCHEMA).write.parquet(src)
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .writeStream.format("warehouse_commits")
+        .option("root", root)
+        .option("table", "sink_tbl")
+        .option("branch", "ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert wh.read("sink_tbl").count() == 0  # main untouched
+    assert wh.branch("ingest").read("sink_tbl").count() == 1
+    rep = wh.merge_branch("ingest")
+    assert rep["merged"]
+    assert wh.read("sink_tbl").count() == 1
