@@ -1466,6 +1466,56 @@ class TransactionalWarehouse(Warehouse):
         txn.commit()
         return {"merged": True, "run_id": txn.run_id, "tables": report}
 
+    def rebase_branch(self, name: str) -> int:
+        """Move an APPEND-ONLY branch's fork point to the current main
+        snapshot, so a later :meth:`merge_branch` fast-forwards even
+        though main advanced — appends commute, so replaying them onto
+        the new base is sound without touching any data or manifest.
+        Returns the new base seq.
+
+        Refused (``ValueError``) when the branch carries anything that
+        does NOT commute with main's interim commits:
+
+        - ``replaces``/``restores`` (compaction, overwrite, rollback on
+          the branch rewrote runs that main may since have changed);
+        - merge-on-read tombstones (a tombstone hides rows with earlier
+          seqs — after a rebase it would swallow main rows appended
+          between fork and rebase, silently changing semantics).
+
+        The ref update is a read-modify-replace of one small object —
+        serialize rebases of one branch externally (they are an
+        administrative verb, not a data-plane race)."""
+        if self._ref is not None:
+            raise ValueError("rebase_branch must run on the main handle")
+        view = self.branch(name)  # raises on unknown branch
+        branch_ms = [
+            m
+            for m in self._read_manifests()
+            if m.get("branch") == name
+        ]
+        blockers = []
+        for m in branch_ms:
+            if m.get("replaces") or m.get("restores"):
+                blockers.append(f"{m['run_id']} ({m.get('operation')})")
+            elif any(
+                t.startswith("__tomb_") for t in m.get("tables", ())
+            ):
+                blockers.append(f"{m['run_id']} (merge-on-read delete)")
+        if blockers:
+            raise ValueError(
+                f"branch {name!r} is not append-only — rebase would change"
+                f" semantics of: {blockers}"
+            )
+        new_base = max(
+            (m.get("seq", 0) for m in self._manifests()), default=0
+        )
+        path = os.path.join(self._refs_dir(), f"{name}.json")
+        tmp = os.path.join(self._refs_dir(), f".{name}.rebase.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"name": name, "base_seq": new_base}, fh)
+        os.replace(tmp, path)
+        return new_base
+
     def _main_view(self) -> "TransactionalWarehouse":
         if self._ref is None:
             return self

@@ -260,3 +260,49 @@ def test_list_branches(twh):
     assert twh.list_branches() == ["b"]
     with pytest.raises(KeyError):
         twh.delete_branch("a")
+
+
+# -- rebase (append-only fast-forward of the fork point) ----------------------
+
+
+def test_rebase_append_only_branch_then_merge(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    _commit(twh, "main2", [(3, "c")])  # main advanced: plain merge conflicts
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+    new_base = twh.rebase_branch("dev")
+    assert new_base == 3
+    # the rebased branch now sees main's interim commit AND its own work
+    dev = twh.branch("dev")
+    assert _keys(dev.read("tbl")) == [1, 2, 3]
+    rep = twh.merge_branch("dev")
+    assert rep["merged"]
+    assert _keys(twh.read("tbl")) == [1, 2, 3]
+
+
+def test_rebase_refuses_branch_compaction(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    dev.compact("tbl")
+    _commit(twh, "main2", [(2, "b")])
+    with pytest.raises(ValueError, match="not append-only"):
+        twh.rebase_branch("dev")
+
+
+def test_rebase_refuses_mor_deletes(spark, twh):
+    _commit(twh, "base", [(1, "a"), (2, "b")])
+    dev = twh.create_branch("dev")
+    dev.delete_where("tbl", F.col("k") == 1)
+    _commit(twh, "main2", [(3, "c")])
+    with pytest.raises(ValueError, match="merge-on-read delete"):
+        twh.rebase_branch("dev")
+
+
+def test_rebase_noop_when_branch_empty(spark, twh):
+    _commit(twh, "base", [(1, "a")])
+    twh.create_branch("dev")
+    _commit(twh, "main2", [(2, "b")])
+    assert twh.rebase_branch("dev") == 2
+    assert _keys(twh.branch("dev").read("tbl")) == [1, 2]
