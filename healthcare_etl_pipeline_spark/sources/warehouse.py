@@ -1120,6 +1120,22 @@ class TransactionalWarehouse(Warehouse):
                         "re-sync from the current snapshot or pass "
                         "strict=False"
                     )
+                if op == "merge_branch" and (
+                    table in m.get("restores", {})
+                    or table in m.get("replaces", {})
+                ):
+                    # a branch merge ADOPTS runs (restores) the appends
+                    # feed would skip — silently losing the branch's
+                    # whole contribution. The NET change feed handles it
+                    # (adopted runs surface as inserts), so strict
+                    # consumers recover through the standard
+                    # NonAppendChangeError -> read_change_feed path.
+                    raise NonAppendChangeError(
+                        f"incremental window over {table!r} contains a "
+                        f"branch merge (run {m['run_id']}) — consume the "
+                        "net change feed, re-sync from the current "
+                        "snapshot, or pass strict=False"
+                    )
         runs = self.changed_runs_for(table, since, until)
         return self._read_changes_runs(table, runs)
 

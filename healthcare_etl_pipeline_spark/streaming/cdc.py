@@ -75,13 +75,28 @@ def source_watermark(wh: TransactionalWarehouse, source_table: str) -> int:
     table — it advances the watermark too, so a trailing delete is synced
     without waiting for the next append."""
     tomb = wh._tombstone_table(source_table)
+
+    def _touches(entry: dict) -> bool:
+        if source_table in entry.get("tables", ()) or tomb in entry.get(
+            "tables", ()
+        ):
+            return True
+        # a branch MERGE adopts runs via restores/replaces without
+        # staging data of its own — it logically changes the table and
+        # must advance the watermark (the strict appends feed then
+        # raises and the net-feed path applies the adopted rows).
+        # Rollback keeps its documented skip-until-refresh contract and
+        # compaction stays a non-event, so only merge commits count.
+        if entry.get("operation") == "merge_branch":
+            for verb in ("restores", "replaces"):
+                if source_table in entry.get(verb, {}) or tomb in entry.get(
+                    verb, {}
+                ):
+                    return True
+        return False
+
     return max(
-        (
-            s["seq"]
-            for s in wh.snapshots()
-            if source_table in s.get("tables", ())
-            or tomb in s.get("tables", ())
-        ),
+        (e["seq"] for e in wh.history() if _touches(e)),
         default=0,
     )
 
@@ -372,10 +387,27 @@ def cdc_sync(
                 aggs=specs,
             )
         except NonAppendChangeError:
-            # logical (non-append) changes: true-incremental apply from
-            # the NET change feed when the algebra admits subtraction
-            if supports_incremental_apply(specs) and wh._primary_keys.get(
-                source_table
+            # Branch-merge windows always FULL-REFRESH: when the view and
+            # its cursor were maintained on the branch and merged along
+            # with the source, the adopted source runs are already folded
+            # — but they surface in the merge window's net feed (they
+            # become live on MAIN only at the merge seq), so a signed
+            # apply would double-count them. A refresh from the current
+            # snapshot is correct in both directions (already-folded:
+            # idempotent content; never-folded: picks the rows up).
+            _lo = cdc_cursor(wh, prefix or f"cdc_{source_table}_{view_table}")
+            _hi = source_watermark(wh, source_table)
+            merge_window = any(
+                e.get("operation") == "merge_branch"
+                and _lo < e["seq"] <= _hi
+                for e in wh.history()
+            )
+            # other logical (non-append) changes: true-incremental apply
+            # from the NET change feed when the algebra admits subtraction
+            if (
+                not merge_window
+                and supports_incremental_apply(specs)
+                and wh._primary_keys.get(source_table)
             ):
                 try:
                     window = cdc_apply_feed_once(

@@ -475,7 +475,41 @@ def test_cdc_sync_on_branch_view_is_isolated(spark, tmp_path):
     wh.merge_branch("dev")
     assert _view(wh) == {"a": (2, 11.0), "b": (1, 2.0)}
     assert wh.read("src").count() == 3
-    # post-merge main sync is a no-op: the cursor merged too
+    # post-merge main sync sees the merge window and FULL-REFRESHES —
+    # idempotent content (a signed feed apply would double-count the
+    # adopted runs, which the merged cursor already folded)
+    _sync(wh)
+    assert _view(wh) == {"a": (2, 11.0), "b": (1, 2.0)}
+    # and the round after that is a true no-op
     before = len(wh.committed_run_ids())
     _sync(wh)
     assert len(wh.committed_run_ids()) == before
+
+
+def test_merge_branch_window_is_non_append_and_feed_recovers(spark, tmp_path):
+    """A branch merge ADOPTS runs the appends-only feed would silently
+    skip — strict read_changes must refuse the window, and the net
+    change feed must surface the adopted rows as inserts (the standard
+    recovery path a cdc_sync consumer takes automatically)."""
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        NonAppendChangeError,
+        TransactionalWarehouse,
+    )
+
+    wh = TransactionalWarehouse(spark, str(tmp_path / "wh"))
+    wh.register_table("src", SRC_SCHEMA, primary_key=("k",))
+    wh.register_table("agg", AGG_SCHEMA)
+    wh.create_all()
+    _append(spark, wh, [("a", 1)])
+    s0 = wh.snapshots()[-1]["seq"]
+    dev = wh.create_branch("dev")
+    _append(spark, dev, [("b", 2)])
+    wh.merge_branch("dev")
+    with pytest.raises(NonAppendChangeError, match="branch merge"):
+        wh.read_changes("src", since=s0)
+    feed = wh.read_change_feed("src", since=s0)
+    rows = {(r.k, r._change_type) for r in feed.collect()}
+    assert rows == {("b", "insert")}
+    # and the full consumer folds it correctly end-to-end
+    assert cdc_sync(wh, "src", "agg", group_cols=["k"], value_col="v") >= 1
+    assert _view(wh) == {"a": (1, 1.0), "b": (1, 2.0)}
