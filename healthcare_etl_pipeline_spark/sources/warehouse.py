@@ -555,6 +555,12 @@ class TransactionalWarehouse(Warehouse):
             raise ValueError(f"{name!r} is a built-in table")
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ValueError(f"bad table name {name!r}")
+        # normalize an OLD-schema producer's field names forward through
+        # the committed rename chain before comparing/storing — a rolling
+        # upgrade may re-register with pre-rename names, and since the
+        # registry became durable (cold handles now load prior
+        # registrations) that collision is reachable from any process
+        schema = self._apply_renames(name, schema)
         prior = self._extra_schemas.get(name)
         if prior is not None:
             # compare against the CURRENT logical schema — a producer
