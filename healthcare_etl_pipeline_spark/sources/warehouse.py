@@ -1440,16 +1440,28 @@ class TransactionalWarehouse(Warehouse):
             touched.update(m.get("replaces", {}).keys())
             touched.update(m.get("restores", {}).keys())
         base = view._ref_base
+        # Conflict detection works on BASE table names: a merge-on-read
+        # delete commits only to __tomb_<t>, so main advancing via
+        # delete_where(t) must conflict with a branch that touched t
+        # (else the adopted branch appends land BELOW main's tombstone
+        # seq and their rows are silently hidden), and symmetrically a
+        # branch that only delete_where'd must conflict with main
+        # appends to the plain table (the branch tombstone would not
+        # apply to them — not a fast-forward).
+        touched_bases = {self._base_table(t) for t in touched}
         conflicts = sorted(
-            t
-            for t in touched
+            b
+            for b in touched_bases
             if any(
                 not m.get("branch")
                 and m.get("seq", 0) > base
-                and (
-                    t in m.get("tables", ())
-                    or t in m.get("replaces", {})
-                    or t in m.get("restores", {})
+                and any(
+                    self._base_table(x) == b
+                    for x in (
+                        *m.get("tables", ()),
+                        *m.get("replaces", {}),
+                        *m.get("restores", {}),
+                    )
                 )
                 for m in all_ms
             )
@@ -1502,7 +1514,11 @@ class TransactionalWarehouse(Warehouse):
           the branch rewrote runs that main may since have changed);
         - merge-on-read tombstones (a tombstone hides rows with earlier
           seqs — after a rebase it would swallow main rows appended
-          between fork and rebase, silently changing semantics).
+          between fork and rebase, silently changing semantics);
+        - MAIN-side merge-on-read deletes on a table the branch appended
+          to (the main tombstone's seq exceeds the branch's append seqs,
+          so the branch rows would be hidden after merge — appends only
+          commute with main commits that don't delete from their table).
 
         The ref update is a read-modify-replace of one small object —
         serialize rebases of one branch externally (they are an
@@ -1527,6 +1543,35 @@ class TransactionalWarehouse(Warehouse):
             raise ValueError(
                 f"branch {name!r} is not append-only — rebase would change"
                 f" semantics of: {blockers}"
+            )
+        # Appends do NOT commute with main merge-on-read deletes: a main
+        # delete_where between fork and the new base leaves a tombstone
+        # whose seq EXCEEDS the branch's earlier append seqs, so after
+        # rebase+merge the branch's rows for those keys would be
+        # swallowed by seq-ordered tombstone replay. Refuse — re-fork
+        # and replay the appends above the delete instead.
+        branch_tables = {
+            self._base_table(t)
+            for m in branch_ms
+            for t in m.get("tables", ())
+        }
+        old_base = view._ref_base
+        main_deletes = sorted(
+            {
+                t
+                for m in self._read_manifests()
+                if not m.get("branch") and m.get("seq", 0) > old_base
+                for t in m.get("tables", ())
+                if t.startswith("__tomb_")
+                and self._base_table(t) in branch_tables
+            }
+        )
+        if main_deletes:
+            raise ValueError(
+                f"main committed merge-on-read deletes {main_deletes} on"
+                f" tables branch {name!r} appended to since fork seq"
+                f" {old_base} — rebased appends would fall below the"
+                f" tombstone seq and be hidden; rebase refused"
             )
         new_base = max(
             (m.get("seq", 0) for m in self._manifests()), default=0
@@ -1723,7 +1768,11 @@ class TransactionalWarehouse(Warehouse):
         # most — a constant-size plan, never a per-file case analysis.
         import bisect
 
-        run_seq = {m["run_id"]: m.get("seq", 0) for m in self._manifests()}
+        # UNFILTERED log (like _run_seq_expr): runs adopted from a merged
+        # branch keep branch-tagged manifests invisible to the main view —
+        # the ref-filtered _manifests() would map them to seq 0 and read
+        # their files under the wrong (pre-rename / pre-spec) epoch
+        run_seq = {m["run_id"]: m.get("seq", 0) for m in self._read_manifests()}
         rseqs = [s for s, _, _ in renames]
         sseqs = [s for s, _ in specs]
         epochs: dict[tuple[int, int], list[str]] = {}
@@ -1819,6 +1868,13 @@ class TransactionalWarehouse(Warehouse):
     @staticmethod
     def _tombstone_table(table: str) -> str:
         return f"__tomb_{table}"
+
+    @staticmethod
+    def _base_table(table: str) -> str:
+        """Inverse of :meth:`_tombstone_table` — the user table a commit
+        logically affects (a delete_where touches only ``__tomb_<t>``,
+        but semantically advances ``t``)."""
+        return table[len("__tomb_"):] if table.startswith("__tomb_") else table
 
     def _run_seq_expr(self, as_of: int | str | None = None) -> "Column":
         """Map the ``__run_id`` column to its commit seq (tiny literal
@@ -2596,7 +2652,11 @@ class TransactionalWarehouse(Warehouse):
         # group with its physical names, as _read_raw does for run dirs
         import bisect
 
-        run_seq = {m["run_id"]: m.get("seq", 0) for m in self._manifests()}
+        # UNFILTERED log (like _run_seq_expr): runs adopted from a merged
+        # branch keep branch-tagged manifests invisible to the main view —
+        # the ref-filtered _manifests() would map them to seq 0 and read
+        # their files under the wrong (pre-rename / pre-spec) epoch
+        run_seq = {m["run_id"]: m.get("seq", 0) for m in self._read_manifests()}
         rseqs = [s for s, _, _ in renames]
         sseqs = [s for s, _ in spec_changes]
 

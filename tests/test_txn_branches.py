@@ -306,3 +306,89 @@ def test_rebase_noop_when_branch_empty(spark, twh):
     _commit(twh, "main2", [(2, "b")])
     assert twh.rebase_branch("dev") == 2
     assert _keys(twh.branch("dev").read("tbl")) == [1, 2]
+
+
+# -- tombstone-aware conflict detection (round-6 advice fixes) -----------------
+# A merge-on-read delete commits only to __tomb_<t>, so conflict scans
+# must compare BASE table names: main's delete_where(t) advances t even
+# though its manifest never lists t.
+
+
+def test_merge_refuses_main_mor_delete_on_branch_table(spark, twh):
+    """Main delete_where after the fork leaves a tombstone whose seq
+    EXCEEDS the branch's append seqs — a fast-forward merge would adopt
+    the branch rows below the tombstone and silently hide them."""
+    _commit(twh, "base", [(1, "a"), (2, "b")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(3, "c")])
+    twh.delete_where("tbl", F.col("k") == 1)  # touches only __tomb_tbl
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+    # refusal committed nothing: main unchanged, branch intact
+    assert _keys(twh.read("tbl")) == [2]
+    assert _keys(twh.branch("dev").read("tbl")) == [1, 2, 3]
+
+
+def test_merge_refuses_main_delete_of_branch_reinserted_key(spark, twh):
+    """The exact lost-row scenario: branch re-inserts a key main deleted
+    after the fork. Before the base-name conflict scan this merged and
+    the branch row vanished under main's higher-seq tombstone."""
+    _commit(twh, "base", [(1, "a"), (2, "b")])
+    dev = twh.create_branch("dev")
+    dev.delete_where("tbl", F.col("k") == 1)
+    _commit(dev, "dev-re", [(1, "a2")])  # branch: delete then re-insert
+    twh.delete_where("tbl", F.col("k") == 1)  # main deletes the same key
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+
+
+def test_merge_refuses_branch_mor_delete_when_main_appended(spark, twh):
+    """Symmetric direction: branch touched only __tomb_tbl; main
+    appends to the plain table after the fork — not a fast-forward."""
+    _commit(twh, "base", [(1, "a"), (2, "b")])
+    dev = twh.create_branch("dev")
+    dev.delete_where("tbl", F.col("k") == 1)
+    _commit(twh, "main2", [(3, "c")])
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+
+
+def test_merge_allows_main_mor_delete_on_unrelated_table(spark, twh):
+    twh.register_table("other", SCHEMA, primary_key=["k"])
+    twh.create_all()
+    _commit(twh, "base", [(1, "a")])
+    _commit(twh, "other-base", [(9, "z")], table="other")
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    twh.delete_where("other", F.col("k") == 9)  # unrelated base table
+    rep = twh.merge_branch("dev")
+    assert rep["merged"]
+    assert _keys(twh.read("tbl")) == [1, 2]
+
+
+def test_rebase_refuses_main_mor_delete_on_branch_table(spark, twh):
+    """Appends do not commute with main MoR deletes: after a rebase the
+    branch's earlier-seq appends would fall below main's tombstone."""
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    twh.delete_where("tbl", F.col("k") == 1)
+    with pytest.raises(ValueError, match="merge-on-read deletes"):
+        twh.rebase_branch("dev")
+    # fork point untouched by the refusal
+    assert _keys(twh.branch("dev").read("tbl")) == [1, 2]
+
+
+def test_rebase_allows_main_mor_delete_on_unrelated_table(spark, twh):
+    twh.register_table("other", SCHEMA, primary_key=["k"])
+    twh.create_all()
+    _commit(twh, "base", [(1, "a")])
+    _commit(twh, "other-base", [(9, "z")], table="other")
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    twh.delete_where("other", F.col("k") == 9)
+    new_base = twh.rebase_branch("dev")
+    assert new_base == twh.snapshots()[-1]["seq"]
+    rep = twh.merge_branch("dev")
+    assert rep["merged"]
+    assert _keys(twh.read("tbl")) == [1, 2]

@@ -218,3 +218,33 @@ def test_rename_blocked_by_referencing_constraint(spark, wh):
     wh.rename_column("items", "price", "amount")
     _append(spark, wh, [(2, 2.0)], col="amount")
     assert {r["k"] for r in wh.read("items").collect()} == {1, 2}
+
+
+def test_merged_branch_runs_read_in_their_rename_epoch(spark, wh):
+    """Round-6 advice: the schema-epoch run->seq map must come from the
+    UNFILTERED log — a run adopted from a merged branch keeps its
+    branch-tagged manifest (invisible to the ref-filtered view), so the
+    filtered map sent it to seq 0 = the PRE-rename epoch and its files
+    (written with the post-rename physical name) read back null."""
+    _append(spark, wh, [(1, 10.0)])                  # seq 1: physical 'price'
+    wh.rename_column("items", "price", "amount")     # seq 2: epoch boundary
+    dev = wh.create_branch("dev")
+    _append(spark, dev, [(2, 99.0)], col="amount")   # seq 3: physical 'amount'
+    rep = wh.merge_branch("dev")
+    assert rep["merged"]
+    out = {r.k: r.amount for r in wh.read("items").collect()}
+    assert out == {1: 10.0, 2: 99.0}  # branch run decoded in POST-rename epoch
+
+
+def test_merged_branch_runs_skip_read_in_their_rename_epoch(spark, wh):
+    """Same epoch bug in the data-skipping path (read_skipping groups
+    selected files by the run->seq epoch map)."""
+    _append(spark, wh, [(1, 10.0)])
+    wh.rename_column("items", "price", "amount")
+    dev = wh.create_branch("dev")
+    _append(spark, dev, [(2, 99.0)], col="amount")
+    wh.merge_branch("dev")
+    wh.build_stats_index("items", ["k"])
+    df, report = wh.read_skipping("items", {"k": (None, None)})
+    out = {r.k: r.amount for r in df.collect()}
+    assert out == {1: 10.0, 2: 99.0}
