@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -126,6 +127,51 @@ def _max_seq(root: str, branch: str | None) -> int:
     return max((m.get("seq", 0) for m in ms), default=0)
 
 
+def _claimed_seqs(root: str) -> list[int]:
+    """Seqs claimed in ``_txn/seqs`` (mirror of the warehouse's
+    _claimed_seqs) — the set of seqs that MAY eventually publish a
+    marker. Claim precedes marker in the commit protocol, so
+    claimed-but-unpublished seqs are in-flight commits (or crash
+    holes)."""
+    d = os.path.join(root, "_txn", "seqs")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".claim"):
+            try:
+                out.append(int(f[: -len(".claim")]))
+            except ValueError:
+                pass
+    return out
+
+
+def _offset_with_holes(root: str, branch: str | None, floor: int) -> dict:
+    """Streaming offset that cannot skip an in-flight commit.
+
+    The commit protocol claims seq N (``_txn/seqs``) BEFORE publishing
+    the marker, so a later-claimed seq N+1 can become visible first. A
+    plain max-seq offset would then consume the window (lo, N+1] and
+    the late-published seq-N commit would fall inside an
+    already-committed window — skipped forever. Instead the offset
+    carries ``holes``: claimed-but-unpublished seqs below the high
+    watermark. A hole that later publishes leaves the holes list, and
+    :meth:`partitions` emits it as part of the first window that
+    observes the fill (``start.holes - end.holes``). A crash hole
+    (claim with no marker, committer dead) simply stays a hole — the
+    stream never stalls waiting on it. Marker seqs are checked against
+    the UNFILTERED log so another ref's commits are never mistaken for
+    holes."""
+    published = {m.get("seq", 0) for m in _read_manifests(root)}
+    hi = max(_max_seq(root, branch), floor)
+    holes = sorted(
+        s
+        for s in _claimed_seqs(root)
+        if floor < s <= hi and s not in published
+    )
+    return {"seq": hi, "holes": holes}
+
+
 class _RunPartition(InputPartition):
     def __init__(self, run_dir: str):
         self.run_dir = run_dir
@@ -162,22 +208,42 @@ class _CommitLogStreamReader(DataSourceStreamReader):
         self._start = int(options.get("starting_seq", 0))
 
     def initialOffset(self) -> dict:
-        return {"seq": self._start}
+        return {"seq": self._start, "holes": []}
 
     def latestOffset(self) -> dict:
-        return {"seq": max(self._start, _max_seq(self._root, self._branch))}
+        return _offset_with_holes(self._root, self._branch, self._start)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Normal window: published append commits in (start, end]. Seqs
+        # in end.holes have no marker yet, so _append_runs can't (and
+        # must not) return them — they are emitted by the FIRST window
+        # whose start still lists them as holes and whose end does not
+        # (deterministic from the two offsets alone, so a replayed
+        # microbatch reproduces exactly the same runs).
         runs = _append_runs(
             self._root, self._table, self._branch, start["seq"], end["seq"]
         )
+        filled = sorted(
+            set(start.get("holes", ())) - set(end.get("holes", ()))
+        )
+        if filled:
+            fill_set = set(filled)
+            for m in _ref_filter(
+                _read_manifests(self._root), self._root, self._branch
+            ):
+                if (
+                    m.get("seq", 0) in fill_set
+                    and self._table in m.get("tables", ())
+                    and not m.get("replaces", {}).get(self._table)
+                ):
+                    runs.append((m.get("seq", 0), m["run_id"]))
         return [
             _RunPartition(
                 os.path.join(
                     self._root, self._table, f"{RUN_ID_COL}={run_id}"
                 )
             )
-            for _, run_id in runs
+            for _, run_id in sorted(runs)
         ] or [_RunPartition("")]  # empty batch: one no-op partition
 
     def read(self, partition: _RunPartition) -> Iterator:
@@ -241,6 +307,9 @@ class WarehouseCommitsDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _CommitLogBatchReader(schema, dict(self.options))
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return _CommitLogBatchWriter(schema, dict(self.options), overwrite)
+
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _CommitLogStreamReader(schema, dict(self.options))
 
@@ -260,21 +329,16 @@ class _PendingFiles(WriterCommitMessage):
         self.paths = paths
 
 
-class _CommitLogStreamWriter(DataSourceStreamWriter):
-    """Exactly-once streaming sink THROUGH the warehouse commit protocol.
-
-    Executors write their partition's rows as parquet into a pending
-    area under the table's staging dir and report the file paths; the
-    driver-side ``commit(messages, batchId)`` folds every pending file
-    into ONE transaction with ``batch_id = stream-<batchId>`` — so a
-    retried microbatch replays into an already-committed run_id and
-    no-ops (the same idempotence contract as every warehouse ingest),
-    and a crash before the marker leaves nothing visible. Readers see
-    each microbatch atomically or not at all.
+class _StagedParquetWriter:
+    """Shared executor/driver halves of the warehouse sink: executors
+    stream their partition's rows into a pending parquet file and report
+    its path; the driver folds every pending file into ONE warehouse
+    transaction. Subclasses adapt this to the batch
+    (:class:`_CommitLogBatchWriter`) and streaming
+    (:class:`_CommitLogStreamWriter`) writer protocols.
 
     CHECK constraints are not evaluated on this path (no session exists
-    in the sink worker) — enforce upstream or on read for streamed
-    tables.
+    in the sink worker) — enforce upstream or on read for sunk tables.
     """
 
     def __init__(self, schema: T.StructType, options: dict):
@@ -286,71 +350,168 @@ class _CommitLogStreamWriter(DataSourceStreamWriter):
             self._root, self._table, ".staging", "__stream_pending__"
         )
 
+    # rows per buffered chunk: bounds executor memory to one chunk of
+    # Python tuples regardless of partition size (the parquet writer
+    # streams row groups to disk)
+    CHUNK_ROWS = 65536
+
     def write(self, iterator) -> "_PendingFiles":
+        import itertools
         import uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            return _PendingFiles([])
         target = to_arrow_schema(self._schema)
-        cols = list(zip(*rows))
-        tbl = pa.table(
-            {
-                f.name: pa.array(cols[i], type=f.type)
-                for i, f in enumerate(target)
-            },
-            schema=target,
-        )
-        os.makedirs(self._pending, exist_ok=True)
-        path = os.path.join(self._pending, f"{uuid.uuid4().hex}.parquet")
-        pq.write_table(tbl, path)
-        return _PendingFiles([path])
+        writer = None
+        path = None
+        try:
+            while True:
+                rows = [
+                    tuple(r)
+                    for r in itertools.islice(iterator, self.CHUNK_ROWS)
+                ]
+                if not rows:
+                    break
+                cols = list(zip(*rows))
+                batch = pa.record_batch(
+                    [
+                        pa.array(cols[i], type=f.type)
+                        for i, f in enumerate(target)
+                    ],
+                    schema=target,
+                )
+                if writer is None:
+                    os.makedirs(self._pending, exist_ok=True)
+                    path = os.path.join(
+                        self._pending, f"{uuid.uuid4().hex}.parquet"
+                    )
+                    writer = pq.ParquetWriter(path, target)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _PendingFiles([path] if path is not None else [])
 
-    def commit(self, messages, batchId: int) -> None:
-        import shutil
+    def _commit_txn(
+        self,
+        paths: list,
+        run_id: str,
+        operation: str,
+        *,
+        overwrite: bool = False,
+    ) -> None:
+        """Fold the pending files into ONE warehouse transaction.
 
+        ``run_id`` makes the commit idempotent (a replay into an
+        already-committed run_id drops its files and no-ops).
+        ``overwrite`` additionally retires every run live on the target
+        ref at commit time — atomic truncate-and-load."""
         from healthcare_etl_pipeline_spark.sources.warehouse import (
             TransactionalWarehouse,
         )
 
-        paths = [p for m in messages if m is not None for p in m.paths]
         wh = TransactionalWarehouse(None, self._root)
-        txn = wh.begin(f"stream-{batchId}")
+        txn = wh.begin(run_id)
         if self._branch:
-            txn.branch = self._branch  # land microbatches on a ref
+            txn.branch = self._branch  # land commits on a ref
         if txn._already_committed:
-            # microbatch replay after a post-commit crash: drop the
-            # re-written pending files, the marker already exists
-            for p in paths:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+            # replay after a post-commit crash: drop the re-written
+            # pending files, the marker already exists
+            self._drop_paths(paths)
             txn.commit()
             return
+        if overwrite:
+            view = wh.branch(self._branch) if self._branch else wh
+            live = view.committed_runs_for(self._table)
+            if live:
+                txn.replaces[self._table] = live
         stage = txn._stage_dir(self._table)
         os.makedirs(stage, exist_ok=True)
         for i, p in enumerate(paths):
             os.replace(p, os.path.join(stage, f"part-{i:05d}.parquet"))
         if self._table not in txn.staged_tables:
             txn.staged_tables.append(self._table)
-        txn.operation = "stream"
+        txn.operation = operation
         txn.commit()
         try:  # drop the pending dir when drained (fsck hygiene)
             os.rmdir(self._pending)
         except OSError:
             pass
 
+    @staticmethod
+    def _drop_paths(paths: list) -> None:
+        for p in paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+class _CommitLogStreamWriter(_StagedParquetWriter, DataSourceStreamWriter):
+    """Exactly-once streaming sink THROUGH the warehouse commit protocol.
+
+    The driver-side ``commit(messages, batchId)`` lands each microbatch
+    as one transaction with ``batch_id = stream-<batchId>`` — a retried
+    microbatch replays into an already-committed run_id and no-ops (the
+    same idempotence contract as every warehouse ingest), and a crash
+    before the marker leaves nothing visible. Readers see each
+    microbatch atomically or not at all.
+    """
+
+    def commit(self, messages, batchId: int) -> None:
+        paths = [p for m in messages if m is not None for p in m.paths]
+        if not paths:
+            # zero-row microbatch: nothing to stage — committing anyway
+            # would publish an empty run + manifest per idle trigger,
+            # polluting history and the CDC append feed with no-op
+            # commits. Replays are safe without a marker: the same
+            # batchId replays the same (empty) source window.
+            return
+        self._commit_txn(paths, f"stream-{batchId}", "stream")
+
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for p in m.paths:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+        self._drop_paths(
+            [p for m in messages if m is not None for p in m.paths]
+        )
+
+
+class _CommitLogBatchWriter(_StagedParquetWriter, DataSourceWriter):
+    """``df.write.format("warehouse_commits")`` — one atomic warehouse
+    transaction per save.
+
+    ``mode("append")`` publishes the files as a new append commit;
+    ``mode("overwrite")`` additionally retires every previously-live run
+    of the table in the SAME commit (atomic truncate-and-load — readers
+    see old data or new data, never a mix, and time travel keeps the old
+    snapshot addressable). Pass option ``batch_id`` to make retried jobs
+    idempotent (same contract as :meth:`TransactionalWarehouse.begin`);
+    without it every save is a fresh commit.
+    """
+
+    def __init__(
+        self, schema: T.StructType, options: dict, overwrite: bool
+    ):
+        super().__init__(schema, options)
+        self._overwrite = overwrite
+        self._batch_id = options.get("batch_id")
+
+    def commit(self, messages) -> None:
+        import uuid
+
+        paths = [p for m in messages if m is not None for p in m.paths]
+        if not paths and not self._overwrite:
+            return  # empty append: a no-op, not an empty commit
+        run_id = self._batch_id or uuid.uuid4().hex
+        self._commit_txn(
+            paths,
+            run_id,
+            "overwrite" if self._overwrite else "batch-write",
+            overwrite=self._overwrite,
+        )
+
+    def abort(self, messages) -> None:
+        self._drop_paths(
+            [p for m in messages if m is not None for p in m.paths]
+        )
