@@ -9,8 +9,9 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from healthcare_etl_pipeline_spark.catalog import load_table
+from healthcare_etl_pipeline_spark.catalog import load_table, table_path
 
 _SCRATCH_DIRS: set[str] = set()
 
@@ -67,3 +68,65 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
 def td(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``t`` + ``spread``: the loader for compute-bound queries."""
     return spread(t(spark, sf_dir, name), spark)
+
+
+# Dimensions whose cardinality is FIXED by the schema (region: 5 rows,
+# nation: 25) — broadcastable at any scale factor, hint unconditionally.
+FIXED_DIMS = {"region", "nation"}
+
+# On-disk parquet ceiling for hinting an SF-SCALED dimension (part,
+# supplier — their row counts grow linearly with SF, so at 100 TB they are
+# NOT broadcast-size). zstd parquet typically expands 2-4x decoded, so
+# 16 MB on disk stays under the session's 64 MB in-memory
+# autoBroadcastJoinThreshold with margin. Above the ceiling NO hint is
+# emitted and AQE's runtime-measured sizes decide the join strategy.
+DIM_HINT_CEILING_BYTES = 16 * 1024 * 1024
+
+_DISK_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _on_disk_bytes(sf_dir: str, name: str) -> int:
+    """Compressed footprint of one testdata table — a driver-side stat
+    probe (file sizes only, no data read), the poor man's catalog
+    statistics this layout offers."""
+    key = (sf_dir, name)
+    if key not in _DISK_BYTES_CACHE:
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            total = os.path.getsize(path)
+        _DISK_BYTES_CACHE[key] = total
+    return _DISK_BYTES_CACHE[key]
+
+
+def dim_hint(
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    ceiling: int | None = None,
+) -> DataFrame:
+    """Size-gated broadcast hint for a dimension-side join input.
+
+    A hard-coded ``F.broadcast(part)`` is a 100 TB failure: part/supplier
+    scale with SF, and a forced hint overrides AQE and the 64 MB
+    threshold, shipping a multi-GB build side to every executor (or
+    OOMing the driver collecting it). This helper hints only when the
+    table is MEASURED small — fixed-cardinality dims always, SF-scaled
+    dims only under :data:`DIM_HINT_CEILING_BYTES` on disk. Otherwise
+    the frame is returned unhinted and AQE's runtime statistics pick
+    broadcast vs shuffle join — the same plan where broadcast is truly
+    cheap, a scalable one where it is not.
+    """
+    if name in FIXED_DIMS:
+        return F.broadcast(df)
+    limit = DIM_HINT_CEILING_BYTES if ceiling is None else ceiling
+    try:
+        small = _on_disk_bytes(sf_dir, name) <= limit
+    except OSError:
+        small = False  # unknown size: never force a broadcast
+    return F.broadcast(df) if small else df

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_etl_pipeline_spark.operators.text import portable_char_hash_sql
-from healthcare_etl_pipeline_spark.queries.helpers import t, td
+from healthcare_etl_pipeline_spark.queries.helpers import dim_hint, t, td
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 _K = 8  # token window for exact-substring profiling
@@ -116,7 +116,7 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     baskets = li.join(
-        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+        dim_hint(part, sf_dir, "part"), li["l_partkey"] == part["p_partkey"]
     ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
     return frequent_pairs(baskets, "basket", "item", min_baskets=50)
 

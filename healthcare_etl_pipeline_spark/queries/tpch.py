@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.helpers import dim_hint, t
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 
@@ -134,7 +134,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            dim_hint(supp, sf_dir, "supplier"),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from healthcare_etl_pipeline_spark.queries.helpers import t
+from healthcare_etl_pipeline_spark.queries.helpers import dim_hint, t
 from healthcare_etl_pipeline_spark.queries.registry import query
 
 
@@ -101,7 +101,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_hint(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(
@@ -165,10 +165,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_hint(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
@@ -225,9 +225,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_hint(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -290,7 +290,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -368,7 +368,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -399,7 +399,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(thresholds, li.l_partkey == F.col("th_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -478,7 +478,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(dim_hint(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -634,7 +634,7 @@ def q21_slowest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("last_ship")))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_hint(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
@@ -707,7 +707,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     in_region = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(dim_hint(supp, sf_dir, "supplier"), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -716,7 +716,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cost", F.min("ps_supplycost").over(w)
     ).filter(F.col("ps_supplycost") == F.col("min_cost"))
     return (
-        best.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        best.join(dim_hint(part, sf_dir, "part"), F.col("ps_partkey") == part.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -761,7 +761,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _spark_partsupp(spark, sf_dir)
     supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     value_by_part = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey, "left_semi")
+        ps.join(dim_hint(supp, sf_dir, "supplier"), ps.ps_suppkey == supp.s_suppkey, "left_semi")
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost") * F.col("ps_volume")).alias("part_value"))
     )
