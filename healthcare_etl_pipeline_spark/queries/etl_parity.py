@@ -1695,6 +1695,96 @@ def txn_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_branch_merge_read",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer
+    WHERE c_custkey % 2 = 0
+       OR (c_custkey % 2 = 1 AND c_custkey % 3 = 0)
+       OR (c_custkey % 2 = 1 AND c_custkey % 5 = 0 AND c_custkey % 3 <> 0)
+    """,
+    description="Three-way (union) merge of DIVERGED append-only "
+    "histories: main commits evens, a branch forks and appends odd "
+    "threes, main then appends odd fives (divergence on the same "
+    "table). Fast-forward merge must refuse; strategy='union' verifies "
+    "both sides are pure appends and no primary key landed on both "
+    "sides, then adopts the branch runs while keeping main's — one "
+    "metadata-only commit (run-dir census asserted). The final read is "
+    "the row union; a retired main run, a doubled key, or a leaked "
+    "refusal flips the hash.",
+    tags=("txn", "branch", "merge", "etl"),
+)
+def txn_branch_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        BranchConflictError,
+        TransactionalWarehouse,
+    )
+
+    root = scratch_dir("txn_branch_merge", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.register_table(
+        "cust_log",
+        T.StructType(
+            [
+                T.StructField("custkey", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+        primary_key=("custkey",),
+    )
+    wh.create_all()
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    odd = F.col("custkey") % 2 == 1
+    txn = wh.begin("bm-even")
+    txn.stage(cust.filter(F.col("custkey") % 2 == 0), "cust_log")
+    txn.commit()
+
+    dev = wh.create_branch("dev")
+    txn = dev.begin("bm-odd3")
+    txn.stage(cust.filter(odd & (F.col("custkey") % 3 == 0)), "cust_log")
+    txn.commit()
+
+    # main diverges AFTER the fork: appends odd fives (minus the threes
+    # the branch took, so no primary key lands on both sides)
+    txn = wh.begin("bm-odd5")
+    txn.stage(
+        cust.filter(
+            odd & (F.col("custkey") % 5 == 0) & (F.col("custkey") % 3 != 0)
+        ),
+        "cust_log",
+    )
+    txn.commit()
+
+    try:
+        wh.merge_branch("dev")
+        raise AssertionError("diverged ff merge must refuse")
+    except BranchConflictError:
+        pass
+    runs_before = {
+        e
+        for e in os.listdir(wh.path("cust_log"))
+        if e.startswith("__run_id=")
+    }
+    report = wh.merge_branch("dev", strategy="union")
+    assert report["merged"] and report["strategy"] == "union", report
+    assert report["tables"]["cust_log"]["removes"] == [], report
+    runs_after = {
+        e
+        for e in os.listdir(wh.path("cust_log"))
+        if e.startswith("__run_id=")
+    }
+    assert runs_after == runs_before, "union merge must be metadata-only"
+    return wh.read("cust_log")
+
+
+@query(
     "observations_ingest_valid",
     oracle="""
     SELECT c_custkey,

@@ -1411,10 +1411,10 @@ class TransactionalWarehouse(Warehouse):
         except FileNotFoundError:
             raise KeyError(f"unknown tag {name!r}") from None
 
-    def merge_branch(self, name: str) -> dict:
-        """Fast-forward merge: publish the branch's net effect on main as
-        ONE metadata-only commit (zero data copy — branch run dirs already
-        sit in the table directories; only the ref filter hid them).
+    def merge_branch(self, name: str, strategy: str = "ff") -> dict:
+        """Merge a branch's net effect onto main as ONE metadata-only
+        commit (zero data copy — branch run dirs already sit in the
+        table directories; only the ref filter hid them).
 
         Per touched table the commit's ``restores`` adopts runs live at
         the branch tip but not on main, and ``replaces`` retires main
@@ -1423,10 +1423,23 @@ class TransactionalWarehouse(Warehouse):
         so readers, time travel, and vacuum need nothing new. Atomic
         across all touched tables like every commit.
 
-        Fast-forward ONLY: if main advanced on any touched table after
-        the fork seq, raises :class:`BranchConflictError` and commits
-        nothing (re-fork and replay to rebase). Merging twice conflicts
-        with the first merge by the same rule."""
+        ``strategy="ff"`` (default) is fast-forward ONLY: if main
+        advanced on any touched table after the fork seq (merge-on-read
+        deletes count — they touch only ``__tomb_<t>`` but semantically
+        advance ``t``), raises :class:`BranchConflictError` and commits
+        nothing. Merging twice conflicts with the first merge by the
+        same rule (rebase then ff-merge to repeat).
+
+        ``strategy="union"`` is the three-way merge for DIVERGED
+        histories whose divergence is pure appends: when every commit
+        on BOTH sides of each conflicted table since the fork is an
+        append (no compaction/overwrite/rollback/tombstone), appends
+        interleave commutatively, so the merge adopts the branch's runs
+        and keeps main's interim runs — the row union. True conflicts
+        are still refused: non-append DML on either side, and (for
+        primary-key tables) the same key inserted on both sides since
+        the fork — the overlap check is one distributed anti-join over
+        only the post-fork runs, never a full-table scan."""
         if self._ref is not None:
             raise ValueError("merge_branch must run on the main handle")
         view = self.branch(name)
@@ -1467,17 +1480,34 @@ class TransactionalWarehouse(Warehouse):
             )
         )
         if conflicts:
-            raise BranchConflictError(
-                f"main advanced on {conflicts} since branch {name!r} forked"
-                f" at seq {base} — fast-forward merge refused"
-            )
+            if strategy == "ff":
+                raise BranchConflictError(
+                    f"main advanced on {conflicts} since branch {name!r}"
+                    f" forked at seq {base} — fast-forward merge refused"
+                    f" (strategy='union' merges append-only divergence)"
+                )
+            if strategy != "union":
+                raise ValueError(f"unknown merge strategy {strategy!r}")
+            self._check_union_mergeable(name, all_ms, base, conflicts)
         txn = self.begin(operation="merge_branch")
         report: dict[str, dict] = {}
         for t in sorted(touched):
             live_branch = set(view.committed_runs_for(t))
             live_main = set(self.committed_runs_for(t))
             adds = sorted(live_branch - live_main)
-            removes = sorted(live_main - live_branch)
+            # main's own post-fork appends — including runs ADOPTED by an
+            # earlier branch merge (they arrive via that merge commit's
+            # restores, not its tables list) — are invisible to this
+            # branch's view but must survive a union merge: never retire
+            # them. Under ff (conflicts refused above) the set is empty
+            # and removes degrades to the plain live_main - live_branch.
+            main_post_fork: set[str] = set()
+            for m in all_ms:
+                if not m.get("branch") and m.get("seq", 0) > base:
+                    if t in m.get("tables", ()):
+                        main_post_fork.add(m["run_id"])
+                    main_post_fork.update(m.get("restores", {}).get(t, ()))
+            removes = sorted(live_main - live_branch - main_post_fork)
             gone = [
                 r for r in adds if not os.path.isdir(self.run_dir(t, r))
             ]
@@ -1496,9 +1526,107 @@ class TransactionalWarehouse(Warehouse):
         if not report:
             txn.abort()
             return {"merged": False, "tables": {}}
-        txn.extra_manifest = {"merged_branch": name, "merge_base": base}
+        txn.extra_manifest = {
+            "merged_branch": name,
+            "merge_base": base,
+            "merge_strategy": strategy,
+        }
         txn.commit()
-        return {"merged": True, "run_id": txn.run_id, "tables": report}
+        return {
+            "merged": True,
+            "run_id": txn.run_id,
+            "tables": report,
+            "strategy": strategy,
+        }
+
+    def _check_union_mergeable(
+        self, name: str, all_ms: list[dict], base: int, conflicts: list[str]
+    ) -> None:
+        """Union-merge admissibility: every commit on EITHER side of a
+        conflicted table since the fork must be a pure append (appends
+        interleave commutatively; anything else — compaction, overwrite,
+        rollback, merge-on-read delete — depends on seq order across the
+        divergence and cannot be replayed soundly), and a primary-key
+        table must not have received the same key on both sides (checked
+        with one semi-join over only the post-fork runs)."""
+        conflicted = set(conflicts)
+        offenders = []
+        for m in all_ms:
+            on_branch = m.get("branch") == name
+            on_main = not m.get("branch") and m.get("seq", 0) > base
+            if not (on_branch or on_main):
+                continue
+            side = "branch" if on_branch else "main"
+            for t in conflicted:
+                tomb = self._tombstone_table(t)
+                if tomb in m.get("tables", ()):
+                    offenders.append(
+                        f"{side}:{m['run_id']} (merge-on-read delete on {t!r})"
+                    )
+                if m.get("replaces", {}).get(t) or m.get("replaces", {}).get(
+                    tomb
+                ):
+                    offenders.append(
+                        f"{side}:{m['run_id']}"
+                        f" ({m.get('operation', 'write')} rewrote {t!r})"
+                    )
+                if m.get("restores", {}).get(tomb):
+                    offenders.append(
+                        f"{side}:{m['run_id']} (merge adopted deletes on {t!r})"
+                    )
+                if m.get("restores", {}).get(t) and (
+                    m.get("operation") != "merge_branch"
+                ):
+                    # an EARLIER branch merge's restores are adopted
+                    # appends (its replaces/tomb adoptions are caught
+                    # above) — append-equivalent for union purposes;
+                    # any other restore (rollback) reorders history
+                    offenders.append(
+                        f"{side}:{m['run_id']}"
+                        f" ({m.get('operation', 'write')} restored runs"
+                        f" of {t!r})"
+                    )
+        if offenders:
+            raise BranchConflictError(
+                f"union merge of branch {name!r} refused — divergence on"
+                f" {sorted(conflicted)} is not append-only:"
+                f" {sorted(set(offenders))}"
+            )
+        for t in sorted(conflicted):
+            pk = self._primary_keys.get(t)
+            if not pk:
+                continue
+            branch_runs = sorted(
+                {
+                    m["run_id"]
+                    for m in all_ms
+                    if m.get("branch") == name and t in m.get("tables", ())
+                }
+            )
+            main_side: set[str] = set()
+            for m in all_ms:
+                if not m.get("branch") and m.get("seq", 0) > base:
+                    if t in m.get("tables", ()):
+                        main_side.add(m["run_id"])
+                    # runs adopted by an earlier branch merge carry keys
+                    # inserted since the fork too — include them
+                    main_side.update(m.get("restores", {}).get(t, ()))
+            main_runs = sorted(main_side)
+            if not branch_runs or not main_runs:
+                continue
+            if self.spark is None:
+                raise ValueError(
+                    f"union merge of primary-key table {t!r} needs a"
+                    " Spark-attached handle to check key overlap"
+                )
+            b = self._read_raw(t, runs=branch_runs).select(*pk)
+            mn = self._read_raw(t, runs=main_runs).select(*pk)
+            if b.join(mn, on=pk, how="left_semi").limit(1).count():
+                raise BranchConflictError(
+                    f"union merge of branch {name!r} refused — table"
+                    f" {t!r} received the same primary key on both sides"
+                    f" since fork seq {base}"
+                )
 
     def rebase_branch(self, name: str) -> int:
         """Move an APPEND-ONLY branch's fork point to the current main

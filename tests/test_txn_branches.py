@@ -392,3 +392,101 @@ def test_rebase_allows_main_mor_delete_on_unrelated_table(spark, twh):
     rep = twh.merge_branch("dev")
     assert rep["merged"]
     assert _keys(twh.read("tbl")) == [1, 2]
+
+
+# -- three-way (union) merge of append-only divergence -------------------------
+
+
+def test_union_merge_of_diverged_appends(spark, twh):
+    """Both sides appended since the fork: ff refuses, union adopts the
+    branch runs and keeps main's — the row union, still metadata-only."""
+    import os
+
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    _commit(twh, "main2", [(3, "c")])
+    twh.create_tag("pre-merge")
+    with pytest.raises(BranchConflictError):
+        twh.merge_branch("dev")
+    runs_before = {
+        e for e in os.listdir(twh.path("tbl")) if e.startswith("__run_id=")
+    }
+    rep = twh.merge_branch("dev", strategy="union")
+    assert rep["merged"] and rep["strategy"] == "union"
+    assert rep["tables"]["tbl"] == {"adds": ["dev1"], "removes": []}
+    assert _keys(twh.read("tbl")) == [1, 2, 3]
+    runs_after = {
+        e for e in os.listdir(twh.path("tbl")) if e.startswith("__run_id=")
+    }
+    assert runs_after == runs_before  # metadata-only
+    assert _keys(twh.read("tbl", as_of="tag:pre-merge")) == [1, 3]
+
+
+def test_union_merge_unknown_strategy(twh):
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(2, "b")])
+    _commit(twh, "main2", [(3, "c")])
+    with pytest.raises(ValueError, match="unknown merge strategy"):
+        twh.merge_branch("dev", strategy="theirs")
+
+
+def test_union_merge_refuses_pk_overlap(spark, twh):
+    """Same primary key inserted on both sides since the fork is a TRUE
+    conflict — union refuses instead of silently doubling the key."""
+    _commit(twh, "base", [(1, "a")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(5, "branch-5")])
+    _commit(twh, "main2", [(5, "main-5")])
+    with pytest.raises(BranchConflictError, match="same primary key"):
+        twh.merge_branch("dev", strategy="union")
+    assert _keys(twh.read("tbl")) == [1, 5]  # refusal committed nothing
+
+
+def test_union_merge_refuses_nonappend_divergence(spark, twh):
+    _commit(twh, "b1", [(1, "a")])
+    _commit(twh, "b2", [(2, "b")])
+    dev = twh.create_branch("dev")
+    _commit(dev, "dev1", [(3, "c")])
+    twh.compact("tbl")  # main rewrote runs since the fork
+    with pytest.raises(BranchConflictError, match="not append-only"):
+        twh.merge_branch("dev", strategy="union")
+    # and a branch-side MoR delete is equally refused
+    dev2 = twh.create_branch("dev2")
+    dev2.delete_where("tbl", F.col("k") == 1)
+    _commit(dev2, "dev2a", [(9, "z")])
+    _commit(twh, "main3", [(8, "y")])
+    with pytest.raises(BranchConflictError, match="merge-on-read delete"):
+        twh.merge_branch("dev2", strategy="union")
+
+
+def test_sequential_union_merges_keep_earlier_merge_rows(spark, twh):
+    """Two branches forked from the same base, each appending distinct
+    keys: the SECOND union merge must treat the first merge commit as
+    append-equivalent — neither refusing it nor retiring its adopted
+    runs."""
+    _commit(twh, "base", [(1, "a")])
+    d1 = twh.create_branch("d1")
+    d2 = twh.create_branch("d2")
+    _commit(d1, "d1a", [(2, "b")])
+    _commit(d2, "d2a", [(3, "c")])
+    _commit(twh, "main2", [(4, "d")])
+    assert twh.merge_branch("d1", strategy="union")["merged"]
+    rep2 = twh.merge_branch("d2", strategy="union")
+    assert rep2["merged"]
+    assert rep2["tables"]["tbl"]["removes"] == []  # d1a survives
+    assert _keys(twh.read("tbl")) == [1, 2, 3, 4]
+
+
+def test_union_merge_detects_pk_overlap_with_merged_branch(spark, twh):
+    """Keys adopted from an earlier branch merge count as main-side
+    post-fork inserts for the overlap check."""
+    _commit(twh, "base", [(1, "a")])
+    d1 = twh.create_branch("d1")
+    d2 = twh.create_branch("d2")
+    _commit(d1, "d1a", [(7, "from-d1")])
+    _commit(d2, "d2a", [(7, "from-d2")])
+    assert twh.merge_branch("d1", strategy="union")["merged"]
+    with pytest.raises(BranchConflictError, match="same primary key"):
+        twh.merge_branch("d2", strategy="union")

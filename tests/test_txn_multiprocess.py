@@ -223,6 +223,20 @@ def _branch_worker(root, backend_name, action, name, barrier, q):
             q.put(("merged", wh.merge_branch(name)["merged"]))
         except BranchConflictError:
             q.put(("merged", False))
+    elif action == "union_merge":
+        from healthcare_etl_pipeline_spark.sources.warehouse import (
+            BranchConflictError,
+        )
+
+        try:
+            q.put(
+                (
+                    "merged",
+                    wh.merge_branch(name, strategy="union")["merged"],
+                )
+            )
+        except BranchConflictError:
+            q.put(("merged", False))
 
 
 def _run_branch_race(root, backend_name, actions):
@@ -297,3 +311,37 @@ def test_concurrent_merge_is_idempotent(spark, tmp_path, backend_name):
     wh = TransactionalWarehouse(spark, root, backend=BACKENDS[backend_name]())
     assert wh.read("pipeline_runs").count() == 1
     assert wh.fsck() == {}
+
+
+def test_union_merge_storm_of_diverged_branches(spark, tmp_path, backend_name):
+    """3 processes race UNION merges of 3 different branches while main
+    has advanced since every fork: merges must converge to the row union
+    (each side's appends exactly once), with zero lost or doubled runs —
+    the divergent-merge equivalent of the commit storm."""
+    root = str(tmp_path / "wh")
+    boot = TransactionalWarehouse(None, root, backend=BACKENDS[backend_name]())
+    boot.create_all()
+    txn = boot.begin("main-pre")
+    _stage_with_pyarrow(txn, "pipeline_runs", "row-main-pre")
+    assert txn.commit()
+    names = [f"d{i}" for i in range(3)]
+    for n in names:
+        boot.create_branch(n)
+        view = boot.branch(n)
+        txn = view.begin(f"{n}-work")
+        _stage_with_pyarrow(txn, "pipeline_runs", f"row-{n}")
+        assert txn.commit()
+    txn = boot.begin("main-post")  # main diverges AFTER every fork
+    _stage_with_pyarrow(txn, "pipeline_runs", "row-main-post")
+    assert txn.commit()
+
+    results = _run_branch_race(
+        root, backend_name, [("union_merge", n) for n in names]
+    )
+    assert [ok for _, ok in results] == [True] * 3, results
+    wh = TransactionalWarehouse(spark, root, backend=BACKENDS[backend_name]())
+    rows = sorted(r.id for r in wh.read("pipeline_runs").collect())
+    assert rows == sorted(
+        ["row-main-pre", "row-main-post"] + [f"row-{n}" for n in names]
+    )
+    assert wh.fsck() == {}, wh.fsck()
