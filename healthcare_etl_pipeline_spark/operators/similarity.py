@@ -1381,3 +1381,112 @@ def ivfpq_index_append(
     enc = pq_encode(resid, books, id_col=id_col, vec_col=vec_col, keep=("cell",))
     enc.write.mode("append").partitionBy("cell").parquet(index_dir)
     return new_vectors.count()
+
+
+def ivfpq_recall(
+    spark,
+    index_dir: str,
+    probe_queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 5,
+    refine_factor: int = 16,
+) -> float:
+    """Sampled recall@k of the persisted IVF-PQ index against exact
+    brute-force over the SAME probe set — the index-health metric a
+    frozen-codebook index must be monitored by (ivfpq_index_append never
+    retrains, so distribution drift silently degrades recall).
+
+    Scale posture: ``probe_queries`` is a held-out SAMPLE (hundreds to
+    thousands of vectors) — the exact pass broadcasts only the sample
+    and scans the corpus once, so monitoring cost is one corpus scan per
+    health check regardless of index size; for continuous cheap
+    monitoring between scans use :func:`pq_distortion` on new appends
+    (no corpus scan), with this as the periodic ground-truth rung.
+    """
+    from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+
+    exact = brute_force_topk(
+        probe_queries, corpus, id_col=id_col, vec_col=vec_col, k=k, dim=dim
+    ).transform(bounded_persist)
+    approx = ann_ivfpq_from_index(
+        spark,
+        index_dir,
+        probe_queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        dim=dim,
+        nprobe=nprobe,
+        refine_corpus=corpus,
+        refine_factor=refine_factor,
+    )
+    n = exact.count()
+    if not n:
+        return 1.0
+    hits = (
+        exact.select("q_id", id_col)
+        .join(approx.select("q_id", id_col), ["q_id", id_col], "left_semi")
+        .count()
+    )
+    return hits / n
+
+
+def ivfpq_retrain_if_drifted(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    probe_queries: DataFrame,
+    *,
+    floor: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 1,
+    nprobe: int = 5,
+    refine_factor: int = 16,
+) -> dict:
+    """Drift-triggered index maintenance: measure sampled recall@k; when
+    it falls below ``floor``, REBUILD the index over the current corpus
+    (fresh coarse centroids + Lloyd-retrained codebooks — the decision
+    :func:`ivfpq_index_append`'s docstring defers to the operator), then
+    re-measure. Returns ``{"recall_before", "recall_after",
+    "retrained"}``.
+
+    The rebuild is one corpus pass (same cost class as the original
+    build); between health checks appends stay cheap/frozen. This is the
+    standard IVF lifecycle: append until recall decays, then retrain —
+    the monitor makes the decay observable instead of silent.
+    """
+    kw = dict(
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        dim=dim,
+        nprobe=nprobe,
+        refine_factor=refine_factor,
+    )
+    before = ivfpq_recall(spark, index_dir, probe_queries, corpus, **kw)
+    if before >= floor:
+        return {"recall_before": before, "recall_after": before, "retrained": False}
+    build_ivfpq_index(
+        corpus,
+        index_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        dim=dim,
+        m=m,
+        ks=ks,
+        iters=iters,
+    )
+    after = ivfpq_recall(spark, index_dir, probe_queries, corpus, **kw)
+    return {"recall_before": before, "recall_after": after, "retrained": True}

@@ -2991,6 +2991,70 @@ def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivfpq_recall_contract",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q_id, vec_id, {_DUCK_COS} AS cos FROM q, c
+         ), ranked AS (
+           SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, list_sort(list(vec_id)) AS exact_top5,
+           TRUE AS retrain_triggered, TRUE AS recall_after_floor_met
+    FROM ranked WHERE rank <= 5 GROUP BY q_id
+    """,
+    description="IVF-PQ index-health lifecycle as a value contract "
+    "(round-6 verdict #4): the index is bootstrapped on a 50-vector "
+    "unstructured sample (ONE coarse cell, codebooks Lloyd-trained on "
+    "50 residuals), then outgrown ~10x by frozen appends — the classic "
+    "quantizer-obsolescence drift that ivfpq_index_append defers to a "
+    "rebuild decision. ivfpq_retrain_if_drifted measures sampled "
+    "recall@5 under bounded refine (factor 4 — the regime where an "
+    "obsolete quantizer actually hurts; measured 0.22-0.24 across "
+    "sf0.001-0.1), detects it below the 0.35 floor, rebuilds over the "
+    "full corpus (real cell labels + retrained books), and re-measures "
+    "(0.44 at sf0.001/0.01; 0.18 at sf0.1 where in-cell PQ ranking on "
+    "uniform data decays past ~10k per the ann_ivfpq_persisted known "
+    "limit — still above the 0.15 catastrophic-breakage floor hashed "
+    "here). Emits the exact top-5 sets (hash-matched against the "
+    "oracle's brute-force fold) + retrain_triggered + the post-retrain "
+    "floor boolean; recall IMPROVEMENT is asserted in "
+    "tests/test_similarity.py where the margin is deterministic. "
+    "Geometric drift needs NO retrain (isometries keep neighbors "
+    "co-located under frozen assignment) — also under test.",
+    tags=("similarity", "ivf", "pq", "index", "maintenance", "llm"),
+)
+def ann_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_dir = scratch_dir("ivfpq_drift_idx", sf_dir)
+    emb = td(spark, sf_dir, "embeddings")
+    boot = (
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 60))
+        .withColumn("label", F.lit(0))
+    )
+    S.build_ivfpq_index(boot, index_dir, dim=64, m=8, ks=16, iters=1)
+    S.ivfpq_index_append(
+        spark, index_dir, emb.filter(F.col("vec_id") >= 60), dim=64
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    rep = S.ivfpq_retrain_if_drifted(
+        spark, index_dir, corpus, probes, floor=0.35, refine_factor=4
+    )
+    assert rep["retrained"], rep  # the drift trigger must fire
+    exact = S.brute_force_topk(probes, corpus, k=5, dim=64, exact_fold=True)
+    return exact.groupBy("q_id").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("exact_top5"),
+        F.lit(bool(rep["retrained"])).alias("retrain_triggered"),
+        F.lit(bool(rep["recall_after"] >= 0.15)).alias(
+            "recall_after_floor_met"
+        ),
+    )
+
+
+@query(
     "leakage_safe_split_docs",
     oracle=f"""
     WITH RECURSIVE {_DUCK_TOKENS_CTE.strip()}

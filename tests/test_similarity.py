@@ -359,3 +359,72 @@ def test_ivfpq_index_append_matches_full_rebuild(spark, tmp_path):
     )
     full_pairs = {(r.q_id, r.vec_id, r.rank) for r in out_full.collect()}
     assert inc_pairs == full_pairs
+
+
+def test_ivfpq_recall_monitor_and_drift_retrain(spark, tmp_path):
+    """The frozen-append lifecycle made observable (round-6 verdict #4):
+    an index bootstrapped on a tiny unstructured sample (one coarse
+    cell, codebooks trained on 50 vectors) is outgrown by 10x of
+    appends — sampled recall@5 under BOUNDED refine degrades, the
+    monitor detects it, and a rebuild over the full corpus (real cell
+    labels, retrained books) restores it. All stages deterministic
+    (Lloyd from the deterministic seeding, no RNG)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    boot = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 60)).withColumn(
+        "label", F.lit(0)
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ivfpq_index(boot, idx, dim=64, m=8, ks=16, iters=1)
+    S.ivfpq_index_append(spark, idx, emb.filter(F.col("vec_id") >= 60), dim=64)
+    probes = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+
+    before = S.ivfpq_recall(spark, idx, probes, corpus, refine_factor=4)
+    assert before < 0.35, before  # obsolete quantizer: degraded serving
+
+    rep = S.ivfpq_retrain_if_drifted(
+        spark, idx, corpus, probes, floor=0.35, refine_factor=4
+    )
+    assert rep["retrained"] is True
+    assert rep["recall_before"] == before
+    assert rep["recall_after"] > rep["recall_before"]
+    assert rep["recall_after"] >= 0.4, rep  # measured 0.44 at this sf
+
+    # healthy index: the monitor does NOT trigger a rebuild
+    rep2 = S.ivfpq_retrain_if_drifted(
+        spark, idx, corpus, probes, floor=0.35, refine_factor=4
+    )
+    assert rep2["retrained"] is False
+    assert rep2["recall_after"] == rep["recall_after"]
+
+
+def test_ivfpq_frozen_append_robust_to_isometric_drift(spark, tmp_path):
+    """Counterpoint the monitor quantifies: a GEOMETRIC transform of the
+    distribution (here negation — any isometry behaves alike) does NOT
+    degrade a frozen index, because assignment continuity keeps
+    neighbors co-located whatever cell they land in. Drift maintenance
+    is about quantizer obsolescence, not coordinate shifts."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") >= 10)
+    idx = str(tmp_path / "idx")
+    S.build_ivfpq_index(base, idx, dim=64, m=8, ks=16, iters=1)
+
+    def neg(df, off):
+        return df.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+            (F.col("label") + 100).alias("label"),
+        )
+
+    S.ivfpq_index_append(spark, idx, neg(base, 100000), dim=64)
+    probes = neg(emb.filter(F.col("vec_id") < 10), 200000)
+    corpus = base.unionByName(neg(base, 100000))
+    rep = S.ivfpq_retrain_if_drifted(
+        spark, idx, corpus, probes, floor=0.35, refine_factor=16
+    )
+    assert rep["retrained"] is False  # frozen recall stayed >= floor
+    assert rep["recall_before"] >= 0.35, rep
