@@ -61,6 +61,7 @@ EXPECTED_NESTED_LOOP = {
     "kmv_intersection_events",  # two 1-row sketch frames + 1-row exact-stats agg
     "leakage_safe_split_docs",  # leak-audit crossjoin (1-row broadcast agg)
     "pq_adc_topk_embeddings",   # distortion-invariant crossjoin (1-row aggs)
+    "ann_ivfpq_recall_contract",  # brute-force exact side: broadcast 10-query × corpus
 }
 
 # Queries expected to run Python (Arrow) stages.

@@ -1,8 +1,12 @@
 #!/usr/bin/env bash
-# Full verification gate, in dependency order. Each stage fails fast.
+# Tiered verification gate, in dependency order. Each stage fails fast.
 #
-#   bash tools/ci.sh            # default: sf0.01 drive + plan audit + tests
-#   bash tools/ci.sh --full     # adds the sf0.1 full-registry drive (slow)
+#   bash tools/ci.sh --quick    # per-COMMIT gate (<5 min): registry
+#                               # contract tests + fast unit suites +
+#                               # a 12-query oracle smoke at sf0.001
+#   bash tools/ci.sh            # full drive: sf0.01 registry drive +
+#                               # plan audit + whole pytest suite
+#   bash tools/ci.sh --full     # adds the sf0.1 + sf0.001 registry drives
 #
 # Stages:
 #   1. oracle drive  — every registered query vs its DuckDB oracle (sf0.01,
@@ -22,6 +26,27 @@ cd "$(dirname "$0")/.."
 
 SF001=${SPARK_GRAFT_SF001:-/root/testdata/sf0.01}
 SF01=${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}
+SF0001=${SPARK_GRAFT_SF0001:-/root/testdata/sf0.001}
+
+if [[ "${1:-}" == "--quick" ]]; then
+  # Tier 1 — the per-commit gate. One session boot, three cheap layers:
+  # the registry contract (every query callable, oracle coverage sane),
+  # the fast unit suites (no warehouse storms, no streaming waits), and
+  # a 12-query oracle smoke spanning each operator family at sf0.001.
+  echo "== quick 1/2 registry + fast unit suites"
+  python -m pytest -q -x \
+    tests/test_queries_registry.py tests/test_dag.py \
+    tests/test_validation.py tests/test_dim_hint.py \
+    tests/test_joins.py tests/test_sketch.py
+  echo "== quick 2/2 oracle smoke @ ${SF0001}"
+  python tools/check_oracle.py "${SF0001}" \
+    q1_pricing_summary q5_revenue_by_nation dedup_exact_lineitem \
+    minhash_lsh_pairs cosine_topk_bruteforce text_stats_docs \
+    token_count_bpe consent_gate_events patients_ingest_valid \
+    txn_committed_read stream_tumbling_counts keyset_page_customers
+  echo "quick gate green"
+  exit 0
+fi
 
 echo "== 1/4 oracle drive @ ${SF001} (log: CHECK_ORACLE.log)"
 python tools/check_oracle.py "${SF001}" 2>/dev/null | tee CHECK_ORACLE.log
@@ -49,7 +74,6 @@ if [[ "${1:-}" == "--full" ]]; then
   # the scale axis cuts both ways: tiny data exposes rank/boundary
   # conventions dense groups average away (see ORACLE_SF01.md's
   # sf0.001 sweep, which caught a percentile rank off-by-one)
-  SF0001=${SPARK_GRAFT_SF0001:-/root/testdata/sf0.001}
   echo "== bonus: oracle drive @ ${SF0001} (small-data boundaries)"
   python tools/check_oracle.py "${SF0001}"
 else

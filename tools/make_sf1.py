@@ -23,8 +23,10 @@ fixed, exactly as TPC-H scales them. Text/event/embedding payloads:
 Everything is derived in DuckDB (no Spark needed) and is a pure function
 of the sf0.1 input — rerunning reproduces byte-identical content.
 
-Usage: python tools/make_sf1.py [src_dir] [dest_dir]
-       (defaults: /root/testdata/sf0.1 -> /tmp/sf1)
+Usage: python tools/make_sf1.py [src_dir] [dest_dir] [copies]
+       (defaults: /root/testdata/sf0.1 -> /tmp/sf1, copies=10;
+        copies=100 synthesizes the sf10 rung into e.g. /tmp/sf10 —
+        60 M lineitem, 5 M events, 500 k documents, 200 k embeddings)
 """
 
 import os
@@ -72,7 +74,7 @@ FACT_SQL = {
                     ELSE 'c{i}x ' || text END AS text,
                lang, source,
                CASE WHEN {i} = 0 THEN n_chars
-                    ELSE n_chars + 4 END AS n_chars
+                    ELSE n_chars + {pad} END AS n_chars
         FROM src""",
     "embeddings": """
         SELECT vec_id * {n} + {i} AS vec_id, embedding, label
@@ -96,7 +98,8 @@ def make(src_dir: str, dest_dir: str, copies: int = COPIES) -> None:
             f"SELECT * FROM read_parquet('{src_dir}/{t}.parquet')"
         )
         selects = " UNION ALL ".join(
-            tmpl.format(i=i, n=copies) for i in range(copies)
+            tmpl.format(i=i, n=copies, pad=len(f"c{i}x "))
+            for i in range(copies)
         )
         con.execute(
             f"COPY ({selects}) TO '{dest_dir}/{t}.parquet' (FORMAT PARQUET)"
@@ -110,4 +113,5 @@ def make(src_dir: str, dest_dir: str, copies: int = COPIES) -> None:
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    make(src, dest)
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else COPIES
+    make(src, dest, copies=n)
