@@ -973,6 +973,69 @@ class TransactionalWarehouse(Warehouse):
                 return seq
             seq += 1
 
+    def published_frontier(self) -> int:
+        """Highest snapshot seq with NO in-flight commit at or below it:
+        every claimed seq <= the frontier has a published marker.
+
+        ``commit()`` claims its seq BEFORE publishing the marker, so a
+        later-claimed seq can become visible first. Incremental
+        consumers that track progress as a single seq cursor (the CDC
+        views in streaming/cdc.py) must cap their watermark here —
+        consuming up to max-published-seq would put a late-published
+        commit inside an already-processed window and skip its rows
+        forever. (The Python Data Source stream reader instead carries
+        the pending seqs in its offsets and back-fills them — a richer
+        cursor; this is the conservative contiguous frontier for int
+        cursors.) A claim whose committer crashed caps the frontier
+        until :meth:`clear_stale_claims` removes it — snapshot reads are
+        unaffected either way."""
+        published = {m.get("seq", 0) for m in self._read_manifests()}
+        maxpub = max(published, default=0)
+        pending = [
+            s
+            for s in self._claimed_seqs()
+            if s not in published and s <= maxpub
+        ]
+        return min(pending) - 1 if pending else maxpub
+
+    def clear_stale_claims(self, *, max_age_seconds: float = 3600.0) -> list[int]:
+        """Maintenance verb: delete claim files with no published marker
+        older than ``max_age_seconds`` — a crashed committer's permanent
+        sequence hole, which otherwise caps :meth:`published_frontier`
+        (and every frontier-capped incremental consumer) forever.
+
+        The age bound is the operator's liveness judgment, exactly like
+        vacuum retention: never clear a claim a SLOW-but-live committer
+        might still publish — its marker would land below the advanced
+        frontier and be skipped by int-cursor consumers. Returns the
+        cleared seqs."""
+        import time
+
+        d = self._seq_dir()
+        if not os.path.isdir(d):
+            return []
+        published = {m.get("seq", 0) for m in self._read_manifests()}
+        now = time.time()
+        cleared = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".claim"):
+                continue
+            try:
+                seq = int(f[: -len(".claim")])
+            except ValueError:
+                continue
+            if seq in published:
+                continue
+            path = os.path.join(d, f)
+            try:
+                if now - os.path.getmtime(path) < max_age_seconds:
+                    continue
+                os.remove(path)
+            except OSError:
+                continue
+            cleared.append(seq)
+        return cleared
+
     def snapshots(self) -> list[dict]:
         """The table history: one row per commit, in snapshot order —
         [{seq, run_id, tables}]. Any entry's seq or run_id is a valid

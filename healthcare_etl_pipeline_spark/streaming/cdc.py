@@ -95,8 +95,16 @@ def source_watermark(wh: TransactionalWarehouse, source_table: str) -> int:
                     return True
         return False
 
+    # Cap at the published FRONTIER (every claimed seq below it has a
+    # marker): a committer claims its seq before publishing, so a
+    # later-claimed seq can become visible first — an uncapped max-seq
+    # watermark would close a window over the still-unpublished seq and
+    # the late commit's rows would never be folded into the view. A
+    # crashed claimant stalls the feed until clear_stale_claims; data
+    # reads are unaffected.
+    frontier = wh.published_frontier()
     return max(
-        (e["seq"] for e in wh.history() if _touches(e)),
+        (e["seq"] for e in wh.history() if _touches(e) and e["seq"] <= frontier),
         default=0,
     )
 

@@ -513,3 +513,85 @@ def test_merge_branch_window_is_non_append_and_feed_recovers(spark, tmp_path):
     # and the full consumer folds it correctly end-to-end
     assert cdc_sync(wh, "src", "agg", group_cols=["k"], value_col="v") >= 1
     assert _view(wh) == {"a": (1, 1.0), "b": (1, 2.0)}
+
+
+# -- round-6: the watermark must not race in-flight committers ----------------
+
+
+def _claim(wh, seq, content="inflight"):
+    import os
+
+    d = wh._seq_dir()
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{seq:020d}.claim"), "w") as fh:
+        fh.write(content)
+
+
+def test_watermark_capped_by_inflight_claim(spark, wh):
+    """A committer that claimed the next seq but hasn't published yet
+    caps source_watermark: consuming past it would close a window over
+    the unpublished seq and skip its rows forever."""
+    _append(spark, wh, [("a", 1)])
+    s1 = wh.snapshots()[-1]["seq"]
+    hole = s1 + 1
+    _claim(wh, hole)
+    _append(spark, wh, [("b", 2)])  # claims hole+1, publishes FIRST
+    assert wh.published_frontier() == s1
+    assert source_watermark(wh, "src") == s1
+    # sync folds only the safe prefix
+    assert cdc_sync_once(
+        wh, "src", "agg", group_cols=["k"], value_col="v", prefix=PREFIX
+    ) == (0, s1)
+    assert _view(wh) == {"a": (1, 1.0)}
+
+
+def test_late_published_commit_is_folded_not_skipped(spark, wh):
+    """End-to-end: the late committer finally publishes its marker — the
+    frontier advances and the NEXT sync folds its rows plus everything
+    after it. No commit is ever skipped."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _append(spark, wh, [("a", 1)])
+    s1 = wh.snapshots()[-1]["seq"]
+    hole = s1 + 1
+    _claim(wh, hole, "late")
+    _append(spark, wh, [("b", 2)])
+    cdc_sync_once(
+        wh, "src", "agg", group_cols=["k"], value_col="v", prefix=PREFIX
+    )
+    assert _view(wh) == {"a": (1, 1.0)}
+
+    # the late peer completes: data dir + marker for the held seq
+    run_dir = wh.run_dir("src", "late")
+    os.makedirs(run_dir)
+    pq.write_table(
+        pa.table({"k": pa.array(["c"]), "v": pa.array([3], pa.int64())}),
+        os.path.join(run_dir, "part-0.parquet"),
+    )
+    with open(wh.marker_path("late"), "w") as fh:
+        json.dump({"run_id": "late", "tables": ["src"], "seq": hole}, fh)
+
+    assert wh.published_frontier() >= hole + 1
+    cdc_sync_once(
+        wh, "src", "agg", group_cols=["k"], value_col="v", prefix=PREFIX
+    )
+    assert _view(wh) == {"a": (1, 1.0), "b": (1, 2.0), "c": (1, 3.0)}
+
+
+def test_clear_stale_claims_unblocks_a_crash_hole(spark, wh):
+    _append(spark, wh, [("a", 1)])
+    s1 = wh.snapshots()[-1]["seq"]
+    _claim(wh, s1 + 1, "dead")
+    _append(spark, wh, [("b", 2)])
+    assert wh.published_frontier() == s1
+    assert wh.clear_stale_claims(max_age_seconds=1e9) == []  # too young
+    assert wh.clear_stale_claims(max_age_seconds=0.0) == [s1 + 1]
+    assert wh.published_frontier() == wh.snapshots()[-1]["seq"]
+    cdc_sync_once(
+        wh, "src", "agg", group_cols=["k"], value_col="v", prefix=PREFIX
+    )
+    assert _view(wh) == {"a": (1, 1.0), "b": (1, 2.0)}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Spark-only SCALE drive: execute a subset of registered queries at a
+large scale factor, materialize fully, and record rows + wall time.
+
+Purpose (round-6 verdict #2, the sf10 rung): the bug class hunted at
+10x the last oracle-checked rung is EXECUTION behavior — hot LSH
+buckets going quadratic, band-selectivity collapse, shuffle spill,
+executor OOM, driver-side collects that stopped being metadata-sized.
+Those all manifest as failures, timeouts, or runaway candidate counts
+WITHOUT an oracle. The DuckDB differential stays the correctness story
+at the gate scales (its own cost on the LSH families is quadratic in
+corpus size — 1659 s for dedup_embedding_lsh at sf1 already — so a
+full differential at sf10 would measure DuckDB, not us).
+
+Each query is materialized row-by-row (count over the full result) and
+reported as ``ok name rows sec``; any exception reports FAIL and the
+drive exits non-zero after finishing the list.
+
+Usage:  python tools/scale_drive.py SF_DIR [query ...]
+        (no names -> the scale-SENSITIVE default list below)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Families whose behavior changes with scale: LSH/banding candidate
+# generation, ANN, rank cutoffs, sampling/splits, skew handling,
+# sessionization/windows, sketches, dedup graphs.
+SCALE_SENSITIVE = [
+    "minhash_lsh_pairs",
+    "minhash_dedup_survivors",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "ngram_jaccard_prefix_pairs",
+    "dedup_exact_lineitem",
+    "dedup_exact_docs",
+    "dedup_components_docs",
+    "dedup_embedding_lsh",
+    "decontamination_lsh_docs",
+    "segment_dedup_docs",
+    "intra_doc_dedup_docs",
+    "lsh_eval_pr_docs",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "cosine_topk_bruteforce",
+    "bm25_topk_docs",
+    "top_orders_per_customer",
+    "stratified_sample_docs",
+    "leakage_safe_split_docs",
+    "hash_split_docs",
+    "salted_join_lineitem_supplier",
+    "heavy_hitter_tokens",
+    "hll_distinct_users",
+    "cms_sketch_tokens",
+    "sessionize_events",
+    "resample_gapfill_events",
+    "rolling_active_users_events",
+    "corpus_prep_pipeline",
+    "pack_sequences_docs",
+    "token_count_bpe",
+    "text_stats_docs",
+    "quality_filter_docs",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+    names = sys.argv[2:] or SCALE_SENSITIVE
+
+    import __spark_entry__ as entry
+    from healthcare_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    failed = []
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            rows = qs[name](spark, sf_dir).count()
+            dt = time.monotonic() - t0
+            print(f"ok    {name}: {rows} rows [{dt:.1f}s]", flush=True)
+        except Exception as exc:  # noqa: BLE001 — report and keep driving
+            dt = time.monotonic() - t0
+            msg = str(exc).splitlines()[0][:200]
+            print(f"FAIL  {name} [{dt:.1f}s]: {msg}", flush=True)
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)} ok, {len(failed)} FAIL")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
