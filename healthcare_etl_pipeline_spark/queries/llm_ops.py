@@ -3164,3 +3164,108 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(F.broadcast(leak)).select(
         "split", "n_docs", "n_groups", "leaked_pairs"
     )
+
+
+@query(
+    "minhash_index_dedup_increment",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD}
+    ),
+    corpus AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+    inc1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    inc2 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+    idx0 AS (SELECT b.doc_id, b.bucket FROM buckets b JOIN corpus USING (doc_id)),
+    b1 AS (SELECT b.doc_id, b.bucket FROM buckets b JOIN inc1 USING (doc_id)),
+    hit1 AS (SELECT DISTINCT b1.doc_id FROM b1 JOIN idx0 ON b1.bucket = idx0.bucket),
+    dom1 AS (SELECT DISTINCT r.doc_id
+             FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    s1 AS (SELECT doc_id FROM inc1
+           WHERE doc_id NOT IN (SELECT doc_id FROM hit1)
+             AND doc_id NOT IN (SELECT doc_id FROM dom1)),
+    idx1 AS (SELECT * FROM idx0
+             UNION ALL
+             SELECT b.doc_id, b.bucket FROM buckets b JOIN s1 USING (doc_id)),
+    b2 AS (SELECT b.doc_id, b.bucket FROM buckets b JOIN inc2 USING (doc_id)),
+    hit2 AS (SELECT DISTINCT b2.doc_id FROM b2 JOIN idx1 ON b2.bucket = idx1.bucket),
+    dom2 AS (SELECT DISTINCT r.doc_id
+             FROM b2 l JOIN b2 r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    s2 AS (SELECT doc_id FROM inc2
+           WHERE doc_id NOT IN (SELECT doc_id FROM hit2)
+             AND doc_id NOT IN (SELECT doc_id FROM dom2))
+    SELECT d.doc_id, d.lang, d.source, 'corpus' AS phase
+    FROM documents d JOIN corpus USING (doc_id)
+    UNION ALL
+    SELECT d.doc_id, d.lang, d.source, 'inc1' AS phase
+    FROM documents d JOIN s1 USING (doc_id)
+    UNION ALL
+    SELECT d.doc_id, d.lang, d.source, 'inc2' AS phase
+    FROM documents d JOIN s2 USING (doc_id)
+    """,
+    description="Persisted incremental MinHash-LSH dedup index "
+    "(operators/dedup_index.py): bootstrap the band-bucket index over a "
+    "corpus (docs with doc_id%5!=0), then dedup TWO successive increments "
+    "against it — each increment signs only ITS OWN docs (O(increment) "
+    "CPU, the corpus text is never re-read), probes the index via a "
+    "stats-gated broadcast join, and commits survivors + their index rows "
+    "in one atomic warehouse txn, so increment 2 is deduped against "
+    "increment 1's survivors through the UPDATED index. Returns the final "
+    "committed corpus membership with its arrival phase.",
+    tags=("dedup", "minhash", "lsh", "txn", "llm"),
+)
+def minhash_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators import dedup_index as DI
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    docs = td(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    root = scratch_dir("minhash_idx_wh", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+    DI.register_minhash_index(wh, "minhash_index", docs, "doc_id")
+    wh.register_table(
+        "corpus_docs",
+        T.StructType(
+            [
+                T.StructField("doc_id", docs.schema["doc_id"].dataType, True),
+                T.StructField("lang", T.StringType(), True),
+                T.StructField("source", T.StringType(), True),
+                T.StructField("phase", T.StringType(), True),
+            ]
+        ),
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    boot = wh.begin("bootstrap", operation="minhash-index-build")
+    DI.build_minhash_index(wh, corpus, index_table="minhash_index", txn=boot)
+    boot.stage(
+        corpus.select("doc_id", "lang", "source", F.lit("corpus").alias("phase")),
+        "corpus_docs",
+    )
+    boot.commit()
+
+    for phase, rem in (("inc1", 0), ("inc2", 5)):
+        inc = docs.filter(F.col("doc_id") % 10 == rem).withColumn(
+            "phase", F.lit(phase)
+        )
+        DI.dedup_increment(
+            wh,
+            inc,
+            index_table="minhash_index",
+            docs_table="corpus_docs",
+            docs_projection=["doc_id", "lang", "source", "phase"],
+            batch_id=phase,
+        )
+    return wh.read("corpus_docs").select("doc_id", "lang", "source", "phase")

@@ -74,6 +74,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
     names = sys.argv[2:] or SCALE_SENSITIVE
 
+    # Size the single local JVM for the rung before the session is built:
+    # the engine default (16g / 32 threads = 0.5 GB/core) is a small-SF
+    # test posture, not a production spec — real clusters run 4-8 GB/core,
+    # and at sf10 a 0.5 GB/core JVM hits Tungsten's per-task page floor
+    # ([AGGREGATE_OUT_OF_MEMORY]) in wide hash aggregations long before
+    # any algorithmic limit. Honor an explicit override.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+
     import __spark_entry__ as entry
     from healthcare_etl_pipeline_spark.session import get_spark
 
