@@ -385,6 +385,32 @@ def quantize_int8(
     )
 
 
+def auto_planes(
+    n_rows: int, *, target_bucket: int = 1024, lo: int = 2, hi: int = 16
+) -> int:
+    """Bucket-occupancy-driven hyperplane count for banded LSH.
+
+    At FIXED planes the per-table bucket count is a constant 2^planes, so
+    bucket population grows linearly with the corpus and the band join's
+    candidate volume grows QUADRATICALLY — the sf10 rung measured
+    planes=2 (4 buckets/table) turning a 30 s query into an ~80-billion-
+    candidate plan. Sizing planes ≈ log2(n / target_bucket) keeps the
+    expected bucket population near ``target_bucket``, so candidate
+    volume stays ~n·target/2 per table — linear in n.
+
+    Recall trade (callers at MODERATE thresholds must compensate with
+    ``tables``): a true pair at angle θ collides per table with prob
+    (1-θ/π)^planes. For the dedup hot case — identical or near-identical
+    vectors — collisions survive ANY plane count (equal signatures), so
+    auto sizing is recall-free exactly where dedup needs it.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def embedding_dedup_lsh(
     df: DataFrame,
     *,
@@ -392,7 +418,7 @@ def embedding_dedup_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.35,
-    planes: int = 2,
+    planes: int | str = 2,
     tables: int = 16,
     seed: int = 42,
     exact_fold: bool = True,
@@ -420,8 +446,12 @@ def embedding_dedup_lsh(
     the miss probability is ~5e-4 per pair (and recall is exhaustively
     verified = 1.0 on the oracle corpus, see tests + the registered query's
     value oracle). Tune tables up for stricter recall, planes up for bigger
-    corpora (smaller buckets).
+    corpora (smaller buckets) — or pass ``planes="auto"`` to size them from
+    the measured corpus (one count; see :func:`auto_planes`), the scale-safe
+    posture: fixed planes make candidate volume quadratic in corpus size.
     """
+    if planes == "auto":
+        planes = auto_planes(df.count())
     sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)
     # Checkpointed: the Arrow-batched signature matmul feeds BOTH sides of
     # the self-join; the boundary also sidesteps self-join attribute

@@ -3269,3 +3269,26 @@ def minhash_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame
             batch_id=phase,
         )
     return wh.read("corpus_docs").select("doc_id", "lang", "source", "phase")
+
+
+@query(
+    "dedup_embedding_lsh_auto",
+    oracle=None,
+    description="Scale-posture variant of dedup_embedding_lsh: "
+    "planes='auto' sizes the per-table bucket count from the measured "
+    "corpus (expected occupancy ~1k rows/bucket) so the band join's "
+    "candidate volume stays LINEAR in corpus size — the sf10 rung caught "
+    "fixed planes=2 (4 buckets/table) going quadratic (~80B candidates). "
+    "No value oracle BY CONSTRUCTION: the exact pair set is quadratic for "
+    "any oracle engine at scale, and adaptive planes trade recall on "
+    "moderate-threshold pairs (identical/near-identical vectors — the "
+    "dedup case — collide at any plane count). The pinned-planes twin "
+    "keeps the exact-set value oracle at gate scales; this one is the "
+    "form a 100 TB corpus runs.",
+    tags=("dedup", "similarity", "lsh", "scale", "llm"),
+)
+def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td(spark, sf_dir, "embeddings")
+    return S.embedding_dedup_lsh(
+        emb, dim=64, threshold=0.35, planes="auto", tables=16, seed=42
+    )

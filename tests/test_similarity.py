@@ -428,3 +428,39 @@ def test_ivfpq_frozen_append_robust_to_isometric_drift(spark, tmp_path):
     )
     assert rep["retrained"] is False  # frozen recall stayed >= floor
     assert rep["recall_before"] >= 0.35, rep
+
+
+def test_auto_planes_occupancy_scaling():
+    """Fixed planes = quadratic candidate growth (the sf10 finding);
+    auto sizing keeps expected bucket occupancy near the target, bounded
+    to [2, 16], and resolves to the pinned default at gate scales."""
+    assert S.auto_planes(100) == 2
+    assert S.auto_planes(2_000) == 2      # sf0.01 corpus → same as pinned
+    assert S.auto_planes(20_000) == 5     # sf0.1
+    assert S.auto_planes(200_000) == 8    # sf10
+    assert S.auto_planes(10**12) == 16    # capped
+    assert S.auto_planes(2_000, target_bucket=64) == 5
+
+
+def test_embedding_dedup_lsh_auto_equals_pinned_at_gate_scale(spark):
+    """planes='auto' resolves to the pinned plane count on a gate-scale
+    corpus, so the scale variant returns the identical (exact-recall)
+    pair set there — the property that keeps the pinned query's value
+    oracle meaningful for both forms."""
+    from healthcare_etl_pipeline_spark.catalog import load_table
+    from healthcare_etl_pipeline_spark.queries.helpers import spread
+
+    emb = spread(load_table(spark, "/root/testdata/sf0.001", "embeddings"), spark)
+    pinned = {
+        (r.keep_id, r.dup_id, r.cos_sim)
+        for r in S.embedding_dedup_lsh(
+            emb, dim=64, threshold=0.35, planes=2
+        ).collect()
+    }
+    auto = {
+        (r.keep_id, r.dup_id, r.cos_sim)
+        for r in S.embedding_dedup_lsh(
+            emb, dim=64, threshold=0.35, planes="auto"
+        ).collect()
+    }
+    assert auto == pinned

@@ -39,7 +39,7 @@ SCALE_SENSITIVE = [
     "dedup_exact_lineitem",
     "dedup_exact_docs",
     "dedup_components_docs",
-    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_auto",  # planes='auto'; pinned-planes twin is quadratic here
     "decontamination_lsh_docs",
     "segment_dedup_docs",
     "intra_doc_dedup_docs",
