@@ -844,14 +844,35 @@ def ngram_jaccard_prefix_pairs(
         exploded.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select(id_col, "h")
+        .select(id_col, "h", "rn", "set_size")
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # PPJoin positional filter (Xiao et al. WWW 2008, lossless): a shared
+    # prefix shingle at (global-order) positions i of A and j of B bounds
+    # the overlap above by min(|A|-i, |B|-j)+1; J >= t needs overlap >=
+    # ceil(t/(1+t)*(|A|+|B|)), so emissions violating the bound cannot be
+    # true pairs and are dropped INSIDE the join (subsumes the classic
+    # length-ratio filter at i=j=1). On dense near-dup corpora every true
+    # pair otherwise re-emits once per shared prefix shingle — the sf10
+    # rung measured that amplification overflowing shuffle spill space.
+    overlap_ub = (
+        F.least(
+            F.col("a.set_size") - F.col("a.rn"),
+            F.col("b.set_size") - F.col("b.rn"),
+        )
+        + 1
+    )
+    overlap_req = F.ceil(
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("a.set_size") + F.col("b.set_size"))
+    )
     cands = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (overlap_ub >= overlap_req),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
