@@ -423,6 +423,7 @@ def embedding_dedup_lsh(
     seed: int = 42,
     exact_fold: bool = True,
     carry_vectors: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs behind a banded-LSH prefilter — the
     production form of ``cosine_near_dup_pairs``.
@@ -449,7 +450,77 @@ def embedding_dedup_lsh(
     corpora (smaller buckets) — or pass ``planes="auto"`` to size them from
     the measured corpus (one count; see :func:`auto_planes`), the scale-safe
     posture: fixed planes make candidate volume quadratic in corpus size.
+
+    ``collapse_exact`` (default on) groups bit-identical vectors to one
+    representative BEFORE the LSH pipeline and expands pairs afterwards —
+    output-identical by construction (identical vectors share every
+    signature, so id-level candidacy ⟺ representative-level candidacy,
+    and every expanded pair's cosine is computed from the same vectors by
+    the same fold). This is the m²-degeneracy guard the sf10 rung forced:
+    a corpus with m-way exact-duplicate vectors otherwise multiplies every
+    representative-level candidate by m² at the id level (measured ~500M
+    candidate pairs × vector payload through the re-attach shuffle = disk
+    exhaustion), while collapsed it runs LSH on the distinct vectors and
+    the expansion emits exactly the true output rows.
     """
+    if collapse_exact:
+        w_vec = Window.partitionBy(vec_col)
+        members = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("__rep", F.min(id_col).over(w_vec))
+            .withColumn("__csize", F.count(F.lit(1)).over(w_vec))
+            .transform(bounded_persist)
+        )
+        reps = members.filter(F.col(id_col) == F.col("__rep"))
+        rep_pairs = embedding_dedup_lsh(
+            reps.select(id_col, vec_col),
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            threshold=threshold,
+            planes=planes,
+            tables=tables,
+            seed=seed,
+            exact_fold=exact_fold,
+            carry_vectors=carry_vectors,
+            collapse_exact=False,
+        )
+        cos_self = (
+            cosine_fold(F.col(vec_col), F.col(vec_col), dim)
+            if exact_fold
+            else cosine_vectorized(F.col(vec_col), F.col(vec_col))
+        )
+        self_pairs = (
+            reps.filter(F.col("__csize") >= 2)
+            .select(
+                F.col(id_col).alias("keep_rep"),
+                F.col(id_col).alias("dup_rep"),
+                F.round(cos_self, 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+        all_rep_pairs = rep_pairs.select(
+            F.col("keep_id").alias("keep_rep"),
+            F.col("dup_id").alias("dup_rep"),
+            "cos_sim",
+        ).unionByName(self_pairs)
+        ma = members.select(
+            F.col("__rep").alias("keep_rep"), F.col(id_col).alias("__ida")
+        )
+        mb = members.select(
+            F.col("__rep").alias("dup_rep"), F.col(id_col).alias("__idb")
+        )
+        return (
+            all_rep_pairs.join(ma, "keep_rep")
+            .join(mb, "dup_rep")
+            .filter(F.col("__ida") != F.col("__idb"))
+            .select(
+                F.least("__ida", "__idb").alias("keep_id"),
+                F.greatest("__ida", "__idb").alias("dup_id"),
+                "cos_sim",
+            )
+            .dropDuplicates(["keep_id", "dup_id"])
+        )
     if planes == "auto":
         planes = auto_planes(df.count())
     sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)

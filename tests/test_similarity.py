@@ -1,5 +1,7 @@
 """Similarity-search operator tests: brute-force cosine top-k + LSH ANN."""
 
+from pyspark.sql import functions as F
+
 from healthcare_etl_pipeline_spark.operators import similarity as S
 
 DIM = 8
@@ -464,3 +466,41 @@ def test_embedding_dedup_lsh_auto_equals_pinned_at_gate_scale(spark):
         ).collect()
     }
     assert auto == pinned
+
+
+def test_embedding_dedup_lsh_collapse_exact_equivalence(spark):
+    """On a corpus with m-way exact-duplicate vectors the collapsed form
+    (LSH over distinct vectors + pair expansion) must return exactly the
+    uncollapsed pair set — the m² degeneracy guard the sf10 rung forced."""
+    import numpy as np
+
+    from healthcare_etl_pipeline_spark.catalog import load_table
+    from healthcare_etl_pipeline_spark.queries.helpers import spread
+
+    rng = np.random.default_rng(3)
+    base = [
+        [float(x) for x in rng.standard_normal(64)] for _ in range(40)
+    ]
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        copies = 1 + (i % 4)  # mix of unique and 2-4x duplicated vectors
+        for _ in range(copies):
+            rows.append((vid, v))
+            vid += 1
+    df = spread(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), spark
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    kw = dict(dim=64, threshold=0.2, planes=2, tables=16, seed=42)
+    collapsed = {
+        (r.keep_id, r.dup_id, r.cos_sim)
+        for r in S.embedding_dedup_lsh(df, collapse_exact=True, **kw).collect()
+    }
+    direct = {
+        (r.keep_id, r.dup_id, r.cos_sim)
+        for r in S.embedding_dedup_lsh(df, collapse_exact=False, **kw).collect()
+    }
+    assert collapsed == direct
+    # duplicates exist, so within-cluster (cos=1.0) pairs must be present
+    assert any(c == 1.0 for _, _, c in collapsed)
