@@ -3292,3 +3292,100 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_dedup_lsh(
         emb, dim=64, threshold=0.35, planes="auto", tables=16, seed=42
     )
+
+
+_DUCK_TOKENS_SAMPLE_CTE = """
+toks AS (
+  SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+@query(
+    "lsh_eval_pr_sample_docs",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_SAMPLE_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , ex AS (
+      SELECT doc_id, len(hs) AS set_size, unnest(hs) AS h FROM hs
+    ), overlap AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+             count(*) AS n_shared
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), exact AS (
+      SELECT id_a, id_b, TRUE AS in_e FROM overlap
+      WHERE round(n_shared / (size_a + size_b - n_shared), 6) >= 0.02
+    ), sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD}
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), cand AS (
+      SELECT p.id_a, p.id_b, TRUE AS in_c
+      FROM pairs p
+      JOIN sigs l ON l.doc_id = p.id_a
+      JOIN sigs r ON r.doc_id = p.id_b
+      WHERE round(({_duck_sig_eq_sum()}) / 8.0, 6) >= 0.125
+    ), j AS (
+      SELECT coalesce(in_e, FALSE) AS in_e, coalesce(in_c, FALSE) AS in_c
+      FROM exact e FULL OUTER JOIN cand c USING (id_a, id_b)
+    )
+    SELECT CAST(sum(CASE WHEN in_e AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN in_c AND NOT in_e THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN in_e AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(sum(CASE WHEN in_e AND in_c THEN 1 ELSE 0 END) * 1.0 /
+                 nullif(sum(CASE WHEN in_c THEN 1 ELSE 0 END), 0), 6) AS precision,
+           round(sum(CASE WHEN in_e AND in_c THEN 1 ELSE 0 END) * 1.0 /
+                 nullif(sum(CASE WHEN in_e THEN 1 ELSE 0 END), 0), 6) AS recall
+    FROM j
+    """,
+    description="Sampled candidate-quality evaluation of the MinHash-LSH "
+    "path: the same precision/recall harness as lsh_eval_pr_docs, over a "
+    "deterministic 1-in-25 id-modulus sample of the corpus. Exact ground "
+    "truth (uncapped shared-shingle Jaccard at a 0.02 threshold) is "
+    "inherently quadratic in near-dup density — at 100 TB you CANNOT "
+    "enumerate it corpus-wide, and the sf10 rung measured the full-corpus "
+    "form exhausting spill space; PR estimated on a fixed sample is the "
+    "production tuning loop. Value-oracled end-to-end on the sample.",
+    tags=("dedup", "minhash", "eval", "sample", "scale", "llm"),
+)
+def lsh_eval_pr_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    exact = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.02, max_df=None)
+        .select("id_a", "id_b")
+        .withColumn("in_e", F.lit(True))
+    )
+    cand = (
+        D.minhash_jaccard_estimates(docs, "doc_id", "text", k=8, bands=4, n=3)
+        .filter(F.col("est_jaccard") >= 0.125)
+        .select("id_a", "id_b")
+        .withColumn("in_c", F.lit(True))
+    )
+    j = exact.join(cand, ["id_a", "id_b"], "full").select(
+        F.coalesce("in_e", F.lit(False)).alias("in_e"),
+        F.coalesce("in_c", F.lit(False)).alias("in_c"),
+    )
+    tp = F.sum(F.when(F.col("in_e") & F.col("in_c"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("in_c") & ~F.col("in_e"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("in_e") & ~F.col("in_c"), 1).otherwise(0))
+    return j.agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+    )

@@ -43,7 +43,7 @@ SCALE_SENSITIVE = [
     "decontamination_lsh_docs",
     "segment_dedup_docs",
     "intra_doc_dedup_docs",
-    "lsh_eval_pr_docs",
+    "lsh_eval_pr_sample_docs",  # exact ground truth is quadratic; sample at scale
     "ann_lsh_cosine",
     "ann_ivf_cosine",
     "cosine_topk_bruteforce",
@@ -85,7 +85,13 @@ def main() -> int:
     import __spark_entry__ as entry
     from healthcare_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark()
+    # High initial shuffle partitioning + AQE coalescing is the at-scale
+    # posture (small stages coalesce back to few tasks; wide aggregations
+    # get 8x less per-task state than cores=partitions). At sf10 the
+    # 1.5B-row candidate dedup of the prefix join needs it: 32 partitions
+    # put ~50M rows of aggregation state on every task simultaneously and
+    # even spill() allocations fail ([SPILL_OUT_OF_MEMORY]).
+    spark = get_spark(shuffle_partitions=256)
     qs = entry.queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
