@@ -91,7 +91,15 @@ def main() -> int:
     # 1.5B-row candidate dedup of the prefix join needs it: 32 partitions
     # put ~50M rows of aggregation state on every task simultaneously and
     # even spill() allocations fail ([SPILL_OUT_OF_MEMORY]).
-    spark = get_spark(shuffle_partitions=256)
+    # storageFraction 0.2: bounded_persist caps cached ENTRIES, not bytes —
+    # at sf10 a few GB-scale cached intermediates from earlier queries sit
+    # in the eviction-protected half of unified memory and starve the next
+    # query's execution pool (prefix join passed standalone, failed mid-
+    # drive). A small protected region lets execution evict cache to disk.
+    spark = get_spark(
+        shuffle_partitions=256,
+        extra_conf={"spark.memory.storageFraction": "0.2"},
+    )
     qs = entry.queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
@@ -109,6 +117,14 @@ def main() -> int:
             msg = str(exc).splitlines()[0][:200]
             print(f"FAIL  {name} [{dt:.1f}s]: {msg}", flush=True)
             failed.append(name)
+        finally:
+            # queries are independent failure probes: drop cached
+            # intermediates so one query's persisted frames don't pin the
+            # storage pool against the next query's execution memory
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — hygiene must not fail a drive
+                pass
     print(f"\n{len(names) - len(failed)} ok, {len(failed)} FAIL")
     return 1 if failed else 0
 
