@@ -74,6 +74,7 @@ EXPECTED_PYTHON = {
     "ann_lsh_recall_contract",  # numpy signatures + einsum cosine (vectorized)
     "ann_ivf_cosine",   # einsum cosine for cell assignment + re-rank
     "dedup_embedding_lsh",  # numpy matmul LSH signatures (exact-fold re-rank)
+    "dedup_embedding_lsh_auto",  # same signature kernel, auto-sized planes
     "bpe_encode_docs",      # Arrow-batched greedy rank-priority encode UDF
     "kmeans_embeddings",    # Arrow-batched centroid-assignment kernel
     "semantic_dedup_embeddings",  # k-means partition (same Arrow kernel)
