@@ -214,6 +214,13 @@ def dedup_increment(
     corpus rows (when ``docs_table`` is given) and their index rows in
     ONE atomic commit. Idempotent under ``batch_id`` retries (returns
     False when the batch was already committed; nothing is recomputed).
+
+    Concurrency contract: increments must be SERIALIZED (the scheduler's
+    job, same as ivfpq_index_append). Two increments probing the same
+    index snapshot concurrently each miss the other's survivors — both
+    commits succeed atomically, but a near-dup pair split across them
+    would survive twice. Retries of the SAME batch_id are safe at any
+    concurrency (exactly one marker wins).
     """
     if batch_id is not None:
         from healthcare_etl_pipeline_spark.sources.warehouse import _sanitize_run_id

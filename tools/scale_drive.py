@@ -40,6 +40,7 @@ SCALE_SENSITIVE = [
     "dedup_exact_docs",
     "dedup_components_docs",
     "dedup_embedding_lsh_auto",  # planes='auto'; pinned-planes twin is quadratic here
+    "minhash_index_dedup_increment",  # persisted-index bootstrap + 2 increments
     "decontamination_lsh_docs",
     "segment_dedup_docs",
     "intra_doc_dedup_docs",
