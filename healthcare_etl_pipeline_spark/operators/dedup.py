@@ -835,9 +835,13 @@ def ngram_jaccard_prefix_pairs(
     )
     dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("h"))
+    # ceil() on FP products must not round an exactly-integral bound UP
+    # (t*|s| = k computed as k+1e-16 would shorten the prefix / raise the
+    # required overlap by 1 and prune true boundary pairs): subtract an
+    # epsilon far below the 6-dp verification resolution before ceiling.
     prefix_len = (
         F.col("set_size")
-        - F.ceil(F.lit(threshold) * F.col("set_size"))
+        - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
         + 1
     )
     prefixes = (
@@ -866,6 +870,29 @@ def ngram_jaccard_prefix_pairs(
         F.lit(threshold)
         / (1.0 + threshold)
         * (F.col("a.set_size") + F.col("b.set_size"))
+        - F.lit(1e-9)
+    )
+    # Suffix-capacity (accumulated positional) filter — Xiao et al. WWW
+    # 2008 §4's verification bound, lifted to a per-pair aggregate. The
+    # canonical rarity rank is ONE global total order, so shared shingles
+    # occur in the same relative order in both documents: every shared
+    # shingle ordered before the pair's LAST common prefix shingle is
+    # itself inside BOTH prefixes. Aggregating the join's emissions per
+    # pair therefore yields (a) the EXACT overlap within the two prefixes
+    # (c = emission count) and (b) the last common positions (i, j) =
+    # (max rn_a, max rn_b) — necessarily from the same emission — and the
+    # total overlap is bounded by c + min(|A|-i, |B|-j). Strictly tighter
+    # than the per-emission bound above (which assumes every unseen
+    # shingle after the FIRST match could still hit), it replaces the
+    # plain .distinct() at identical shuffle cost (same keys, count/max
+    # instead of dedup) and prunes candidates BEFORE the two full-array
+    # fetch joins — the dominant cost at sf10 where candidates ~ true
+    # pairs but each drags two shingle arrays through the shuffle.
+    req_pair = F.ceil(
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("size_a") + F.col("size_b"))
+        - F.lit(1e-9)
     )
     cands = (
         a.join(
@@ -874,11 +901,26 @@ def ngram_jaccard_prefix_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (overlap_ub >= overlap_req),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
         )
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("prefix_overlap"),
+            F.max("a.rn").alias("last_rn_a"),
+            F.max("b.rn").alias("last_rn_b"),
+        )
+        .filter(
+            F.col("prefix_overlap")
+            + F.least(
+                F.col("size_a") - F.col("last_rn_a"),
+                F.col("size_b") - F.col("last_rn_b"),
+            )
+            >= req_pair
+        )
+        .select("id_a", "id_b")
     )
     ha = hashes.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hashes.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))

@@ -222,11 +222,8 @@ def dedup_increment(
     would survive twice. Retries of the SAME batch_id are safe at any
     concurrency (exactly one marker wins).
     """
-    if batch_id is not None:
-        from healthcare_etl_pipeline_spark.sources.warehouse import _sanitize_run_id
-
-        if wh.is_committed(_sanitize_run_id(batch_id)):
-            return False
+    if batch_id is not None and wh.is_batch_committed(batch_id):
+        return False
     survivors, survivor_rows = novel_against_index(
         wh,
         increment,

@@ -1845,6 +1845,13 @@ class TransactionalWarehouse(Warehouse):
     def is_committed(self, run_id: str) -> bool:
         return os.path.exists(self.marker_path(run_id))
 
+    def is_batch_committed(self, batch_id: str) -> bool:
+        """True iff a transaction begun with this ``batch_id`` already
+        committed. Applies the same run-id sanitization ``begin()`` uses,
+        so idempotency pre-checks stay in lockstep with commit markers
+        even if the sanitization rule ever changes."""
+        return self.is_committed(_sanitize_run_id(batch_id))
+
     def create_all(self) -> None:
         """DDL bootstrap: just the directory skeleton — data arrives via txns."""
         for table in self.all_tables():

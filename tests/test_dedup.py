@@ -262,3 +262,29 @@ def test_prefix_filter_matches_exact_pairs_despite_hot_shingle(spark):
     }
     assert pref == exact
     assert (100, 101) in pref  # the true near-dup survives
+
+
+def test_prefix_filter_keeps_exact_boundary_pairs(spark):
+    """Pairs whose Jaccard is EXACTLY the threshold, with every derived
+    bound exactly integral, must survive the prefix/positional/suffix-
+    capacity filters: with n=1 (unigram shingles) A='a…f' vs B='c…h'
+    has overlap 4 / union 8 = J = 0.5, prefix length
+    6 - ceil(3.0) + 1 = 4, and required overlap ceil(0.5/1.5*12) = 4.0 —
+    the FP-integral case where a naive ceil(x+1e-16) would demand 5 and
+    prune a true pair (round-6 advice, dedup.py overlap_req)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "c d e f g h"),   # J(1,2) = 4/8 = 0.5 exactly — must survive
+            (3, "d e f x y z"),   # J(1,3) = J(2,3) = 3/9 < 0.5 — pruned
+            (4, "m n o p q r"),   # disjoint from all
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in D.ngram_jaccard_prefix_pairs(
+            df, "doc_id", "text", n=1, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): (4, 0.5)}

@@ -8,6 +8,12 @@ print the full AST + SQL so they can be added to the fixed corpus as
 regression cases.
 
 Usage: python tools/fuzz_explore.py [n_per_property] [seed]
+
+The seed is REAL: ASTs are drawn through ``@given`` under an explicit
+``hypothesis.seed`` (``strategy.example()`` is documented as
+non-reproducible, so it is not used here) — the same (n, seed) pair
+replays the identical AST sequence when promoting a mismatch into the
+fixed regression corpus.
 """
 
 from __future__ import annotations
@@ -15,17 +21,37 @@ from __future__ import annotations
 import math
 import os
 import sys
-import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-from hypothesis.errors import NonInteractiveExampleWarning
+from hypothesis import HealthCheck, Phase, given, seed as hyp_seed, settings
 
 import tests.test_differential_fuzz as tf
 from healthcare_etl_pipeline_spark.session import get_spark
 
-warnings.filterwarnings("ignore", category=NonInteractiveExampleWarning)
+
+def _draw(strat, n: int, seed_val: int) -> list:
+    """Reproducibly draw ~n examples from a strategy: a ``@given`` body
+    that only records its argument, pinned by ``hypothesis.seed`` with
+    the example database and shrinking disabled."""
+    out: list = []
+
+    @hyp_seed(seed_val)
+    @settings(
+        max_examples=n,
+        database=None,
+        deadline=None,
+        derandomize=False,
+        phases=[Phase.generate],
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(strat)
+    def collect(q):
+        out.append(q)
+
+    collect()
+    return out[:n]
 
 
 def _duck():
@@ -77,9 +103,6 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
-    import random
-
-    random.seed(seed)
     spark = get_spark()
     duck = _duck()
     props = [
@@ -90,8 +113,7 @@ def main() -> int:
     failures = 0
     for name, strat, check in props:
         mismatches = 0
-        for i in range(n):
-            q = strat.example()
+        for i, q in enumerate(_draw(strat, n, seed)):
             try:
                 bad = check(spark, duck, q)
             except Exception as exc:  # noqa: BLE001 — a crash IS a finding

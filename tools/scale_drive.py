@@ -26,6 +26,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _default_heap_gb(cap_gb: int = 64) -> int:
+    """Default driver heap: min(cap, ~80% of MemAvailable), floor 4 GB.
+    A fixed 64g on a smaller host swaps or gets OOM-killed before Spark
+    ever spills; reading /proc/meminfo keeps the big-box posture on big
+    boxes without assuming one."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return max(4, min(cap_gb, int(avail_gb * 0.8)))
+    except OSError:
+        pass
+    return cap_gb
+
 # Families whose behavior changes with scale: LSH/banding candidate
 # generation, ANN, rank cutoffs, sampling/splits, skew handling,
 # sessionization/windows, sketches, dedup graphs.
@@ -80,8 +96,10 @@ def main() -> int:
     # test posture, not a production spec — real clusters run 4-8 GB/core,
     # and at sf10 a 0.5 GB/core JVM hits Tungsten's per-task page floor
     # ([AGGREGATE_OUT_OF_MEMORY]) in wide hash aggregations long before
-    # any algorithmic limit. Honor an explicit override.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+    # any algorithmic limit. Default to min(64g, ~80% of MemAvailable) so
+    # smaller hosts don't swap or get OOM-killed; honor an explicit
+    # override either way.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{_default_heap_gb()}g")
 
     import __spark_entry__ as entry
     from healthcare_etl_pipeline_spark.session import get_spark
