@@ -3273,18 +3273,27 @@ def minhash_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "dedup_embedding_lsh_auto",
-    oracle=None,
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS keep_id, embedding AS qv FROM embeddings),
+         b AS (SELECT vec_id AS dup_id, embedding AS cv FROM embeddings)
+    SELECT keep_id, dup_id, round({_DUCK_COS}, 6) AS cos_sim
+    FROM a, b
+    WHERE keep_id < dup_id AND {_DUCK_COS} >= 0.35
+    """,
     description="Scale-posture variant of dedup_embedding_lsh: "
     "planes='auto' sizes the per-table bucket count from the measured "
     "corpus (expected occupancy ~1k rows/bucket) so the band join's "
     "candidate volume stays LINEAR in corpus size — the sf10 rung caught "
     "fixed planes=2 (4 buckets/table) going quadratic (~80B candidates). "
-    "No value oracle BY CONSTRUCTION: the exact pair set is quadratic for "
-    "any oracle engine at scale, and adaptive planes trade recall on "
-    "moderate-threshold pairs (identical/near-identical vectors — the "
-    "dedup case — collide at any plane count). The pinned-planes twin "
-    "keeps the exact-set value oracle at gate scales; this one is the "
-    "form a 100 TB corpus runs.",
+    "Value oracle is the exact pair set: at every oracle gate scale "
+    "(sf0.001/0.01/0.1 embeddings = 500/500/2000 rows, all at or near the "
+    "1k-row occupancy target) auto_planes resolves to the lo-bound 2, "
+    "where recall is exhaustively 1.0 on the seeded-deterministic "
+    "signatures — asserted by tests/test_similarity.py's auto-vs-pinned "
+    "equivalence. At rung scales (sf1+: 20k+ vectors, planes 5+) the "
+    "exact set is quadratic for any oracle engine and boundary-cosine "
+    "recall is <1 by design; there the sampled evaluator "
+    "(lsh_eval_pr_sample_docs pattern) carries the quality check instead.",
     tags=("dedup", "similarity", "lsh", "scale", "llm"),
 )
 def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
