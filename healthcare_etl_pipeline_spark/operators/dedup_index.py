@@ -105,10 +105,29 @@ def index_schema(id_field: T.StructField) -> T.StructType:
     )
 
 
-def register_minhash_index(wh, index_table: str, docs: DataFrame, id_col: str) -> None:
+def register_minhash_index(
+    wh,
+    index_table: str,
+    docs: DataFrame,
+    id_col: str,
+    *,
+    docs_table: str | None = None,
+) -> None:
     """Declare the index table on the warehouse (additive-evolution safe
-    to re-register; same commit protocol as any other table)."""
+    to re-register; same commit protocol as any other table).
+
+    Pass ``docs_table`` (the corpus table the index shadows) to also
+    declare the derived-index dependency: GDPR erasure on the corpus
+    (``wh.forget`` / ``wh.delete_where``) then removes the forgotten
+    docs' band buckets IN THE SAME TRANSACTION — without it, a forgotten
+    document's buckets would keep suppressing its future near-duplicates
+    from the corpus forever (an erasure leak the base-table rewrite alone
+    cannot see)."""
     wh.register_table(index_table, index_schema(docs.schema[id_col]))
+    if docs_table is not None:
+        wh.register_derived_index(
+            index_table, base_table=docs_table, key=(id_col,)
+        )
 
 
 def build_minhash_index(

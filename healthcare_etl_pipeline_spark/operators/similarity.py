@@ -1484,6 +1484,71 @@ def ivfpq_index_append(
     return new_vectors.count()
 
 
+def ann_index_forget(
+    spark,
+    index_dir: str,
+    ids,
+    *,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> int:
+    """GDPR erasure for a persisted cell-partitioned ANN index (IVF's
+    full-vector layout and IVF-PQ's codes layout share the shape:
+    parquet partitioned by ``cell`` with an id column).
+
+    Base-table ``forget`` alone leaves the subject's vectors/codes in the
+    index — it would keep SURFACING as a nearest neighbor of future
+    queries. This rewrites it out, partition-pruned: only the cells that
+    actually contain the forgotten ids are read back and rewritten
+    (dynamic partition overwrite); every other cell's files are untouched
+    — at 100 TB an erasure subject hits a handful of cells, so the
+    rewrite is O(affected cells), not O(index). Cells left EMPTY by the
+    erasure are deleted outright (dynamic overwrite only replaces
+    partitions present in the written frame, so an emptied cell must be
+    dropped explicitly or its old files would survive).
+
+    ``ids`` is a driver-side list (an erasure subject's ids — small by
+    nature, same contract as the warehouse ``forget`` broadcast).
+    Returns the number of index rows erased.
+    """
+    ids = list(ids)
+    if not ids:
+        return 0
+    codes = spark.read.parquet(index_dir)
+    hit_cells = [
+        r[cell_col]
+        for r in codes.filter(F.col(id_col).isin(ids))
+        .select(cell_col)
+        .distinct()
+        .collect()
+    ]
+    if not hit_cells:
+        return 0
+    affected = codes.filter(F.col(cell_col).isin(hit_cells))
+    n_erased = affected.filter(F.col(id_col).isin(ids)).count()
+    # materialize survivors BEFORE overwriting the files they were read
+    # from (self-overwrite hazard — same rule as load_patients' checkpoint)
+    survivors = affected.filter(~F.col(id_col).isin(ids)).localCheckpoint(
+        eager=True
+    )
+    surviving_cells = {
+        r[cell_col] for r in survivors.select(cell_col).distinct().collect()
+    }
+    if surviving_cells:
+        survivors.filter(F.col(cell_col).isin(list(surviving_cells))).write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").partitionBy(cell_col).parquet(index_dir)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for c in hit_cells:
+        if c in surviving_cells:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{cell_col}={c}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    return n_erased
+
+
 def ivfpq_recall(
     spark,
     index_dir: str,

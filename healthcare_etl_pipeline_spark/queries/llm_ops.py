@@ -3234,7 +3234,6 @@ def minhash_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame
     root = scratch_dir("minhash_idx_wh", sf_dir)
     wh = TransactionalWarehouse(spark, root)
     wh.create_all()
-    DI.register_minhash_index(wh, "minhash_index", docs, "doc_id")
     wh.register_table(
         "corpus_docs",
         T.StructType(
@@ -3245,6 +3244,9 @@ def minhash_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame
                 T.StructField("phase", T.StringType(), True),
             ]
         ),
+    )
+    DI.register_minhash_index(
+        wh, "minhash_index", docs, "doc_id", docs_table="corpus_docs"
     )
 
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -3268,6 +3270,107 @@ def minhash_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame
             docs_projection=["doc_id", "lang", "source", "phase"],
             batch_id=phase,
         )
+    return wh.read("corpus_docs").select("doc_id", "lang", "source", "phase")
+
+
+@query(
+    "minhash_index_forget_dedup",
+    oracle=f"""
+    WITH {_DUCK_TOKENS_CTE.strip()}
+    {_DUCK_SHINGLE_HASHES_CTE}
+    , sigs AS (
+      SELECT doc_id,
+           {_duck_minhash_sig_select()}
+      FROM hs
+    ), buckets AS (
+      SELECT doc_id, unnest([
+        'b0:' || sig_0 || ':' || sig_1,
+        'b1:' || sig_2 || ':' || sig_3,
+        'b2:' || sig_4 || ':' || sig_5,
+        'b3:' || sig_6 || ':' || sig_7]) AS bucket
+      FROM sigs WHERE sig_0 <> {MOD}
+    ),
+    corpus0 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+    forgotten AS (SELECT doc_id FROM corpus0 WHERE doc_id % 15 = 1),
+    live AS (SELECT doc_id FROM corpus0
+             WHERE doc_id NOT IN (SELECT doc_id FROM forgotten)),
+    idx AS (SELECT b.doc_id, b.bucket FROM buckets b JOIN live USING (doc_id)),
+    binc AS (SELECT b.doc_id + 1000000 AS doc_id, b.bucket
+             FROM buckets b JOIN forgotten USING (doc_id)),
+    hit AS (SELECT DISTINCT binc.doc_id FROM binc JOIN idx USING (bucket)),
+    dom AS (SELECT DISTINCT r.doc_id
+            FROM binc l JOIN binc r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    s AS (SELECT f.doc_id + 1000000 AS doc_id, f.doc_id AS orig
+          FROM forgotten f
+          WHERE f.doc_id + 1000000 NOT IN (SELECT doc_id FROM hit)
+            AND f.doc_id + 1000000 NOT IN (SELECT doc_id FROM dom))
+    SELECT d.doc_id, d.lang, d.source, 'corpus' AS phase
+    FROM documents d JOIN live USING (doc_id)
+    UNION ALL
+    SELECT s.doc_id, d.lang, d.source, 'reingest' AS phase
+    FROM s JOIN documents d ON d.doc_id = s.orig
+    """,
+    description="GDPR forget -> derived-index consistency, end to end: "
+    "bootstrap the persisted MinHash index over a corpus, FORGET a "
+    "subset (wh.forget rewrites corpus AND its band buckets in ONE "
+    "transaction — register_derived_index), then re-ingest the forgotten "
+    "docs' text under new ids. Without index propagation every "
+    "re-ingested doc would be suppressed by its own ghost's stale "
+    "buckets; with it, a re-ingested doc is dropped only if it near-dups "
+    "a LIVE corpus doc (or an earlier re-ingest). Returns the final "
+    "corpus membership with phases.",
+    tags=("dedup", "minhash", "lsh", "txn", "gdpr", "llm"),
+)
+def minhash_index_forget_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators import dedup_index as DI
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    docs = td(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    root = scratch_dir("minhash_forget_wh", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+    wh.register_table(
+        "corpus_docs",
+        T.StructType(
+            [
+                T.StructField("doc_id", docs.schema["doc_id"].dataType, True),
+                T.StructField("lang", T.StringType(), True),
+                T.StructField("source", T.StringType(), True),
+                T.StructField("phase", T.StringType(), True),
+            ]
+        ),
+    )
+    DI.register_minhash_index(
+        wh, "minhash_index", docs, "doc_id", docs_table="corpus_docs"
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    boot = wh.begin("bootstrap", operation="minhash-index-build")
+    DI.build_minhash_index(wh, corpus, index_table="minhash_index", txn=boot)
+    boot.stage(
+        corpus.select("doc_id", "lang", "source", F.lit("corpus").alias("phase")),
+        "corpus_docs",
+    )
+    boot.commit()
+
+    wh.forget({"corpus_docs": F.col("doc_id") % 15 == 1})
+
+    reingest = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .filter(F.col("doc_id") % 15 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("phase", F.lit("reingest"))
+    )
+    DI.dedup_increment(
+        wh,
+        reingest,
+        index_table="minhash_index",
+        docs_table="corpus_docs",
+        docs_projection=["doc_id", "lang", "source", "phase"],
+        batch_id="reingest",
+    )
     return wh.read("corpus_docs").select("doc_id", "lang", "source", "phase")
 
 

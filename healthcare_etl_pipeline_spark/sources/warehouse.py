@@ -477,7 +477,12 @@ class TransactionalWarehouse(Warehouse):
         #: every registry dict with the parent handle
         self._ref: str | None = None
         self._ref_base: int = 0
+        #: base table → {index table → key columns}: erasure verbs
+        #: (:meth:`forget`, :meth:`delete_where`) propagate to these in
+        #: the SAME transaction (see :meth:`register_derived_index`)
+        self._derived_indexes: dict[str, dict[str, list[str]]] = {}
         self._load_registrations()  # durable extra-table registry
+        self._load_index_registrations()
 
     # -- CHECK constraints ---------------------------------------------------
 
@@ -667,6 +672,103 @@ class TransactionalWarehouse(Warehouse):
                     [schema[c] for c in pk]
                 )
                 self._extra_partitions.setdefault(tomb, [])
+
+    # -- derived-index registry ----------------------------------------------
+
+    def _indexes_dir(self) -> str:
+        return os.path.join(self.txn_root(), "indexes")
+
+    def register_derived_index(
+        self, index_table: str, *, base_table: str, key: tuple[str, ...]
+    ) -> None:
+        """Declare ``index_table`` as DERIVED from ``base_table``, keyed by
+        the shared ``key`` columns (e.g. a MinHash-LSH band-bucket index
+        keyed by ``doc_id``, or any materialized per-row sidecar).
+
+        What the declaration buys — erasure consistency: :meth:`forget`
+        and :meth:`delete_where` on the base table propagate to the index
+        rows of the erased keys IN THE SAME TRANSACTION, so a forgotten
+        document can never keep suppressing future near-duplicates (or
+        surface as a neighbor) through stale index entries: readers
+        observe base and index erasure at the same commit instant. This
+        is the GDPR contract the base tables already have, extended to
+        their derived state.
+
+        The index is also given ``key`` as its primary key (if it has
+        none), enabling merge-on-read tombstones: :meth:`delete_where`
+        hides EVERY index row of a deleted key via the tombstone
+        anti-join, and a later :meth:`compact` of the index applies and
+        retires them physically — key-granularity deletion vectors, same
+        as the base path.
+
+        Scope: erasure verbs only. Writers that UPDATE base rows (merge/
+        overwrite_where) must refresh the index rows themselves — the
+        incremental maintenance path (e.g. ``dedup_index.dedup_increment``)
+        already commits base + index rows in one transaction.
+
+        Durable: persisted under ``_txn/indexes/``, so any later handle
+        (another driver, a cold branch view) enforces the same
+        propagation. Both tables must already be registered; key columns
+        must exist in both schemas with equal types.
+        """
+        base_schema = self.table_schema(base_table)  # validates existence
+        idx_schema = self.table_schema(index_table)
+        for c in key:
+            if c not in base_schema.fieldNames():
+                raise ValueError(f"key column {c!r} not in {base_table!r}")
+            if c not in idx_schema.fieldNames():
+                raise ValueError(f"key column {c!r} not in {index_table!r}")
+            if base_schema[c].dataType != idx_schema[c].dataType:
+                raise ValueError(
+                    f"key column {c!r} type differs between {base_table!r}"
+                    f" ({base_schema[c].dataType.simpleString()}) and"
+                    f" {index_table!r} ({idx_schema[c].dataType.simpleString()})"
+                )
+        prior_pk = self._primary_keys.get(index_table)
+        if prior_pk is not None and prior_pk != list(key):
+            raise ValueError(
+                f"{index_table!r} already has primary_key {prior_pk} — a"
+                f" derived index must be keyed by it (got {list(key)})"
+            )
+        if prior_pk is None:
+            self._primary_keys[index_table] = list(key)
+            tomb = self._tombstone_table(index_table)
+            self._extra_schemas[tomb] = T.StructType([idx_schema[c] for c in key])
+            self._extra_partitions.setdefault(tomb, [])
+            if index_table in self._extra_schemas:
+                self._persist_registration(index_table)
+        self._derived_indexes.setdefault(base_table, {})[index_table] = list(key)
+        os.makedirs(self._indexes_dir(), exist_ok=True)
+        payload = {
+            "index_table": index_table,
+            "base_table": base_table,
+            "key": list(key),
+        }
+        tmp = os.path.join(self._indexes_dir(), f".{index_table}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(self._indexes_dir(), f"{index_table}.json"))
+
+    def _load_index_registrations(self) -> None:
+        d = self._indexes_dir()
+        if not os.path.isdir(d):
+            return
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, f), encoding="utf-8") as fh:
+                    payload = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            self._derived_indexes.setdefault(payload["base_table"], {})[
+                payload["index_table"]
+            ] = list(payload["key"])
+
+    def derived_indexes_of(self, base_table: str) -> dict[str, list[str]]:
+        """{index table → key columns} registered as derived from
+        ``base_table`` (empty when none)."""
+        return dict(self._derived_indexes.get(base_table, {}))
 
     def _renames_for(self, table: str) -> list[tuple[int, str, str]]:
         """Committed column renames for ``table`` in snapshot order:
@@ -2038,8 +2140,18 @@ class TransactionalWarehouse(Warehouse):
         only after snapshot expiry (and time travel to pre-erasure
         snapshots dies with it, which for GDPR is the point).
 
+        Derived indexes (:meth:`register_derived_index`) of a touched
+        table are rewritten WITHOUT the erased keys' rows in the SAME
+        commit — the forgotten subject disappears from base tables and
+        their materialized sidecars (LSH band buckets, …) at one instant,
+        never from some but not others. Their erased-row counts appear in
+        the returned dict under the index table's name.
+
         Scale shape: identical to compaction — one filtered scan + write
         per table; the filter prunes/pushes down like any other predicate.
+        Index propagation broadcasts the erased-key set (an erasure
+        subject's keys are small by nature) into an anti-join, so the
+        index rewrite is one scan too.
         """
         txn = self.begin(operation="forget")
         erased: dict[str, int] = {}
@@ -2057,6 +2169,22 @@ class TransactionalWarehouse(Warehouse):
                     tomb_runs = self.committed_runs_for(tomb)
                     if tomb_runs:
                         txn.replaces[tomb] = tomb_runs
+                for idx, key in self._derived_indexes.get(table, {}).items():
+                    if idx in predicates:
+                        continue  # caller erases it explicitly
+                    keys = F.broadcast(
+                        current.filter(pred).select(*key).distinct()
+                    )
+                    idx_runs = self.committed_runs_for(idx)
+                    idx_cur = self.read(idx)
+                    erased[idx] = idx_cur.join(keys, list(key), "left_semi").count()
+                    txn.stage(idx_cur.join(keys, list(key), "left_anti"), idx)
+                    txn.replaces[idx] = idx_runs
+                    idx_tomb_runs = self.committed_runs_for(
+                        self._tombstone_table(idx)
+                    )
+                    if idx_tomb_runs:
+                        txn.replaces[self._tombstone_table(idx)] = idx_tomb_runs
         except Exception:
             txn.abort()
             raise
@@ -2139,6 +2267,12 @@ class TransactionalWarehouse(Warehouse):
         Time travel to pre-delete snapshots still sees the rows (the
         tombstone commit is part of history like any other).
         Returns the number of keys tombstoned.
+
+        Derived indexes (:meth:`register_derived_index`) get a tombstone
+        commit for the deleted keys in the SAME transaction, so readers
+        (including the dedup probe) stop seeing the keys' index rows at
+        the same instant as the base rows; :meth:`compact` of the index
+        later applies both physically.
         """
         if table not in self._primary_keys:
             raise ValueError(
@@ -2146,10 +2280,16 @@ class TransactionalWarehouse(Warehouse):
                 " primary_key=...) to enable merge-on-read deletes"
             )
         pk = self._primary_keys[table]
-        keys = self.read(table).filter(predicate).select(*pk).distinct()
+        matched = self.read(table).filter(predicate)
+        keys = matched.select(*pk).distinct()
         txn = self.begin(operation="delete")
         try:
             txn.stage(keys, self._tombstone_table(table))
+            for idx, key in self._derived_indexes.get(table, {}).items():
+                txn.stage(
+                    matched.select(*key).distinct(),
+                    self._tombstone_table(idx),
+                )
         except Exception:
             txn.abort()
             raise
