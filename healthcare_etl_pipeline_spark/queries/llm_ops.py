@@ -3375,6 +3375,112 @@ def minhash_index_forget_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_index_dedup_increment",
+    oracle=f"""
+    WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    inc1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    inc2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 5),
+    hit1 AS (
+      SELECT DISTINCT i.vec_id
+      FROM (SELECT vec_id, embedding AS qv FROM inc1) i
+      JOIN (SELECT embedding AS cv FROM corpus0) c ON {_DUCK_COS} >= 0.35
+    ),
+    dom1 AS (
+      SELECT DISTINCT b.vec_id
+      FROM (SELECT vec_id, embedding AS qv FROM inc1) a
+      JOIN (SELECT vec_id, embedding AS cv FROM inc1) b
+        ON a.vec_id < b.vec_id AND {_DUCK_COS} >= 0.35
+    ),
+    s1 AS (SELECT vec_id, embedding FROM inc1
+           WHERE vec_id NOT IN (SELECT vec_id FROM hit1)
+             AND vec_id NOT IN (SELECT vec_id FROM dom1)),
+    live1 AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM s1),
+    hit2 AS (
+      SELECT DISTINCT i.vec_id
+      FROM (SELECT vec_id, embedding AS qv FROM inc2) i
+      JOIN (SELECT embedding AS cv FROM live1) c ON {_DUCK_COS} >= 0.35
+    ),
+    dom2 AS (
+      SELECT DISTINCT b.vec_id
+      FROM (SELECT vec_id, embedding AS qv FROM inc2) a
+      JOIN (SELECT vec_id, embedding AS cv FROM inc2) b
+        ON a.vec_id < b.vec_id AND {_DUCK_COS} >= 0.35
+    ),
+    s2 AS (SELECT vec_id FROM inc2
+           WHERE vec_id NOT IN (SELECT vec_id FROM hit2)
+             AND vec_id NOT IN (SELECT vec_id FROM dom2))
+    SELECT vec_id, 'corpus' AS phase FROM corpus0
+    UNION ALL
+    SELECT vec_id, 'inc1' AS phase FROM s1
+    UNION ALL
+    SELECT vec_id, 'inc2' AS phase FROM s2
+    """,
+    description="Persisted incremental embedding-LSH dedup index "
+    "(operators/embedding_index.py): bootstrap hyperplane band buckets "
+    "over a vector corpus, then dedup TWO successive increments — each "
+    "signs only ITS OWN vectors (O(increment)), probes the index via a "
+    "broadcast (tbl,bucket) equi-join, verifies candidates with EXACT "
+    "cosine against ONLY the candidates' corpus vectors, and commits "
+    "survivors + index rows in one atomic txn. Oracle is the exact "
+    "cosine dup rule (no LSH simulation needed): verification makes the "
+    "output exact wherever recall holds, and at gate scales recall is "
+    "exhaustively 1.0 (auto planes = lo-bound 2, seeded-deterministic). "
+    "The increment result also carries the OCCUPANCY TRIGGER "
+    "(needs_rebucket) — the persisted-index twin of IVF-PQ drift "
+    "retrain; rebucket_embedding_index re-signs at the grown corpus's "
+    "plane count with probe-identical decisions (tests).",
+    tags=("dedup", "similarity", "lsh", "txn", "scale", "llm"),
+)
+def embedding_index_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators import embedding_index as EI
+    from healthcare_etl_pipeline_spark.sources.warehouse import (
+        TransactionalWarehouse,
+    )
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = scratch_dir("embedding_idx_wh", sf_dir)
+    wh = TransactionalWarehouse(spark, root)
+    wh.create_all()
+    wh.register_table(
+        "corpus_vecs",
+        T.StructType(
+            [
+                T.StructField("vec_id", emb.schema["vec_id"].dataType, True),
+                T.StructField("embedding", emb.schema["embedding"].dataType, True),
+                T.StructField("phase", T.StringType(), True),
+            ]
+        ),
+    )
+    EI.register_embedding_index(
+        wh, "emb_idx", emb, "vec_id", vectors_table="corpus_vecs"
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    boot = wh.begin("bootstrap", operation="embedding-index-build")
+    EI.build_embedding_index(
+        wh, corpus, index_table="emb_idx", dim=64, threshold=0.35, txn=boot
+    )
+    boot.stage(
+        corpus.withColumn("phase", F.lit("corpus")), "corpus_vecs"
+    )
+    boot.commit()
+
+    for phase, rem in (("inc1", 0), ("inc2", 5)):
+        inc = emb.filter(F.col("vec_id") % 10 == rem).withColumn(
+            "phase", F.lit(phase)
+        )
+        EI.embedding_dedup_increment(
+            wh,
+            inc,
+            index_table="emb_idx",
+            corpus_table="corpus_vecs",
+            vectors_projection=["vec_id", "embedding", "phase"],
+            batch_id=phase,
+        )
+    return wh.read("corpus_vecs").select("vec_id", "phase")
+
+
+@query(
     "dedup_embedding_lsh_auto",
     oracle=f"""
     WITH a AS (SELECT vec_id AS keep_id, embedding AS qv FROM embeddings),
