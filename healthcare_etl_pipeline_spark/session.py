@@ -37,7 +37,11 @@ def get_spark(
         return active
 
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    shuffle_partitions = shuffle_partitions or cpus
+    shuffle_partitions = (
+        shuffle_partitions
+        or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+        or cpus
+    )
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -452,3 +452,265 @@ def test_join_window_agg_compositions_agree(spark, duck, q):
         _normalize(srows, n_group), _normalize(drows, n_group)
     )
     assert ok, f"{why}\nAST: {q}\nSQL: {_duck_jwa_sql(q)}"
+
+
+# -- property 4: set operations with duplicate semantics ------------------------
+# (round-6 verdict #7: UNION/INTERSECT/EXCEPT x {ALL, DISTINCT} over two or
+# three branches — lineitem projected to a deliberately low-cardinality
+# (string, bigint) shape so INTERSECT/EXCEPT overlap is dense and ALL-vs-
+# DISTINCT multiplicities actually differ; the optional orders branch
+# overlaps on l_linestatus/o_orderstatus = {O, F} and a shared mod-40 id.
+# Spark's DataFrame names are a known trap this property pins down:
+# union() IS union-all, subtract() is EXCEPT DISTINCT, exceptAll/
+# intersectAll carry SQL's ALL bag semantics.)
+
+SET_OPS = [
+    "union_all", "union", "intersect", "intersect_all", "except",
+    "except_all",
+]
+
+_branch = st.fixed_dictionaries(
+    {
+        "source": st.sampled_from(["lineitem", "orders"]),
+        "c1": st.sampled_from(["flag", "status"]),  # lineitem only
+        "qty_max": st.integers(min_value=1, max_value=50),
+    }
+)
+
+setop_ast = st.fixed_dictionaries(
+    {
+        "left": _branch,
+        "right": _branch,
+        "op": st.sampled_from(SET_OPS),
+        "chain": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(SET_OPS), _branch),
+        ),
+    }
+)
+
+
+def _spark_setop_branch(spark, b):
+    if b["source"] == "orders":
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        return df.select(
+            F.col("o_orderstatus").alias("c1"),
+            (F.pmod(F.col("o_orderkey"), F.lit(40)) + F.lit(1))
+            .cast("long")
+            .alias("c2"),
+        ).filter(F.col("c2") <= b["qty_max"])
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    c1 = "l_returnflag" if b["c1"] == "flag" else "l_linestatus"
+    return df.filter(F.col("l_quantity") <= b["qty_max"]).select(
+        F.col(c1).alias("c1"),
+        F.col("l_quantity").cast("long").alias("c2"),
+    )
+
+
+def _spark_setop_apply(a, b, op):
+    if op == "union_all":
+        return a.unionAll(b)
+    if op == "union":
+        return a.union(b).distinct()
+    if op == "intersect":
+        return a.intersect(b)
+    if op == "intersect_all":
+        return a.intersectAll(b)
+    if op == "except":
+        return a.subtract(b)
+    return a.exceptAll(b)
+
+
+def _spark_setop(spark, q):
+    out = _spark_setop_apply(
+        _spark_setop_branch(spark, q["left"]),
+        _spark_setop_branch(spark, q["right"]),
+        q["op"],
+    )
+    if q["chain"] is not None:
+        op2, third = q["chain"]
+        out = _spark_setop_apply(
+            out, _spark_setop_branch(spark, third), op2
+        )
+    return out
+
+
+_SETOP_SQL = {
+    "union_all": "UNION ALL",
+    "union": "UNION",
+    "intersect": "INTERSECT",
+    "intersect_all": "INTERSECT ALL",
+    "except": "EXCEPT",
+    "except_all": "EXCEPT ALL",
+}
+
+
+def _duck_setop_branch(b):
+    if b["source"] == "orders":
+        return (
+            "SELECT o_orderstatus AS c1, "
+            "CAST(o_orderkey % 40 + 1 AS BIGINT) AS c2 FROM orders "
+            f"WHERE o_orderkey % 40 + 1 <= {b['qty_max']}"
+        )
+    c1 = "l_returnflag" if b["c1"] == "flag" else "l_linestatus"
+    return (
+        f"SELECT {c1} AS c1, CAST(l_quantity AS BIGINT) AS c2 "
+        f"FROM lineitem WHERE l_quantity <= {b['qty_max']}"
+    )
+
+
+def _duck_setop_sql(q):
+    sql = (
+        f"({_duck_setop_branch(q['left'])}) {_SETOP_SQL[q['op']]} "
+        f"({_duck_setop_branch(q['right'])})"
+    )
+    if q["chain"] is not None:
+        op2, third = q["chain"]
+        sql = f"({sql}) {_SETOP_SQL[op2]} ({_duck_setop_branch(third)})"
+    return sql
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=setop_ast)
+def test_set_operations_agree(spark, duck, q):
+    srows = sorted(tuple(r) for r in _spark_setop(spark, q).collect())
+    drows = sorted(
+        tuple(r) for r in duck.execute(_duck_setop_sql(q)).fetchall()
+    )
+    assert srows == drows, (
+        f"multiset mismatch ({len(srows)} vs {len(drows)} rows; first "
+        f"delta {next((p for p in zip(srows, drows) if p[0] != p[1]), None)})"
+        f"\nAST: {q}\nSQL: {_duck_setop_sql(q)}"
+    )
+
+
+# -- property 5: correlated EXISTS / NOT EXISTS / IN / NOT IN subqueries --------
+# (round-6 verdict #7, second family: three-valued NOT IN logic is where
+# engines diverge most, so the key expressions inject NULLs via
+# nullif(key % P, v) on BOTH sides. EXISTS/NOT EXISTS lower to DataFrame
+# semi/anti joins with an optional extra correlated predicate; IN lowers to
+# an equality semi join (identical semantics — NULL never equals); NOT IN
+# deliberately goes through spark.sql so Catalyst's null-aware anti-join
+# planning is what's differentially tested against DuckDB.)
+
+SUBQ_MOD = 11
+
+subq_ast = st.fixed_dictionaries(
+    {
+        "flavor": st.sampled_from(["exists", "not_exists", "in", "not_in"]),
+        "outer_status": st.sampled_from([None, "O", "F", "P"]),
+        "outer_null": st.sampled_from([None, 0, 3, 7]),
+        "inner_null": st.sampled_from([None, 0, 3, 7]),
+        "inner_qty": st.sampled_from([0, 10, 30, 49, 999]),  # 999 => empty
+        "corr_pred": st.booleans(),  # exists flavors only
+    }
+)
+
+
+def _subq_views(spark):
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "fuzz_orders"
+    )
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView(
+        "fuzz_lineitem"
+    )
+
+
+def _key_expr(col, null_at, dialect):
+    mod = f"{col} % {SUBQ_MOD}" if dialect == "duck" else None
+    if dialect == "duck":
+        base = f"CAST({mod} AS BIGINT)"
+        return base if null_at is None else f"nullif({base}, {null_at})"
+    e = F.pmod(F.col(col), F.lit(SUBQ_MOD)).cast("long")
+    if null_at is not None:
+        e = F.when(e == null_at, F.lit(None).cast("long")).otherwise(e)
+    return e
+
+
+def _spark_subq(spark, q):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_quantity") > q["inner_qty"]
+    )
+    if q["outer_status"]:
+        orders = orders.filter(F.col("o_orderstatus") == q["outer_status"])
+    out_cols = [
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ]
+    if q["flavor"] in ("exists", "not_exists"):
+        cond = li.l_orderkey == orders.o_orderkey
+        if q["corr_pred"]:
+            cond = cond & (li.l_extendedprice < orders.o_totalprice * 0.5)
+        jt = "left_semi" if q["flavor"] == "exists" else "left_anti"
+        return orders.join(li, cond, jt).select(*out_cols)
+    outer = orders.withColumn(
+        "__ok", _key_expr("o_orderkey", q["outer_null"], "spark")
+    )
+    if q["flavor"] == "in":
+        inner = li.select(
+            _key_expr("l_orderkey", q["inner_null"], "spark").alias("__ik")
+        )
+        return outer.join(
+            inner, outer["__ok"] == inner["__ik"], "left_semi"
+        ).select(*out_cols)
+    # NOT IN: spark.sql => Catalyst null-aware anti join
+    _subq_views(spark)
+    ok_sql = _key_expr("o_orderkey", q["outer_null"], "duck")
+    ik_sql = _key_expr("l_orderkey", q["inner_null"], "duck")
+    where = [
+        f"{ok_sql} NOT IN (SELECT {ik_sql} FROM fuzz_lineitem "
+        f"WHERE l_quantity > {q['inner_qty']})"
+    ]
+    if q["outer_status"]:
+        where.append(f"o_orderstatus = '{q['outer_status']}'")
+    return spark.sql(
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+        f"FROM fuzz_orders WHERE {' AND '.join(where)}"
+    )
+
+
+def _duck_subq_sql(q):
+    inner_from = f"lineitem WHERE l_quantity > {q['inner_qty']}"
+    if q["flavor"] in ("exists", "not_exists"):
+        corr = ["l_orderkey = o_orderkey"]
+        if q["corr_pred"]:
+            corr.append("l_extendedprice < o_totalprice * 0.5")
+        sub = f"SELECT 1 FROM {inner_from} AND {' AND '.join(corr)}"
+        neg = "NOT " if q["flavor"] == "not_exists" else ""
+        pred = f"{neg}EXISTS ({sub})"
+    else:
+        ok_sql = _key_expr("o_orderkey", q["outer_null"], "duck")
+        ik_sql = _key_expr("l_orderkey", q["inner_null"], "duck")
+        neg = "NOT " if q["flavor"] == "not_in" else ""
+        pred = f"{ok_sql} {neg}IN (SELECT {ik_sql} FROM {inner_from})"
+    where = [pred]
+    if q["outer_status"]:
+        where.append(f"o_orderstatus = '{q['outer_status']}'")
+    return (
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice "
+        f"FROM orders WHERE {' AND '.join(where)}"
+    )
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=subq_ast)
+def test_subquery_predicates_agree(spark, duck, q):
+    srows = sorted(tuple(r) for r in _spark_subq(spark, q).collect())
+    drows = sorted(
+        tuple(r) for r in duck.execute(_duck_subq_sql(q)).fetchall()
+    )
+    assert srows == drows, (
+        f"row sets differ ({len(srows)} vs {len(drows)})"
+        f"\nAST: {q}\nSQL: {_duck_subq_sql(q)}"
+    )

@@ -77,6 +77,16 @@ F3 = [
 ]
 
 
+def _await(q, timeout_s: int = 300) -> None:
+    """awaitTermination(t) returns False on TIMEOUT without raising; under
+    co-located load a 3-JVM box can stall availableNow past a fixed wait,
+    and asserting table contents against a still-running query is a flake.
+    Make the timeout a hard, named failure instead."""
+    assert q.awaitTermination(timeout_s), (
+        f"stream {q.name or q.id} still running after {timeout_s}s"
+    )
+
+
 def _file_stream(spark, src_dir: str):
     return (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -132,7 +142,7 @@ def test_txn_sink_exactly_once_across_crash_replay(spark, tmp_path):
     assert wh.read("events_sink").count() == len(F1) + len(F2)
 
     q2 = run()
-    q2.awaitTermination(180)
+    _await(q2)
 
     got = sorted(
         (str(r.ts), r.event_type, r.value)
@@ -173,7 +183,7 @@ def test_tumbling_state_recovered_across_restart(spark, tmp_path):
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination(180)
+        _await(q)
         return q
 
     run("rec_phase1")
@@ -251,7 +261,7 @@ def test_pyds_source_txn_sink_exactly_once_across_crash(spark, tmp_path):
 
     commit("b0", [(1, "a"), (2, "b")])
     q = run()
-    q.awaitTermination(180)  # batch 0 clean
+    _await(q)  # batch 0 clean
     commit("b1", [(3, "c")])
     q = run()
     with pytest.raises(StreamingQueryException):
@@ -263,14 +273,14 @@ def test_pyds_source_txn_sink_exactly_once_across_crash(spark, tmp_path):
     # uncommitted batch 1 (same offsets, same id) — the no-op window the
     # idempotent sink must absorb
     q = run()
-    q.awaitTermination(180)
+    _await(q)
     assert sorted((r.k, r.v) for r in dst_wh.read("mirror").collect()) == [
         (1, "a"),
         (2, "b"),
         (3, "c"),
     ]
     q = run()  # next drain delivers batch 2 (b2's rows)
-    q.awaitTermination(180)
+    _await(q)
 
     got = sorted((r.k, r.v) for r in dst_wh.read("mirror").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]

@@ -99,6 +99,32 @@ def _check_jwa(spark, duck, q) -> str | None:
     return None if ok else f"{why}\nAST: {q}\nSQL: {tf._duck_jwa_sql(q)}"
 
 
+def _check_setop(spark, duck, q) -> str | None:
+    srows = sorted(tuple(r) for r in tf._spark_setop(spark, q).collect())
+    drows = sorted(
+        tuple(r) for r in duck.execute(tf._duck_setop_sql(q)).fetchall()
+    )
+    if srows == drows:
+        return None
+    return (
+        f"multiset mismatch ({len(srows)} vs {len(drows)})"
+        f"\nAST: {q}\nSQL: {tf._duck_setop_sql(q)}"
+    )
+
+
+def _check_subq(spark, duck, q) -> str | None:
+    srows = sorted(tuple(r) for r in tf._spark_subq(spark, q).collect())
+    drows = sorted(
+        tuple(r) for r in duck.execute(tf._duck_subq_sql(q)).fetchall()
+    )
+    if srows == drows:
+        return None
+    return (
+        f"row sets differ ({len(srows)} vs {len(drows)})"
+        f"\nAST: {q}\nSQL: {tf._duck_subq_sql(q)}"
+    )
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -109,6 +135,8 @@ def main() -> int:
         ("relational", tf.ast, _check_relational),
         ("window", tf.win_ast, _check_window),
         ("join+win+agg", tf.jwa_ast, _check_jwa),
+        ("set-ops", tf.setop_ast, _check_setop),
+        ("subqueries", tf.subq_ast, _check_subq),
     ]
     failures = 0
     for name, strat, check in props:
