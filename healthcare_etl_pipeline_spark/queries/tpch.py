@@ -30,10 +30,13 @@ from healthcare_etl_pipeline_spark.queries.registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                          * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 2)                                        AS avg_qty,
            round(avg(l_extendedprice), 2)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -42,20 +45,31 @@ from healthcare_etl_pipeline_spark.queries.registry import query
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
     GROUP BY l_returnflag, l_linestatus
     """,
-    description="TPC-H Q1 pricing summary: scan-filter + 8-way hash agg.",
+    description="TPC-H Q1 pricing summary: scan-filter + 8-way hash agg. "
+    "Money sums aggregate as exact DECIMAL (TPC-H's declared type): at "
+    "sf10 (~10M rows/group) double summation is order-dependent at the "
+    "2dp rounding boundary, so Spark and any oracle legitimately differ "
+    "in the last cent — exact decimal arithmetic is scale-independent.",
     tags=("agg", "tpch"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast("decimal(8,6)")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(8,6)")
+    tax = F.col("l_tax").cast("decimal(8,6)")
+    disc_price = price * (one - disc)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (one + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
