@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
 from healthcare_etl_pipeline_spark.operators.dedup_index import (
@@ -200,58 +201,81 @@ def novel_against_embedding_index(
     """Split an increment against the persisted index.
 
     Returns ``(survivors, survivor_bucket_rows)``. Physical plan: the
-    increment's bucket rows probe the index via a broadcast equi-join on
-    (tbl, bucket) — the index streams scan-only; candidate (corpus id,
-    inc id) pairs then fetch ONLY the candidate corpus vectors (a second
-    broadcast of the candidate ids into the corpus scan) for the exact
-    cosine verification, so the corpus's vector bytes never shuffle and
-    non-candidates are never deserialized. Within-increment candidates
-    reuse the same banded self-join + exact verification.
+    increment first COLLAPSES bit-identical vectors to one representative
+    (group min id) — the same m²-degeneracy guard the sf10 rung forced on
+    batch embedding LSH (similarity.py:embedding_dedup_lsh): only
+    representatives are signed (O(distinct increment)), probe the index,
+    and verify; decisions expand back exactly because identical vectors
+    share every signature and every cosine, and any non-representative
+    member is dominated within the increment by its own group min
+    (cos=1 ≥ threshold), so representatives are the only possible
+    survivors. The representatives' bucket rows probe the index via a
+    MEASURED-ceiling broadcast equi-join on (tbl, bucket) — the index
+    streams scan-only; candidate (corpus id, rep id) pairs fetch only the
+    candidate corpus vectors (ceiling-gated broadcast, shuffle-join
+    fallback above it), which are themselves deduped to DISTINCT
+    (rep, corpus-vector) pairs before the exact cosine — on a
+    duplicate-dense corpus that cuts the verification load by the corpus
+    copy-rate. Within-increment domination runs the same banded
+    self-join + exact verification over representatives only.
     """
     meta = read_meta(wh, index_table)
     p, tables, seed = meta["planes"], meta["tables"], meta["seed"]
     dim, threshold = meta["dim"], meta["threshold"]
 
-    inc_vecs = increment.select(F.col(id_col), F.col(vec_col)).transform(
-        bounded_persist
+    w_vec = Window.partitionBy(vec_col)
+    members = (
+        increment.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rep", F.min(id_col).over(w_vec))
+        .transform(bounded_persist)
     )
-    inc_buckets = bucket_rows(
-        inc_vecs, id_col=id_col, vec_col=vec_col, planes=p, tables=tables,
+    rep_vecs = (
+        members.filter(F.col(id_col) == F.col("__rep"))
+        .select(id_col, vec_col)
+        .transform(bounded_persist)
+    )
+    rep_buckets = bucket_rows(
+        rep_vecs, id_col=id_col, vec_col=vec_col, planes=p, tables=tables,
         dim=dim, seed=seed,
     ).transform(bounded_persist)
 
-    probe = inc_buckets.withColumnRenamed(id_col, "__inc_id")
-    if inc_buckets.count() <= BROADCAST_ROW_CEILING:
+    probe = rep_buckets.withColumnRenamed(id_col, "__rep_id")
+    if rep_buckets.count() <= BROADCAST_ROW_CEILING:
         probe = F.broadcast(probe)
     idx = wh.read(index_table, as_of=as_of)
     cand = (
         idx.join(probe, ["tbl", "bucket"], "inner")
-        .select(F.col(id_col).alias("__corpus_id"), "__inc_id")
+        .select(F.col(id_col).alias("__corpus_id"), "__rep_id")
         .distinct()
         .transform(bounded_persist)
     )
-    corpus_vecs = (
+    cand_fetch = (
+        F.broadcast(cand) if cand.count() <= BROADCAST_ROW_CEILING else cand
+    )
+    cand_vecs = (
         wh.read(corpus_table, as_of=as_of)
         .select(F.col(id_col).alias("__corpus_id"), F.col(vec_col).alias("__cv"))
-        .join(F.broadcast(cand), "__corpus_id")
+        .join(cand_fetch, "__corpus_id")
+        .select("__rep_id", "__cv")
+        .distinct()
     )
-    hit = (
-        corpus_vecs.join(
-            inc_vecs.select(
-                F.col(id_col).alias("__inc_id"), F.col(vec_col).alias("__qv")
+    hit_reps = (
+        cand_vecs.join(
+            rep_vecs.select(
+                F.col(id_col).alias("__rep_id"), F.col(vec_col).alias("__qv")
             ),
-            "__inc_id",
+            "__rep_id",
         )
         .withColumn("__cos", cosine_fold(F.col("__qv"), F.col("__cv"), dim))
         .filter(F.col("__cos") >= threshold)
-        .select(F.col("__inc_id").alias(id_col))
+        .select(F.col("__rep_id").alias("__rep"))
         .distinct()
     )
 
-    l = inc_buckets.select(
+    l = rep_buckets.select(
         F.col(id_col).alias("__id_a"), "tbl", "bucket"
     )
-    r = inc_buckets.select(
+    r = rep_buckets.select(
         F.col(id_col).alias("__id_b"), "tbl", "bucket"
     )
     within = (
@@ -260,20 +284,30 @@ def novel_against_embedding_index(
         .select("__id_a", "__id_b")
         .distinct()
     )
-    va = inc_vecs.select(F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__av"))
-    vb = inc_vecs.select(F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__bv"))
-    dominated = (
+    va = rep_vecs.select(F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__av"))
+    vb = rep_vecs.select(F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__bv"))
+    dominated_reps = (
         within.join(va, "__id_a")
         .join(vb, "__id_b")
         .withColumn("__cos", cosine_fold(F.col("__av"), F.col("__bv"), dim))
         .filter(F.col("__cos") >= threshold)
-        .select(F.col("__id_b").alias(id_col))
+        .select(F.col("__id_b").alias("__rep"))
         .distinct()
     )
 
-    dropped = hit.unionByName(dominated).distinct()
+    # dropped ids: every member of a hit/dominated rep group, plus every
+    # non-representative member (dominated by its group min at cos=1)
+    dropped_reps = hit_reps.unionByName(dominated_reps).distinct()
+    dropped = (
+        members.join(dropped_reps, "__rep", "left_semi")
+        .select(id_col)
+        .unionByName(
+            members.filter(F.col(id_col) != F.col("__rep")).select(id_col)
+        )
+        .distinct()
+    )
     survivors = increment.join(dropped, id_col, "left_anti")
-    survivor_rows = inc_buckets.join(dropped, id_col, "left_anti")
+    survivor_rows = rep_buckets.join(dropped, id_col, "left_anti")
     return survivors, survivor_rows
 
 
