@@ -810,11 +810,24 @@ def ngram_jaccard_prefix_pairs(
     result stays the exact thresholded pair set — verification re-ranks
     candidates on the full stored arrays (array_intersect, JVM-side).
 
-    Cost: one extra df aggregation + one per-doc window (partitions are
-    single documents' shingle sets, bounded by doc length) versus a
-    candidate join shrunk from every shared shingle to shared RARE
-    prefixes; at high thresholds the candidate set approaches the true
-    pair set.
+    Cost: one extra df aggregation + one per-doc rarity sort (documents'
+    shingle sets, bounded by doc length) versus a candidate join shrunk
+    from every shared shingle to shared RARE prefixes; at high thresholds
+    the candidate set approaches the true pair set.
+
+    Verification is positional (Xiao et al. WWW 2008 §5, lifted to set
+    algebra): each document's shingles are stored ONCE as an array in the
+    global rarity order, and a candidate pair intersects only the two
+    SUFFIX slices after its last surviving prefix match. This is exact —
+    positions along the one total order are monotone in both documents,
+    so any shared shingle ordered before the pair's last surviving prefix
+    match is itself inside both prefixes, before that match, and already
+    counted by ``prefix_overlap`` (positional-filter drops are a
+    contiguous tail: the capacity bound decreases monotonically along the
+    shared sequence). Hence ``n_shared = prefix_overlap +
+    |A[i+1:] ∩ B[j+1:]|`` with (i, j) the last surviving positions — and
+    the verify joins ship suffix slices instead of whole shingle arrays,
+    roughly halving the dominant at-scale shuffle at t=0.5.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     # Checkpoint BEFORE the emptiness filter: a filter on the raw
@@ -834,7 +847,23 @@ def ngram_jaccard_prefix_pairs(
         id_col, F.size("hs").alias("set_size"), F.explode("hs").alias("h")
     )
     dfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("h"))
+    # One shuffle by id builds the canonical representation: each doc's
+    # shingles as ONE array in the global rarity order ((df asc, h asc) —
+    # array_sort on the struct is exactly the old window's sort keys).
+    # Prefixes posexplode off the head of this array (no separate window
+    # pass) and verification slices its tail.
+    ordered = (
+        exploded.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "h"))),
+                lambda x: x["h"],
+            ).alias("arr")
+        )
+        .select(F.col(id_col), "arr", F.size("arr").alias("set_size"))
+        .transform(bounded_persist)
+    )
     # ceil() on FP products must not round an exactly-integral bound UP
     # (t*|s| = k computed as k+1e-16 would shorten the prefix / raise the
     # required overlap by 1 and prune true boundary pairs): subtract an
@@ -844,11 +873,12 @@ def ngram_jaccard_prefix_pairs(
         - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
         + 1
     )
-    prefixes = (
-        exploded.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select(id_col, "h", "rn", "set_size")
+    prefixes = ordered.select(
+        F.col(id_col),
+        "set_size",
+        F.posexplode(F.slice("arr", 1, prefix_len.cast("int"))),
+    ).select(
+        id_col, F.col("col").alias("h"), (F.col("pos") + 1).alias("rn"), "set_size"
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     # PPJoin positional filter (Xiao et al. WWW 2008, lossless): a shared
@@ -920,20 +950,44 @@ def ngram_jaccard_prefix_pairs(
             )
             >= req_pair
         )
-        .select("id_a", "id_b")
-    )
-    ha = hashes.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = hashes.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
-    verified = (
-        cands.join(ha, "id_a")
-        .join(hb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_shared"),
-            F.size("hs_a").alias("size_a"),
-            F.size("hs_b").alias("size_b"),
+            "id_a", "id_b", "size_a", "size_b",
+            "prefix_overlap", "last_rn_a", "last_rn_b",
         )
+    )
+    # Positional verification on the rarity-ordered arrays: fetch each
+    # side's array once per pair but ship ONLY the suffix after the last
+    # surviving prefix position into the second (pair-cardinality) shuffle
+    # — the slice is projected BEFORE that exchange. last_rn == set_size
+    # yields an empty slice (fully-covered-by-prefix docs).
+    oa = ordered.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    ob = ordered.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    with_suff_a = cands.join(oa, "id_a").select(
+        "id_a", "id_b", "size_a", "size_b", "prefix_overlap", "last_rn_b",
+        F.slice(
+            "arr_a",
+            (F.col("last_rn_a") + 1).cast("int"),
+            (F.col("size_a") - F.col("last_rn_a")).cast("int"),
+        ).alias("suff_a"),
+    )
+    verified = with_suff_a.join(ob, "id_b").select(
+        "id_a",
+        "id_b",
+        (
+            F.col("prefix_overlap")
+            + F.size(
+                F.array_intersect(
+                    "suff_a",
+                    F.slice(
+                        "arr_b",
+                        (F.col("last_rn_b") + 1).cast("int"),
+                        (F.col("size_b") - F.col("last_rn_b")).cast("int"),
+                    ),
+                )
+            )
+        ).alias("n_shared"),
+        "size_a",
+        "size_b",
     )
     jaccard = F.col("n_shared") / (
         F.col("size_a") + F.col("size_b") - F.col("n_shared")

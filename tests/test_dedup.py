@@ -288,3 +288,28 @@ def test_prefix_filter_keeps_exact_boundary_pairs(spark):
         ).collect()
     }
     assert got == {(1, 2): (4, 0.5)}
+
+
+def test_prefix_join_single_shingle_docs_empty_suffix_slice(spark):
+    """Docs whose whole shingle set IS the prefix (|s|=1 → prefix_len=1 →
+    last_rn = set_size) verify through an EMPTY suffix slice: n_shared
+    must come entirely from prefix_overlap, and F.slice(arr, size+1, 0)
+    must not error. Pair (1,2): identical single shingle, J=1. Pair
+    (1,3)/(2,3): 1 shared of union 2 → J=0.5, exactly at threshold, where
+    doc 3 contributes a NON-empty suffix against an empty one."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),          # single 3-gram shingle
+            (2, "a b c"),          # identical → J(1,2)=1
+            (3, "a b c d"),        # shingles {abc, bcd} → J(1,3)=0.5
+            (4, "x y z"),          # disjoint single shingle
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.jaccard)
+        for r in D.ngram_jaccard_prefix_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): (1, 1.0), (1, 3): (1, 0.5), (2, 3): (1, 0.5)}
