@@ -46,35 +46,72 @@ from healthcare_etl_pipeline_spark.queries.registry import query
     GROUP BY l_returnflag, l_linestatus
     """,
     description="TPC-H Q1 pricing summary: scan-filter + 8-way hash agg. "
-    "Money sums aggregate as exact DECIMAL (TPC-H's declared type): at "
-    "sf10 (~10M rows/group) double summation is order-dependent at the "
-    "2dp rounding boundary, so Spark and any oracle legitimately differ "
-    "in the last cent — exact decimal arithmetic is scale-independent.",
+    "Money sums are EXACT (TPC-H semantics): at sf10 (~10M rows/group) "
+    "double summation is order-dependent at the 2dp rounding boundary, "
+    "so Spark and any oracle legitimately differ in the last cent. A "
+    "decimal SUM would be exact but leaves Spark's compact-long decimal "
+    "fast path (sum precision > 18 → per-row BigDecimal, measured ~4x "
+    "the whole query). Instead each money value is an exact scaled "
+    "INTEGER (2dp inputs → products exact at 4dp/6dp in int64) summed "
+    "as a SPLIT ACCUMULATOR — two long sums of (v div 1e6, v mod 1e6) — "
+    "then recombined in decimal over the 6 output rows. Per-row hi "
+    "≤ 1.1e5, so the long sums stay exact past 1e13 rows per group: "
+    "overflow-safe at 100 TB where plain long cents would wrap at sf100.",
     tags=("agg", "tpch"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(8,6)")
-    qty = F.col("l_quantity").cast("decimal(18,6)")
-    price = F.col("l_extendedprice").cast("decimal(18,6)")
-    disc = F.col("l_discount").cast("decimal(8,6)")
-    tax = F.col("l_tax").cast("decimal(8,6)")
-    disc_price = price * (one - disc)
-    return (
+    # exact scaled-integer per-row values (all inputs have <= 2dp)
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")  # 1e-2 units
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")  # 1e-2
+    dfac = F.round((1 - F.col("l_discount")) * 100).cast("long")  # percent
+    tfac = F.round((1 + F.col("l_tax")) * 100).cast("long")  # percent
+    disc_p = cents * dfac  # 1e-4 units, < 1e9
+    charge = disc_p * tfac  # 1e-6 units, < 1.1e11
+
+    M = 1_000_000
+
+    def split_sums(v, tag: str) -> list:
+        # hi/lo are exact: v < 2^53 so the double division's quotient
+        # cannot cross an integer boundary (1/M >> ulp); lo is pmod-safe.
+        return [
+            F.sum(F.floor(v / M).cast("long")).alias(f"hi_{tag}"),
+            F.sum(v % M).alias(f"lo_{tag}"),
+        ]
+
+    def recombine(tag: str, scale: int, dp: int):
+        total = F.col(f"hi_{tag}").cast("decimal(38,6)") * M + F.col(
+            f"lo_{tag}"
+        ).cast("decimal(38,6)")
+        return (
+            F.round(total / (10**scale), dp).cast("double").alias(tag)
+        )
+
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (one + tax)), 2)
-            .cast("double")
-            .alias("sum_charge"),
+            *split_sums(qty_c, "sum_qty"),
+            *split_sums(cents, "sum_base_price"),
+            *split_sums(disc_p, "sum_disc_price"),
+            *split_sums(charge, "sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        recombine("sum_qty", 2, 2),
+        recombine("sum_base_price", 2, 2),
+        recombine("sum_disc_price", 4, 2),
+        recombine("sum_charge", 6, 2),
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
     )
 
 
