@@ -91,8 +91,15 @@ _DUCK_ERRORS_CTE = """
 
 def _synth_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the encrypt/decrypt pandas UDFs downstream must not run on a
-    # single input split (small single-file scans arrive as one partition)
-    return td(spark, sf_dir, "customer").selectExpr(*_SYNTH_SPARK)
+    # single input split (small single-file scans arrive as one partition).
+    # Capped at 8-way: only ~6% of rows survive validate+consent into the
+    # crypto stage, so a full-parallelism fan pays more in task + Arrow
+    # handshakes than it returns (measured at sf0.1); at scale the input
+    # already has >= 8 splits and the cap is inert.
+    par = spark.sparkContext.defaultParallelism
+    return td(spark, sf_dir, "customer", target=min(8, par)).selectExpr(
+        *_SYNTH_SPARK
+    )
 
 
 @query(

@@ -48,26 +48,33 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+def spread(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
     """Widen a narrow scan to the cluster's parallelism before CPU-heavy
     per-row expressions (hash folds, minhash, pandas UDFs).
 
     A single small parquet file arrives as ONE input split, serializing the
     expensive expression on one core. The repartition is gated: when the
-    scan already has >= defaultParallelism partitions (any real multi-file
-    table, so any at-scale deployment), this is a no-op — no shuffle is
-    added at 100 TB; locally it costs one tiny shuffle of the raw rows and
-    buys cores× speedup on the compute stage.
+    scan already has >= target partitions (any real multi-file table, so
+    any at-scale deployment), this is a no-op — no shuffle is added at
+    100 TB; locally it costs one tiny shuffle of the raw rows and buys
+    cores× speedup on the compute stage.
+
+    ``target`` (default: defaultParallelism) lets LIGHT pandas-UDF stages
+    ask for fewer, larger Arrow batches: a 32-way fan of a few hundred
+    crypto rows pays more in task + Arrow-handshake overhead than the
+    parallelism returns.
     """
-    target = spark.sparkContext.defaultParallelism
+    target = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
 
-def td(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def td(
+    spark: SparkSession, sf_dir: str, name: str, target: int | None = None
+) -> DataFrame:
     """``t`` + ``spread``: the loader for compute-bound queries."""
-    return spread(t(spark, sf_dir, name), spark)
+    return spread(t(spark, sf_dir, name), spark, target)
 
 
 # Dimensions whose cardinality is FIXED by the schema (region: 5 rows,
