@@ -46,6 +46,28 @@ def hash_bucket_sql(expr: str, *, salt: int = 0) -> str:
     )
 
 
+def pair_bucket(
+    a: Column | str, b: Column | str, *, salt: int = 0
+) -> Column:
+    """Deterministic bucket for an ID PAIR: mixes the first id, adds the
+    second, reduces mod p then mod BUCKETS. Pure function of the two ids —
+    the engine-portable way to sample pair-shaped outputs (near-duplicate
+    listings) whose full cardinality is Θ(true pairs)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    mixed = (ca.cast("long") % MOD) * (MIX_K % MOD) + (cb.cast("long") % MOD) + F.lit(salt)
+    return (mixed % MOD % BUCKETS).cast("int")
+
+
+def pair_bucket_sql(expr_a: str, expr_b: str, *, salt: int = 0) -> str:
+    """The identical pair-bucket arithmetic in portable SQL."""
+    return (
+        f"CAST((((CAST({expr_a} AS BIGINT) % {MOD}) * ({MIX_K % MOD})"
+        f" + (CAST({expr_b} AS BIGINT) % {MOD}) + {salt})"
+        f" % {MOD}) % {BUCKETS} AS INTEGER)"
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from healthcare_etl_pipeline_spark.operators.cache import bounded_persist
+from healthcare_etl_pipeline_spark.operators.sampling import pair_bucket
 
 
 def dot_fold(a: Column, b: Column, dim: int) -> Column:
@@ -424,6 +425,7 @@ def embedding_dedup_lsh(
     exact_fold: bool = True,
     carry_vectors: bool = False,
     collapse_exact: bool = True,
+    pair_sample_mod: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs behind a banded-LSH prefilter — the
     production form of ``cosine_near_dup_pairs``.
@@ -462,6 +464,19 @@ def embedding_dedup_lsh(
     candidate pairs × vector payload through the re-attach shuffle = disk
     exhaustion), while collapsed it runs LSH on the distinct vectors and
     the expansion emits exactly the true output rows.
+
+    ``pair_sample_mod``: keep only pairs whose portable pair-bucket
+    (:func:`~healthcare_etl_pipeline_spark.operators.sampling.pair_bucket`)
+    is ≡ 0 mod this value — the bounded DIAGNOSTIC form of pair listing.
+    Full enumeration is Θ(true pairs), quadratic in duplicate density by
+    definition (the sf100 rung measured ~1e9 true pairs exhausting spill
+    space at 1000-way copy clusters, while the survivors/index forms stay
+    linear); the sampled listing is a pure function of the two ids, so it
+    is exactly reproducible by an oracle, unbiased across pairs, and the
+    filter lands BEFORE the pair-dedup exchange — candidate emission
+    streams through it, cutting the shuffle and the output by the same
+    factor. The dedup DECISION paths (survivors, persisted index) remain
+    the production form; this bounds what a human or evaluator can pull.
     """
     if collapse_exact:
         w_vec = Window.partitionBy(vec_col)
@@ -510,7 +525,7 @@ def embedding_dedup_lsh(
         mb = members.select(
             F.col("__rep").alias("dup_rep"), F.col(id_col).alias("__idb")
         )
-        return (
+        expanded = (
             all_rep_pairs.join(ma, "keep_rep")
             .join(mb, "dup_rep")
             .filter(F.col("__ida") != F.col("__idb"))
@@ -519,8 +534,14 @@ def embedding_dedup_lsh(
                 F.greatest("__ida", "__idb").alias("dup_id"),
                 "cos_sim",
             )
-            .dropDuplicates(["keep_id", "dup_id"])
         )
+        if pair_sample_mod:
+            # applied in the expansion stage itself: the m² id-level rows
+            # die here, before the pair-dedup exchange
+            expanded = expanded.filter(
+                pair_bucket("keep_id", "dup_id") % pair_sample_mod == 0
+            )
+        return expanded.dropDuplicates(["keep_id", "dup_id"])
     if planes == "auto":
         planes = auto_planes(df.count())
     sig_udf = make_lsh_signatures_udf(planes=planes, tables=tables, dim=dim, seed=seed)
@@ -549,8 +570,12 @@ def embedding_dedup_lsh(
                 F.col(f"r.{id_col}").alias("dup_id"),
                 F.col(f"r.{vec_col}").alias("b_vec"),
             )
-            .dropDuplicates(["keep_id", "dup_id"])
         )
+        if pair_sample_mod:
+            candidates = candidates.filter(
+                pair_bucket("keep_id", "dup_id") % pair_sample_mod == 0
+            )
+        candidates = candidates.dropDuplicates(["keep_id", "dup_id"])
     else:
         # Skinny band join: only (id, table, bucket) triples shuffle; the
         # deduped candidate pairs re-attach vectors via two equi-joins —
@@ -575,8 +600,12 @@ def embedding_dedup_lsh(
                 F.col(f"l.{id_col}").alias("keep_id"),
                 F.col(f"r.{id_col}").alias("dup_id"),
             )
-            .dropDuplicates(["keep_id", "dup_id"])
         )
+        if pair_sample_mod:
+            pair_ids = pair_ids.filter(
+                pair_bucket("keep_id", "dup_id") % pair_sample_mod == 0
+            )
+        pair_ids = pair_ids.dropDuplicates(["keep_id", "dup_id"])
         vecs = base.select(F.col(id_col), F.col(vec_col))
         candidates = pair_ids.join(
             vecs.select(

@@ -3512,6 +3512,47 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pair_sample_pred(mod: int) -> str:
+    from healthcare_etl_pipeline_spark.operators.sampling import pair_bucket_sql
+
+    return f"{pair_bucket_sql('keep_id', 'dup_id')} % {mod} = 0"
+
+
+@query(
+    "dedup_embedding_pair_sample",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS keep_id, embedding AS qv FROM embeddings),
+         b AS (SELECT vec_id AS dup_id, embedding AS cv FROM embeddings)
+    SELECT keep_id, dup_id, round({_DUCK_COS}, 6) AS cos_sim
+    FROM a, b
+    WHERE keep_id < dup_id AND {_DUCK_COS} >= 0.35
+      AND {_duck_pair_sample_pred(5)}
+    """,
+    description="BOUNDED near-dup pair listing: dedup_embedding_lsh_auto "
+    "plus a portable pair-bucket sample (keep ≡0 mod 5). Pair "
+    "enumeration is Θ(true pairs) — quadratic in duplicate density by "
+    "definition; the sf100 rung measured ~1e9 true pairs at 1000-way "
+    "copy clusters exhausting shuffle-spill space. The sampled listing "
+    "is the production diagnostic at that density: a pure function of "
+    "the two ids (engine-reproducible, unbiased across pairs) filtered "
+    "in the expansion stage BEFORE the pair-dedup exchange, so shuffle "
+    "and output shrink by the sample factor while the dedup DECISION "
+    "stays with the linear survivors/index forms.",
+    tags=("dedup", "similarity", "lsh", "sample", "scale", "llm"),
+)
+def dedup_embedding_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = td(spark, sf_dir, "embeddings")
+    return S.embedding_dedup_lsh(
+        emb,
+        dim=64,
+        threshold=0.35,
+        planes="auto",
+        tables=16,
+        seed=42,
+        pair_sample_mod=5,
+    )
+
+
 _DUCK_TOKENS_SAMPLE_CTE = """
 toks AS (
   SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk

@@ -504,3 +504,49 @@ def test_embedding_dedup_lsh_collapse_exact_equivalence(spark):
     assert collapsed == direct
     # duplicates exist, so within-cluster (cos=1.0) pairs must be present
     assert any(c == 1.0 for _, _, c in collapsed)
+
+
+def test_embedding_dedup_pair_sample_is_exact_subset(spark):
+    """pair_sample_mod output == full output filtered by the same portable
+    pair-bucket predicate — across BOTH the collapse-expansion path and
+    the direct path, and non-trivially (some pairs kept, some dropped)."""
+    import numpy as np
+
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        BUCKETS, MIX_K, pair_bucket,
+    )
+    from healthcare_etl_pipeline_spark.operators.text import MOD
+    from healthcare_etl_pipeline_spark.queries.helpers import spread
+
+    rng = np.random.default_rng(7)
+    base = [[float(x) for x in rng.standard_normal(64)] for _ in range(30)]
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        for _ in range(1 + (i % 3)):  # duplicate clusters feed the expansion
+            rows.append((vid, v))
+            vid += 1
+    df = spread(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), spark
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+    for collapse in (True, False):
+        kw = dict(
+            dim=64, threshold=0.2, planes=2, tables=16, seed=42,
+            collapse_exact=collapse,
+        )
+        full = {
+            (r.keep_id, r.dup_id, r.cos_sim)
+            for r in S.embedding_dedup_lsh(df, **kw).collect()
+        }
+        sampled = {
+            (r.keep_id, r.dup_id, r.cos_sim)
+            for r in S.embedding_dedup_lsh(df, pair_sample_mod=3, **kw).collect()
+        }
+
+        def bucket(a, b):
+            return ((a % MOD) * (MIX_K % MOD) + (b % MOD)) % MOD % BUCKETS
+
+        expect = {(a, b, c) for (a, b, c) in full if bucket(a, b) % 3 == 0}
+        assert sampled == expect, f"collapse={collapse}"
+        assert 0 < len(sampled) < len(full), f"collapse={collapse}"
