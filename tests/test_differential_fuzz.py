@@ -714,3 +714,146 @@ def test_subquery_predicates_agree(spark, duck, q):
         f"row sets differ ({len(srows)} vs {len(drows)})"
         f"\nAST: {q}\nSQL: {_duck_subq_sql(q)}"
     )
+
+
+# -- property 6: DISTINCT aggregates x FILTER x ROLLUP/CUBE ---------------------
+# (Spark plans multi-DISTINCT aggregates through an Expand rewrite — one
+# projected copy of the input per distinct group — and ROLLUP/CUBE through a
+# second Expand with grouping-id bits; conditional aggregates lower FILTER to
+# CASE inputs. Three pieces of genuinely different machinery from DuckDB's
+# direct hash aggregation, composed randomly here. A nullable group key
+# (nullif) forces the grouping(expr) disambiguation between "NULL because
+# rolled up" and "NULL because the key is NULL".)
+
+GROUP_EXPRS = ["flag", "status", "nullable_key"]
+
+AGG6 = [
+    "count_star",
+    "count_distinct_supp",
+    "count_distinct_part",
+    "sum_distinct_qty",
+    "count_filter_r",
+    "sum_filter_price",
+    "avg_disc",
+]
+
+agg6_ast = st.fixed_dictionaries(
+    {
+        "groups": st.lists(
+            st.sampled_from(GROUP_EXPRS), min_size=1, max_size=2, unique=True
+        ),
+        "mode": st.sampled_from(["plain", "rollup", "cube"]),
+        "aggs": st.lists(
+            st.sampled_from(AGG6), min_size=1, max_size=4, unique=True
+        ),
+        "qty_cap": st.sampled_from([None, 10, 30, 49]),
+    }
+)
+
+
+def _g6_spark_expr(name):
+    if name == "flag":
+        return F.col("l_returnflag")
+    if name == "status":
+        return F.col("l_linestatus")
+    e = F.pmod(F.col("l_suppkey"), F.lit(7)).cast("long")
+    return F.when(e == 3, F.lit(None).cast("long")).otherwise(e)
+
+
+def _g6_duck_expr(name):
+    if name == "flag":
+        return "l_returnflag"
+    if name == "status":
+        return "l_linestatus"
+    return f"nullif(CAST(l_suppkey % 7 AS BIGINT), 3)"
+
+
+_AGG6_SPARK = {
+    "count_star": lambda: F.count(F.lit(1)),
+    "count_distinct_supp": lambda: F.countDistinct("l_suppkey"),
+    "count_distinct_part": lambda: F.countDistinct("l_partkey"),
+    "sum_distinct_qty": lambda: F.sum_distinct(F.col("l_quantity")),
+    "count_filter_r": lambda: F.count(
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+    ),
+    "sum_filter_price": lambda: F.sum(
+        F.when(F.col("l_quantity") < 25, F.col("l_extendedprice"))
+    ),
+    "avg_disc": lambda: F.avg("l_discount"),
+}
+
+_AGG6_DUCK = {
+    "count_star": "count(*)",
+    "count_distinct_supp": "count(DISTINCT l_suppkey)",
+    "count_distinct_part": "count(DISTINCT l_partkey)",
+    "sum_distinct_qty": "sum(DISTINCT l_quantity)",
+    "count_filter_r": "count(*) FILTER (l_returnflag = 'R')",
+    "sum_filter_price": "sum(l_extendedprice) FILTER (l_quantity < 25)",
+    "avg_disc": "avg(l_discount)",
+}
+
+
+def _spark_agg6(spark, q):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    if q["qty_cap"] is not None:
+        df = df.filter(F.col("l_quantity") <= q["qty_cap"])
+    gcols = [_g6_spark_expr(g).alias(f"g_{g}") for g in q["groups"]]
+    base = df.select(
+        *gcols, "l_suppkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_extendedprice", "l_discount",
+    )
+    names = [f"g_{g}" for g in q["groups"]]
+    if q["mode"] == "rollup":
+        grouped = base.rollup(*names)
+    elif q["mode"] == "cube":
+        grouped = base.cube(*names)
+    else:
+        grouped = base.groupBy(*names)
+    sels = [_AGG6_SPARK[a]().alias(a) for a in q["aggs"]]
+    if q["mode"] != "plain":
+        # grouping() bits disambiguate rolled-up NULLs from NULL keys;
+        # they are part of the row identity, so they sit with the keys.
+        sels = [
+            F.grouping(n).cast("long").alias(f"is_rollup_{n}") for n in names
+        ] + sels
+    return grouped.agg(*sels)
+
+
+def _duck_agg6_sql(q):
+    exprs = [_g6_duck_expr(g) for g in q["groups"]]
+    names = [f"g_{g}" for g in q["groups"]]
+    sels = [f"{e} AS {n}" for e, n in zip(exprs, names)]
+    if q["mode"] != "plain":
+        # GROUPING needs the raw grouping expression (aliases don't bind)
+        sels += [
+            f"CAST(GROUPING({e}) AS BIGINT) AS is_rollup_{n}"
+            for e, n in zip(exprs, names)
+        ]
+    sels += [f"{_AGG6_DUCK[a]} AS {a}" for a in q["aggs"]]
+    where = (
+        f" WHERE l_quantity <= {q['qty_cap']}" if q["qty_cap"] is not None else ""
+    )
+    by = ", ".join(exprs)
+    group = {
+        "plain": f" GROUP BY {by}",
+        "rollup": f" GROUP BY ROLLUP ({by})",
+        "cube": f" GROUP BY CUBE ({by})",
+    }[q["mode"]]
+    return f"SELECT {', '.join(sels)} FROM lineitem{where}{group}"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=agg6_ast)
+def test_distinct_filter_rollup_aggregates_agree(spark, duck, q):
+    n_key = len(q["groups"]) * (2 if q["mode"] != "plain" else 1)
+    sdf = _spark_agg6(spark, q)
+    # align column order: spark emits keys implicitly first
+    srows = [tuple(r) for r in sdf.collect()]
+    drows = [tuple(r) for r in duck.execute(_duck_agg6_sql(q)).fetchall()]
+    ok, why = _agree(_normalize(srows, n_key), _normalize(drows, n_key))
+    assert ok, f"{why}\nAST: {q}\nSQL: {_duck_agg6_sql(q)}"
