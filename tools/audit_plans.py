@@ -75,6 +75,7 @@ EXPECTED_PYTHON = {
     "ann_ivf_cosine",   # einsum cosine for cell assignment + re-rank
     "dedup_embedding_lsh",  # numpy matmul LSH signatures (exact-fold re-rank)
     "dedup_embedding_lsh_auto",  # same signature kernel, auto-sized planes
+    "dedup_embedding_pair_sample",  # same signature kernel, sampled pairs
     "bpe_encode_docs",      # Arrow-batched greedy rank-priority encode UDF
     "kmeans_embeddings",    # Arrow-batched centroid-assignment kernel
     "semantic_dedup_embeddings",  # k-means partition (same Arrow kernel)
