@@ -25,6 +25,32 @@ from pyspark.sql.window import Window
 from healthcare_etl_pipeline_spark.queries.helpers import dim_hint, t
 from healthcare_etl_pipeline_spark.queries.registry import query
 
+_SPLIT_M = 1_000_000
+
+
+def split_sums(v, tag: str) -> list:
+    """EXACT distributed sum of a scaled-integer money expression as two
+    long accumulators: sum(v div 1e6) and sum(v mod 1e6). Spark's decimal
+    SUM beyond precision 18 allocates BigDecimal per row (~4x a whole
+    scan-agg query, measured); plain long cents wrap around sf100. The
+    split keeps per-row hi <= ~1e5, so the long sums stay exact past 1e13
+    rows per group. hi/lo are exact: v < 2^53 so the double division's
+    quotient cannot cross an integer boundary (1/M >> ulp); mod of
+    non-negative longs is closed."""
+    return [
+        F.sum(F.floor(v / _SPLIT_M).cast("long")).alias(f"hi_{tag}"),
+        F.sum(v % _SPLIT_M).alias(f"lo_{tag}"),
+    ]
+
+
+def recombine(tag: str, scale: int, dp: int):
+    """Recombine a :func:`split_sums` pair into round(value, dp) as double
+    — decimal arithmetic over the (few) output rows only."""
+    total = F.col(f"hi_{tag}").cast("decimal(38,6)") * _SPLIT_M + F.col(
+        f"lo_{tag}"
+    ).cast("decimal(38,6)")
+    return F.round(total / (10**scale), dp).cast("double").alias(tag)
+
 
 @query(
     "q1_pricing_summary",
@@ -68,24 +94,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfac = F.round((1 + F.col("l_tax")) * 100).cast("long")  # percent
     disc_p = cents * dfac  # 1e-4 units, < 1e9
     charge = disc_p * tfac  # 1e-6 units, < 1.1e11
-
-    M = 1_000_000
-
-    def split_sums(v, tag: str) -> list:
-        # hi/lo are exact: v < 2^53 so the double division's quotient
-        # cannot cross an integer boundary (1/M >> ulp); lo is pmod-safe.
-        return [
-            F.sum(F.floor(v / M).cast("long")).alias(f"hi_{tag}"),
-            F.sum(v % M).alias(f"lo_{tag}"),
-        ]
-
-    def recombine(tag: str, scale: int, dp: int):
-        total = F.col(f"hi_{tag}").cast("decimal(38,6)") * M + F.col(
-            f"lo_{tag}"
-        ).cast("decimal(38,6)")
-        return (
-            F.round(total / (10**scale), dp).cast("double").alias(tag)
-        )
 
     agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
@@ -198,18 +206,27 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
-    description="TPC-H Q6: pure scan-filter-agg; every predicate pushes to parquet.",
+    description="TPC-H Q6: pure scan-filter-agg; every predicate pushes to "
+    "parquet. Revenue is an EXACT split-accumulator sum (the sf100 value "
+    "differential caught the double sum differing from the oracle in the "
+    "last cent over ~12M matching rows — same class as Q1).",
     tags=("filter", "agg", "pushdown", "tpch"),
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    # price(2dp) * discount(2dp) is exact at 4dp in int64 (< 1e9 per row)
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -217,7 +234,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(*split_sums(rev, "revenue"))
+        .select(recombine("revenue", 4, 2))
     )
 
 

@@ -66,6 +66,13 @@ def main() -> int:
 
     spark = get_spark()
     con = duckdb.connect()
+    # At rung scales (sf100: 26 GB parquet) DuckDB's default memory limit
+    # (~80% of RAM) plus the Spark JVM heap exceeds the box — the kernel
+    # OOM-kills the JVM mid-drive (observed round 7). Cap DuckDB when the
+    # drive co-hosts a large Spark heap.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
