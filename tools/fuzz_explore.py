@@ -125,6 +125,18 @@ def _check_subq(spark, duck, q) -> str | None:
     )
 
 
+def _check_agg6(spark, duck, q) -> str | None:
+    n_key = len(q["groups"]) * (2 if q["mode"] != "plain" else 1)
+    srows = [tuple(r) for r in tf._spark_agg6(spark, q).collect()]
+    drows = [tuple(r) for r in duck.execute(tf._duck_agg6_sql(q)).fetchall()]
+    ok, why = tf._agree(
+        tf._normalize(srows, n_key), tf._normalize(drows, n_key)
+    )
+    if ok:
+        return None
+    return f"{why}\nAST: {q}\nSQL: {tf._duck_agg6_sql(q)}"
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -137,6 +149,7 @@ def main() -> int:
         ("join+win+agg", tf.jwa_ast, _check_jwa),
         ("set-ops", tf.setop_ast, _check_setop),
         ("subqueries", tf.subq_ast, _check_subq),
+        ("distinct+filter+rollup", tf.agg6_ast, _check_agg6),
     ]
     failures = 0
     for name, strat, check in props:
