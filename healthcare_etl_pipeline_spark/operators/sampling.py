@@ -28,6 +28,20 @@ from healthcare_etl_pipeline_spark.operators.text import MOD
 # Knuth's multiplicative constant (golden-ratio based); any odd constant
 # works — it only needs to decorrelate consecutive ids.
 MIX_K = 2654435761
+# Second, independent odd constant (xxHash PRIME32_2) for the pair mixer:
+# mixing only the FIRST id leaves bucket(a, b+1) = bucket(a, b) + 1 (mod
+# rollovers), so consecutive-id copy clusters sample a fixed stride-residue
+# class. Multiplying BOTH ids (each product reduced mod p before the sum,
+# so every intermediate stays < 1e18 << 2^63) removes the unit stride —
+# but ANY affine mix of b still has a constant stride (K2 mod p mod
+# BUCKETS), so the affine combine is followed by a CUBING scramble:
+# x -> x^3 mod p is a bijection of Z_p because gcd(3, p-1) = 1 for
+# p = 1e9+7 (p-1 = 2 * 500000003), non-linear in both ids, and keeps the
+# marginal rate exact (a bijection maps the uniform keyspace to itself;
+# bucket classes stay balanced to the same p-mod-BUCKETS floor as the
+# single-id mixer). Intermediates: x < p ~= 1e9, so x*x < 1e18 < 2^63,
+# reduced mod p before the final multiply.
+MIX_K2 = 2246822519
 BUCKETS = 10_000
 
 
@@ -49,23 +63,38 @@ def hash_bucket_sql(expr: str, *, salt: int = 0) -> str:
 def pair_bucket(
     a: Column | str, b: Column | str, *, salt: int = 0
 ) -> Column:
-    """Deterministic bucket for an ID PAIR: mixes the first id, adds the
-    second, reduces mod p then mod BUCKETS. Pure function of the two ids —
-    the engine-portable way to sample pair-shaped outputs (near-duplicate
-    listings) whose full cardinality is Θ(true pairs)."""
+    """Deterministic bucket for an ID PAIR: multiplicatively mixes BOTH
+    ids (independent odd constants, each product reduced mod p before the
+    sum), then scrambles the affine combine through the x^3 mod p
+    bijection before reducing mod BUCKETS. Pure function of the two
+    ids — the engine-portable way to sample pair-shaped outputs
+    (near-duplicate listings) whose full cardinality is Θ(true pairs).
+    The marginal keep rate of ``pair_bucket % mod == 0`` is exactly
+    1/mod over the keyspace (the cube is a bijection of Z_p); the
+    non-linear scramble leaves no bucket stride in either id, so the
+    kept set is decorrelated from id arithmetic within consecutive-id
+    copy clusters."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    mixed = (ca.cast("long") % MOD) * (MIX_K % MOD) + (cb.cast("long") % MOD) + F.lit(salt)
-    return (mixed % MOD % BUCKETS).cast("int")
+    mixed = (
+        ((ca.cast("long") % MOD) * (MIX_K % MOD)) % MOD
+        + ((cb.cast("long") % MOD) * (MIX_K2 % MOD)) % MOD
+        + F.lit(salt)
+    ) % MOD
+    cubed = (mixed * mixed % MOD) * mixed % MOD
+    return (cubed % BUCKETS).cast("int")
 
 
 def pair_bucket_sql(expr_a: str, expr_b: str, *, salt: int = 0) -> str:
-    """The identical pair-bucket arithmetic in portable SQL."""
-    return (
-        f"CAST((((CAST({expr_a} AS BIGINT) % {MOD}) * ({MIX_K % MOD})"
-        f" + (CAST({expr_b} AS BIGINT) % {MOD}) + {salt})"
-        f" % {MOD}) % {BUCKETS} AS INTEGER)"
+    """The identical pair-bucket arithmetic in portable SQL (the affine
+    combine is interpolated three times for the inline cube — verbose but
+    expression-positional, so it drops into any WHERE clause)."""
+    m = (
+        f"((((CAST({expr_a} AS BIGINT) % {MOD}) * ({MIX_K % MOD}) % {MOD})"
+        f" + ((CAST({expr_b} AS BIGINT) % {MOD}) * ({MIX_K2 % MOD}) % {MOD})"
+        f" + {salt}) % {MOD})"
     )
+    return f"CAST(({m} * {m} % {MOD}) * {m} % {MOD} % {BUCKETS} AS INTEGER)"
 
 
 def hash_split(

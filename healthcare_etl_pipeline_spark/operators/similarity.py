@@ -472,7 +472,9 @@ def embedding_dedup_lsh(
     definition (the sf100 rung measured ~1e9 true pairs exhausting spill
     space at 1000-way copy clusters, while the survivors/index forms stay
     linear); the sampled listing is a pure function of the two ids, so it
-    is exactly reproducible by an oracle, unbiased across pairs, and the
+    is exactly reproducible by an oracle (exact marginal rate 1/mod, with
+    BOTH ids multiplicatively mixed so the kept set is decorrelated from
+    id arithmetic within consecutive-id copy clusters), and the
     filter lands BEFORE the pair-dedup exchange — candidate emission
     streams through it, cutting the shuffle and the output by the same
     factor. The dedup DECISION paths (survivors, persisted index) remain

@@ -3534,7 +3534,8 @@ def _duck_pair_sample_pred(mod: int) -> str:
     "definition; the sf100 rung measured ~1e9 true pairs at 1000-way "
     "copy clusters exhausting shuffle-spill space. The sampled listing "
     "is the production diagnostic at that density: a pure function of "
-    "the two ids (engine-reproducible, unbiased across pairs) filtered "
+    "the two ids (engine-reproducible; exact 1/mod marginal rate with "
+    "both ids multiplicatively mixed) filtered "
     "in the expansion stage BEFORE the pair-dedup exchange, so shuffle "
     "and output shrink by the sample factor while the dedup DECISION "
     "stays with the linear survivors/index forms.",

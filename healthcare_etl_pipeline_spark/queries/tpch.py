@@ -33,8 +33,10 @@ def split_sums(v, tag: str) -> list:
     long accumulators: sum(v div 1e6) and sum(v mod 1e6). Spark's decimal
     SUM beyond precision 18 allocates BigDecimal per row (~4x a whole
     scan-agg query, measured); plain long cents wrap around sf100. The
-    split keeps per-row hi <= ~1e5, so the long sums stay exact past 1e13
-    rows per group. hi/lo are exact: v < 2^53 so the double division's
+    split keeps per-row hi <= ~1e5 and lo <= 1e6-1, so the long sums stay
+    exact to ~9e12 rows per group (the lo accumulator binds: 2^63 / (1e6-1)
+    ~= 9.2e12; ~6 orders of magnitude past sf100's ~1.5e8 rows/group).
+    hi/lo are exact: v < 2^53 so the double division's
     quotient cannot cross an integer boundary (1/M >> ulp); mod of
     non-negative longs is closed."""
     return [
@@ -81,7 +83,8 @@ def recombine(tag: str, scale: int, dp: int):
     "INTEGER (2dp inputs → products exact at 4dp/6dp in int64) summed "
     "as a SPLIT ACCUMULATOR — two long sums of (v div 1e6, v mod 1e6) — "
     "then recombined in decimal over the 6 output rows. Per-row hi "
-    "≤ 1.1e5, so the long sums stay exact past 1e13 rows per group: "
+    "≤ 1.1e5 and lo ≤ 1e6-1, so the long sums stay exact to ~9e12 rows "
+    "per group (lo binds): "
     "overflow-safe at 100 TB where plain long cents would wrap at sf100.",
     tags=("agg", "tpch"),
 )

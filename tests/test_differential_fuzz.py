@@ -765,7 +765,7 @@ def _g6_duck_expr(name):
         return "l_returnflag"
     if name == "status":
         return "l_linestatus"
-    return f"nullif(CAST(l_suppkey % 7 AS BIGINT), 3)"
+    return "nullif(CAST(l_suppkey % 7 AS BIGINT), 3)"
 
 
 _AGG6_SPARK = {

@@ -46,6 +46,49 @@ def test_hash_sample_nested_fractions(spark):
     assert alt != s10
 
 
+def test_pair_bucket_mixes_both_ids(spark):
+    """ADVICE r7: bucket(a, b+1) must NOT be bucket(a, b)+1 — with only the
+    first id mixed, a fixed keep_id's kept dup_ids form a stride-residue
+    class, correlating the pair sample with id arithmetic inside
+    consecutive-id copy clusters. Assert (1) the second-id increment
+    produces non-constant bucket deltas, (2) the Spark column and the
+    portable SQL produce identical buckets, and (3) a keep≡0-mod-5 sample
+    over a consecutive-id block keeps close to the 1/5 marginal rate for
+    EVERY fixed first id (the old mixer kept exactly-periodic residues)."""
+    import duckdb
+
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        pair_bucket,
+        pair_bucket_sql,
+    )
+
+    pairs = [(a, b) for a in range(5) for b in range(100)]
+    df = spark.createDataFrame(pairs, ["a", "b"]).withColumn(
+        "bk", pair_bucket("a", "b")
+    )
+    got = {(r.a, r.b): r.bk for r in df.collect()}
+
+    # (1) non-constant second-id stride: among b -> b+1 deltas for fixed a,
+    # there must be many distinct deltas (old mixer: always +1 mod rollover)
+    deltas = {
+        (got[(a, b + 1)] - got[(a, b)]) for a in range(5) for b in range(99)
+    }
+    assert len(deltas) > 10, f"second id not mixed: deltas={sorted(deltas)[:5]}"
+
+    # (2) SQL parity with the DuckDB oracle arithmetic
+    sql = pair_bucket_sql("a", "b")
+    oracle = duckdb.sql(
+        f"SELECT a, b, {sql} AS bk FROM (SELECT unnest(range(5)) a) "
+        "CROSS JOIN (SELECT unnest(range(100)) b)"
+    ).fetchall()
+    assert {(a, b): bk for a, b, bk in oracle} == got
+
+    # (3) near-marginal keep rate per fixed first id over consecutive b
+    for a in range(5):
+        kept = sum(1 for b in range(100) if got[(a, b)] % 5 == 0)
+        assert 8 <= kept <= 32, f"a={a}: kept {kept}/100 at nominal 20"
+
+
 def test_hash_bucket_range(spark):
     rows = _ids(spark, 200).select(hash_bucket("doc_id").alias("b")).collect()
     assert all(0 <= r.b < 10_000 for r in rows)

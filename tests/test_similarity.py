@@ -513,7 +513,7 @@ def test_embedding_dedup_pair_sample_is_exact_subset(spark):
     import numpy as np
 
     from healthcare_etl_pipeline_spark.operators.sampling import (
-        BUCKETS, MIX_K, pair_bucket,
+        BUCKETS, MIX_K, MIX_K2, pair_bucket,
     )
     from healthcare_etl_pipeline_spark.operators.text import MOD
     from healthcare_etl_pipeline_spark.queries.helpers import spread
@@ -545,7 +545,11 @@ def test_embedding_dedup_pair_sample_is_exact_subset(spark):
         }
 
         def bucket(a, b):
-            return ((a % MOD) * (MIX_K % MOD) + (b % MOD)) % MOD % BUCKETS
+            m = (
+                (a % MOD) * (MIX_K % MOD) % MOD
+                + (b % MOD) * (MIX_K2 % MOD) % MOD
+            ) % MOD
+            return (m * m % MOD) * m % MOD % BUCKETS
 
         expect = {(a, b, c) for (a, b, c) in full if bucket(a, b) % 3 == 0}
         assert sampled == expect, f"collapse={collapse}"
