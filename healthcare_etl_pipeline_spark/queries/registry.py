@@ -76,6 +76,7 @@ def _load_all() -> None:
         analytics,
         analytics_extended,
         etl_parity,
+        fingerprint_ops,
         join_ops,
         llm_ops,
         maintenance,

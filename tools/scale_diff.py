@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Digest-based value differential for the BIG scale-ladder rungs.
+
+``tools/check_oracle.py`` collects both engines' full results into the
+driver — the right gate at sf0.01, impossible at sf10+ for multi-million
+row outputs (ORACLE_SF01.md had to exclude ``dedup_exact_lineitem`` and
+could only rows-check the window/sessionize families at sf100). This
+tool compares ENGINE-SIDE digests instead (operators/fingerprint.py):
+each side reduces its result to ≤256 ``(bucket, count, sum-of-rowhash)``
+rows, so a 591 M-row result costs one distributed aggregation and a
+256-row driver compare. Equal digests ⇒ equal row multisets up to
+mod-p hash collision; the digest mechanism itself is full-value-gated at
+sf0.01 via the ``digest_*`` registry queries.
+
+Per query it prints ``ok name rows=N [t_spark/t_duck]`` or a FAIL with
+the first differing buckets; queries whose result schema has no portable
+canonicalization (float arrays, maps) report ``skip`` with the reason —
+the ladder docs must list them with a rationale, not drop them silently.
+
+Usage:  python tools/scale_diff.py SF_DIR [query ...]
+        (no names -> every registered query with an oracle)
+Env:    SPARK_GRAFT_DUCK_MEM  caps DuckDB memory when co-hosted with a
+        large Spark heap (same knob as check_oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from healthcare_etl_pipeline_spark.catalog import TABLES, table_path
+from healthcare_etl_pipeline_spark.operators.fingerprint import (
+    digest_sql,
+    table_digest,
+)
+from healthcare_etl_pipeline_spark.queries import all_queries
+from healthcare_etl_pipeline_spark.session import get_spark
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = get_spark()
+    con = duckdb.connect()
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit='{duck_mem}'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    specs = all_queries()
+    names = [n for n in sorted(specs) if not only or n in only]
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        spec = specs[name]
+        if spec.oracle is None:
+            print(f"skip  {name}: no oracle")
+            n_skip += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            sdig = table_digest(sdf)
+        except TypeError as e:
+            print(f"skip  {name}: undigestable ({e})")
+            n_skip += 1
+            continue
+        except Exception:
+            print(f"FAIL  {name}: SPARK PLAN ERROR")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+            continue
+        try:
+            srows = {(r.bucket, r.n, r.s) for r in sdig.collect()}
+        except Exception:
+            print(f"FAIL  {name}: SPARK ERROR")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+            continue
+        t1 = time.time()
+        try:
+            cols = [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+            ]
+            osql = digest_sql(spec.oracle, cols)
+        except TypeError as e:
+            print(f"skip  {name}: undigestable oracle ({e})")
+            n_skip += 1
+            continue
+        except Exception as e:
+            print(f"FAIL  {name}: DUCKDB DESCRIBE ERROR {e}")
+            n_fail += 1
+            continue
+        try:
+            orows = {tuple(r) for r in con.execute(osql).fetchall()}
+        except Exception as e:
+            print(f"FAIL  {name}: DUCKDB ERROR {e}")
+            n_fail += 1
+            continue
+        t2 = time.time()
+        total_s = sum(n for _, n, _ in srows)
+        total_o = sum(n for _, n, _ in orows)
+        if srows == orows:
+            print(
+                f"ok    {name}: rows={total_s} "
+                f"[spark {t1 - t0:.1f}s / duck {t2 - t1:.1f}s]"
+            )
+            n_pass += 1
+        else:
+            diff_s = sorted(srows - orows)[:3]
+            diff_o = sorted(orows - srows)[:3]
+            print(
+                f"FAIL  {name}: digest mismatch rows spark={total_s} "
+                f"duck={total_o} spark_only={diff_s} duck_only={diff_o}"
+            )
+            n_fail += 1
+    print(f"\n{n_pass} ok, {n_skip} skip, {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
