@@ -1029,3 +1029,89 @@ def stream_pyds_commitlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
+
+
+@query(
+    "stream_tumbling_counts_rocksdb",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="stream_tumbling_counts under the RocksDB state store "
+    "provider: window state in native memory + local SST files instead "
+    "of on-heap hash maps — the heap-bounded posture for 100 TB key "
+    "cardinalities (tools/state_store_bench.py measures the default "
+    "provider's heap growing linearly with keys while RocksDB stays "
+    "flat). Same batch oracle as the default-provider twin, so the "
+    "driver gate proves provider-independence of results.",
+    tags=("streaming", "window", "rocksdb"),
+)
+def stream_tumbling_counts_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.streaming.windows import (
+        ROCKSDB_PROVIDER,
+    )
+
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    agg = tumbling_counts(stream)
+    return run_stream_to_memory(
+        spark, agg, output_mode="complete",
+        state_store_provider=ROCKSDB_PROVIDER,
+    )
+
+
+@query(
+    "stream_session_stateful_rocksdb",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, seq,
+             CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, seq
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE seq < (SELECT max(s2.seq) FROM sess s2 WHERE s2.user_id = sess.user_id)
+       OR session_end <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    """,
+    description="stream_session_stateful (applyInPandasWithState + "
+    "EventTimeTimeout) under the RocksDB state store provider: the "
+    "arbitrary-state escape hatch must produce identical sessions when "
+    "its per-key state lives in RocksDB — same oracle as the default-"
+    "provider twin.",
+    tags=("streaming", "stateful", "sessionize", "pandas-udf", "rocksdb"),
+)
+def stream_session_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.streaming.stateful import (
+        stateful_session_windows,
+    )
+    from healthcare_etl_pipeline_spark.streaming.windows import (
+        ROCKSDB_PROVIDER,
+    )
+
+    stream = streaming_events(spark, sf_dir, watermark="1 hour")
+    sessions = stateful_session_windows(stream, gap="30 minutes")
+    settled = run_stream_to_memory(
+        spark, sessions, output_mode="append",
+        state_store_provider=ROCKSDB_PROVIDER,
+    )
+    return settled.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

@@ -34,6 +34,20 @@ from pyspark.sql import functions as F
 # run_stream_to_memory (see its docstring for the concurrency contract)
 _START_LOCK = threading.Lock()
 
+# RocksDB-backed state store (bundled with Spark since 3.2): state lives
+# in native memory + local SST files instead of JVM-heap hash maps, so
+# stateful queries stay heap-bounded at 100 TB key cardinalities where
+# the default HDFSBackedStateStoreProvider holds every (key, value) pair
+# as on-heap objects (measured: tools/state_store_bench.py — heap grows
+# linearly with keys under the default provider, flat under RocksDB).
+# The conf is read from the session when a query STARTS and pinned into
+# its checkpoint lifetime, so it composes with run_stream_to_memory's
+# capture-at-start pattern below.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
 
 def tumbling_counts(
     events: DataFrame,
@@ -101,6 +115,7 @@ def run_stream_to_memory(
     *,
     output_mode: str = "complete",
     name: str | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Drive a bounded streaming query to completion into a memory sink.
 
@@ -128,7 +143,12 @@ def run_stream_to_memory(
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     with _START_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_provider = spark.conf.get(_PROVIDER_CONF, None)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        if state_store_provider:
+            # pinned at start() like the partition count: pass
+            # ROCKSDB_PROVIDER for heap-bounded state at scale
+            spark.conf.set(_PROVIDER_CONF, state_store_provider)
         try:
             q = (
                 stream_df.writeStream.outputMode(output_mode)
@@ -139,6 +159,11 @@ def run_stream_to_memory(
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if state_store_provider:
+                if prev_provider is None:
+                    spark.conf.unset(_PROVIDER_CONF)
+                else:
+                    spark.conf.set(_PROVIDER_CONF, prev_provider)
     q.awaitTermination()
     return spark.table(name)
 

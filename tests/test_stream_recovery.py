@@ -158,19 +158,40 @@ def test_txn_sink_exactly_once_across_crash_replay(spark, tmp_path):
     assert sorted(runs) == ["s-000000000", "s-000000001", "s-000000002"]
 
 
-def test_tumbling_state_recovered_across_restart(spark, tmp_path):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        pytest.param(None, id="hdfs_backed"),
+        pytest.param("rocksdb", id="rocksdb"),
+    ],
+)
+def test_tumbling_state_recovered_across_restart(spark, tmp_path, provider):
     """Aggregation state crosses the stop point: the 10:00 window gets
     events before AND after the restart; the restarted complete-mode
     output must equal the batch oracle over ALL files while having read
-    only the post-restart file."""
+    only the post-restart file. Parametrized over the state store
+    provider: the RocksDB variant proves restart recovery reloads native
+    SST state (changelog/snapshot files in the same checkpoint layout) —
+    the heap-bounded provider the 100 TB posture defaults to for high
+    key cardinality."""
+    from healthcare_etl_pipeline_spark.streaming.windows import (
+        ROCKSDB_PROVIDER,
+    )
+
+    provider_class = ROCKSDB_PROVIDER if provider == "rocksdb" else None
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     _write_file(spark, str(src), "f1.parquet", F1, 1_700_000_000)
 
+    PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
     def run(name):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_provider = spark.conf.get(PROVIDER_CONF, None)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        if provider_class:
+            spark.conf.set(PROVIDER_CONF, provider_class)
         try:
             q = (
                 tumbling_counts(_file_stream(spark, str(src)))
@@ -183,6 +204,11 @@ def test_tumbling_state_recovered_across_restart(spark, tmp_path):
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if provider_class:
+                if prev_provider is None:
+                    spark.conf.unset(PROVIDER_CONF)
+                else:
+                    spark.conf.set(PROVIDER_CONF, prev_provider)
         _await(q)
         return q
 
