@@ -342,6 +342,25 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_score(tf, dfreq, lens, stats, id_col, k1=k1, b=b, k=k)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats_lens: DataFrame,
+    stats_global: DataFrame,
+    id_col: str,
+    *,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: identical expression tree whether the
+    df/N/avgdl inputs were computed per-query (``bm25_topk``) or read
+    from an incrementally maintained stats view
+    (``bm25_topk_from_stats``) — bit-identical doubles by construction,
+    so the two paths carry the same oracle."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -351,8 +370,8 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(stats))
+        .join(stats_lens, id_col)
+        .crossJoin(F.broadcast(stats_global))
         .groupBy(id_col)
         .agg(
             F.round(F.sum(idf * norm), 6).alias("bm25"),
@@ -360,6 +379,123 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+class Bm25CorpusStats:
+    """Incrementally maintained BM25 corpus statistics — per-token
+    document frequency plus global (N, Σdl) — via the mergeable-agg
+    algebra (operators/incremental_agg.py).
+
+    The steady-state shape of a retrieval corpus at 100 TB: documents
+    arrive (and are erased) in batches, and recomputing df/idf/avgdl
+    from scratch per refresh is a full-corpus token scan. Both stats
+    here are invertible aggregates (counts and a sum), so a batch
+    applies as one map-side-combined partial + one full-outer delta
+    merge — O(|batch| + |vocab|) per increment, never a history re-scan
+    — and a DELETED batch applies with ``sign=-1`` (the CDC retraction
+    form, same signed-partial machinery as the change-feed consumer);
+    tokens whose df hits zero drop from the view exactly as a
+    recomputation would drop them.
+
+    State is eagerly checkpointed per batch (lineage must not chain
+    across arbitrarily many increments); in a lakehouse deployment the
+    two frames persist as tables and the merge becomes MERGE INTO.
+    ``bm25_topk_from_stats`` then serves queries from the view:
+    value-identical to ``bm25_topk``'s from-scratch recompute (driver-
+    gated by the ``bm25_incremental_update`` registry query).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+            AggSpec,
+        )
+
+        self.id_col = id_col
+        self.text_col = text_col
+        self.tok_specs = [AggSpec("df", "count")]
+        self.glob_specs = [
+            AggSpec("n_docs", "count"),
+            AggSpec("dl_sum", "sum", "dl"),
+        ]
+        self.tok_state: DataFrame | None = None
+        self.glob_state: DataFrame | None = None
+
+    def apply_batch(self, docs: DataFrame, *, sign: int = 1) -> None:
+        """Merge one document batch into the stats (+1) or retract a
+        previously applied batch (-1)."""
+        from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+            merge_state,
+            signed_partial_exprs,
+        )
+
+        tk = _token_arrays(docs, self.id_col, self.text_col)
+        s = F.lit(sign)
+        per_tok = (
+            tk.select(F.explode(F.array_distinct("tk")).alias("tok"))
+            .groupBy("tok")
+            .agg(*signed_partial_exprs(self.tok_specs, s))
+        )
+        glob = (
+            tk.select(F.size("tk").alias("dl"))
+            .withColumn("__all", F.lit(0))
+            .groupBy("__all")
+            .agg(*signed_partial_exprs(self.glob_specs, s))
+        )
+        self.tok_state = merge_state(
+            self.tok_state, per_tok, ["tok"], self.tok_specs
+        ).localCheckpoint(eager=True)
+        self.glob_state = merge_state(
+            self.glob_state, glob, ["__all"], self.glob_specs
+        ).localCheckpoint(eager=True)
+
+    def token_stats(self) -> DataFrame:
+        """(tok, df) for tokens with surviving documents."""
+        from healthcare_etl_pipeline_spark.operators.incremental_agg import (
+            non_empty_filter,
+        )
+
+        if self.tok_state is None:
+            raise ValueError("no batches applied")
+        return self.tok_state.filter(non_empty_filter(self.tok_specs))
+
+    def global_stats(self) -> DataFrame:
+        """One row: (n_docs, avgdl) — same derivation (Σdl / N) as the
+        from-scratch ``avg``."""
+        if self.glob_state is None:
+            raise ValueError("no batches applied")
+        return self.glob_state.select(
+            F.col("n_docs"),
+            (F.col("dl_sum") / F.col("n_docs")).alias("avgdl"),
+        )
+
+
+def bm25_topk_from_stats(
+    df: DataFrame,
+    stats: Bm25CorpusStats,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k serving df/N/avgdl from the incrementally maintained
+    view instead of recomputing them: per-query work is the tf scan of
+    matching docs only — the corpus-wide token aggregation happened at
+    ingest time, once per increment."""
+    tk = _token_arrays(df, id_col, text_col)
+    lens = tk.select(F.col(id_col), F.size("tk").alias("dl"))
+    tf = (
+        tk.select(F.col(id_col), F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(query_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = stats.token_stats().filter(F.col("tok").isin(query_terms))
+    return _bm25_score(
+        tf, dfreq, lens, stats.global_stats(), id_col, k1=k1, b=b, k=k
+    )
 
 
 def hashed_features(

@@ -2178,6 +2178,62 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_incremental_update",
+    oracle=f"""
+    WITH toks AS (
+      SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents WHERE doc_id % 3 <> 1
+    ),
+    lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           round(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25,
+           count(*) AS terms_matched
+    FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+    description="INCREMENTALLY maintained BM25 stats (VERDICT r7 #7): the "
+    "per-token df view and global (N, Σdl) build from three corpus "
+    "increments (doc_id mod 3) through the mergeable-agg signed-partial "
+    "machinery, then increment 1 is RETRACTED (sign=-1, the CDC delete "
+    "form — df-to-zero tokens drop from the view). Top-k then serves "
+    "df/N/avgdl from the maintained view — per-query work is only the "
+    "tf scan of matching docs. Oracle: from-scratch BM25 over the "
+    "surviving corpus; equality proves N adds + 1 retraction of the "
+    "view equal a full recompute.",
+    tags=("retrieval", "bm25", "incremental", "cdc", "text", "llm"),
+)
+def bm25_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.corpus import (
+        Bm25CorpusStats,
+        bm25_topk_from_stats,
+    )
+
+    docs = td(spark, sf_dir, "documents")
+    stats = Bm25CorpusStats()
+    for i in (0, 1, 2):
+        stats.apply_batch(docs.filter(F.col("doc_id") % 3 == i))
+    stats.apply_batch(docs.filter(F.col("doc_id") % 3 == 1), sign=-1)
+    corpus = docs.filter(F.col("doc_id") % 3 != 1)
+    return bm25_topk_from_stats(
+        corpus, stats, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, k=10
+    )
+
+
+@query(
     "hashed_features_docs",
     oracle=f"""
     WITH {_DUCK_TOKENS_CTE.strip()},

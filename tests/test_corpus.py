@@ -187,3 +187,66 @@ def test_importance_weights_separates_domains(spark):
     assert out[3].importance < 0
     assert out[4].importance < 0
     assert out[3].importance < out[5].importance < out[1].importance
+
+
+def test_bm25_stats_incremental_equals_bootstrap(spark):
+    """N signed increments (+ one retraction) of the maintained stats
+    view must equal a single-batch bootstrap over the surviving corpus —
+    token df rows identical (retracted-to-zero tokens GONE, not df=0),
+    global (n_docs, avgdl) identical."""
+    from healthcare_etl_pipeline_spark.operators.corpus import Bm25CorpusStats
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "beta gamma delta"),
+        (3, "unique_tok alpha"),
+        (4, "gamma gamma gamma"),
+        (5, "epsilon beta alpha"),
+        (6, "zeta unique_tok"),
+    ]
+    docs = _docs(spark, rows)
+
+    inc = Bm25CorpusStats()
+    for i in (0, 1, 2):
+        inc.apply_batch(docs.filter(F.col("doc_id") % 3 == i))
+    inc.apply_batch(docs.filter(F.col("doc_id") % 3 == 0), sign=-1)
+
+    boot = Bm25CorpusStats()
+    boot.apply_batch(docs.filter(F.col("doc_id") % 3 != 0))
+
+    tok_inc = {(r.tok, r.df) for r in inc.token_stats().collect()}
+    tok_boot = {(r.tok, r.df) for r in boot.token_stats().collect()}
+    assert tok_inc == tok_boot
+    # docs 3 and 6 (doc_id%3==0) were retracted — the only two carrying
+    # unique_tok, so its df hit zero and the row must be GONE
+    assert not any(tok == "unique_tok" for tok, _ in tok_inc)
+    assert ("delta", 1) in tok_inc
+    g_inc = inc.global_stats().collect()[0]
+    g_boot = boot.global_stats().collect()[0]
+    assert (g_inc.n_docs, g_inc.avgdl) == (g_boot.n_docs, g_boot.avgdl)
+
+
+def test_bm25_from_stats_equals_recompute(spark):
+    """Serving from the maintained view is value-identical to the
+    from-scratch bm25_topk over the same corpus."""
+    from healthcare_etl_pipeline_spark.operators.corpus import (
+        Bm25CorpusStats,
+        bm25_topk,
+        bm25_topk_from_stats,
+    )
+
+    rows = [
+        (i, f"hash join scan {'hash ' * (i % 4)}tail{i}") for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    stats = Bm25CorpusStats()
+    for i in (0, 1):
+        stats.apply_batch(docs.filter(F.col("doc_id") % 2 == i))
+
+    terms = ["hash", "join", "scan"]
+    direct = [tuple(r) for r in bm25_topk(docs, terms, k=15).collect()]
+    via = [
+        tuple(r)
+        for r in bm25_topk_from_stats(docs, stats, terms, k=15).collect()
+    ]
+    assert direct == via
