@@ -153,6 +153,37 @@ def salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "skew_join_lineitem_supplier",
+    oracle="""
+    SELECT s.s_nationkey, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    description="AQE-GATED skew join (operators/joins.skew_join): under "
+    "this engine's default posture (AQE + skewJoin on) the helper emits "
+    "the PLAIN join and lets runtime partition-size measurement split "
+    "stragglers only when skew actually appears — the paired A/B "
+    "(BENCH_NOTES round 8) measured AQE at parity with manual 8-bucket "
+    "salting on a 40%-hot key while costing nothing on uniform keys, so "
+    "unconditional salting (the salted_* twin) is the fallback for "
+    "AQE-off contexts, not the default. Same oracle as the twin: the "
+    "gate must never change values.",
+    tags=("join", "skew", "aqe"),
+)
+def skew_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = J.skew_join(li, supp, key="s_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@query(
     "bloom_prefilter_join_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, count(*) AS order_cnt,

@@ -320,18 +320,33 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_order_volume",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
-    description="ROLLUP aggregation over status × priority with grand total.",
+    description="ROLLUP aggregation over status × priority with grand "
+    "total. Money sums are EXACT via the split-accumulator kernel "
+    "(queries/tpch.py:31 split_sums): the sf10 digest ladder caught the "
+    "double-sum form off by cents on the 15 M-row grand-total row "
+    "(3752339125855.94 vs .97 — summation-order drift, the q1/q6 bug "
+    "class one aggregation shape over), so the rollup's totals use the "
+    "same exact path; oracle sums in DECIMAL.",
     tags=("agg", "rollup"),
 )
 def rollup_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        *split_sums(cents, "total_price"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        recombine("total_price", 2, 2),
     )
 
 

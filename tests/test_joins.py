@@ -293,3 +293,45 @@ def test_interval_overlap_join_exactly_once_across_bins(spark):
     pairs = sorted((r.lid, r.rid) for r in out)
     # each overlapping pair appears EXACTLY once despite sharing 2+ bins
     assert pairs == [(1, 3), (1, 5), (2, 5)]
+
+
+def test_skew_join_gates_on_aqe(spark):
+    """skew_join emits the PLAIN join when AQE skew handling is on (the
+    session default — runtime splitting beats paying salting's replication
+    unconditionally; paired A/B in BENCH_NOTES round 8) and falls back to
+    explicit salting when the safety net is off; force overrides both."""
+    big = spark.createDataFrame([(i % 3, i) for i in range(60)], ["k", "v"])
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "nm"])
+
+    def salt_stages(df):
+        return "__salt" in df._jdf.queryExecution().analyzed().toString()
+
+    # session default: AQE + skewJoin on -> plain join, no salt column
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    gated = J.skew_join(big, small, key="k")
+    assert not salt_stages(gated)
+
+    # AQE off -> salted
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fallback = J.skew_join(big, small, key="k")
+        assert salt_stages(fallback)
+        # force="plain" overrides the fallback
+        assert not salt_stages(J.skew_join(big, small, key="k", force="plain"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    # force="salt" overrides the AQE gate
+    forced = J.skew_join(big, small, key="k", force="salt")
+    assert salt_stages(forced)
+
+    # all variants value-identical to the plain join
+    want = {(r.k, r.v, r.nm) for r in big.join(small, "k").collect()}
+    for df in (gated, forced):
+        assert {(r.k, r.v, r.nm) for r in df.collect()} == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        J.skew_join(big, small, key="k", force="bogus")
