@@ -17,10 +17,12 @@ Portability contract (mirrors tools/check_oracle.py's driver canon):
 - integral / boolean / date / timestamp columns are exact (mod-p reduce,
   epoch-days / epoch-micros);
 - DECIMAL(p,s) is scaled exactly to integer at its own scale;
-- DOUBLE/FLOAT canonicalizes as ``floor(x * 1e6 + 0.5)`` — callers must
-  pre-round float columns to ≤ 6 dp in BOTH engines (every registered
-  query already does, per the oracle contract) and keep |x| < 9e12 so
-  the scaled value stays in int64;
+- DOUBLE/FLOAT canonicalizes as ``floor(fmod(x, 1e12) * 1e6 + 0.5)`` —
+  callers must pre-round float columns to ≤ 6 dp in BOTH engines (every
+  registered query already does, per the oracle contract); the fmod
+  keeps a 1e13-scale money total (sf100's rollup grand total) from
+  overflowing int64 after scaling — IEEE fmod of the identical double
+  is identical cross-engine, so equality is preserved;
 - strings hash through the md5-based ``portable_char_hash`` (identical
   in Spark, DuckDB, and Python);
 - arrays of integrals/strings join on an unlikely separator and hash as
@@ -64,7 +66,15 @@ def _canon_column(c: Column, dtype: T.DataType) -> Column:
     elif isinstance(dtype, T.DecimalType):
         v = (c * F.lit(10**dtype.scale)).cast(T.DecimalType(38, 0)) % F.lit(MOD)
     elif isinstance(dtype, (T.DoubleType, T.FloatType)):
-        v = F.floor(c.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        # fmod BEFORE scaling: a 1e13-scale money total times 1e6 would
+        # overflow int64 (caught at sf100 on rollup's grand-total row).
+        # IEEE fmod of the identical double is identical in both engines,
+        # so equality is preserved; distinct values 1e12 apart may
+        # collide, which a hash tolerates.
+        v = F.floor(
+            (c.cast("double") % F.lit(1.0e12)) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long")
     elif isinstance(dtype, T.DateType):
         v = F.datediff(c, F.lit(_EPOCH).cast("date")).cast("long")
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
@@ -125,7 +135,12 @@ def _canon_sql(expr: str, duck_type: str) -> str:
         scale = int(t.split(",")[1].rstrip(")")) if "," in t else 0
         v = f"CAST(({expr}) * {10**scale} AS BIGINT)"
     elif t in ("DOUBLE", "FLOAT", "REAL"):
-        v = f"CAST(FLOOR(CAST({expr} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        # % (truncated remainder, sign of dividend) matches Spark's %;
+        # DuckDB's fmod() is FLOORED for negative dividends — measured
+        v = (
+            f"CAST(FLOOR((CAST({expr} AS DOUBLE) % 1e12)"
+            f" * 1000000.0 + 0.5) AS BIGINT)"
+        )
     elif t == "DATE":
         v = f"datediff('day', DATE '1970-01-01', {expr})"
     elif t.startswith("TIMESTAMP"):

@@ -359,7 +359,7 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nation_rev AS (
       SELECT n.n_name, c.c_mktsegment,
-             round(sum(o.o_totalprice), 2) AS revenue
+             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -372,7 +372,10 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Pure Spark-SQL surface: the same text (CTE + join + window "
     "rank) runs through spark.sql over registered views and through DuckDB — "
-    "exercising the SQL front end rather than the DataFrame API.",
+    "exercising the SQL front end rather than the DataFrame API. Revenue "
+    "sums in DECIMAL (exact — the sf100 digest rung caught the double-sum "
+    "form off by one cent on ~6M-row groups) and surfaces as DOUBLE, "
+    "keeping the text identical in both engines.",
     tags=("sql", "window", "agg"),
 )
 def sql_interface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +386,7 @@ def sql_interface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH nation_rev AS (
           SELECT n.n_name, c.c_mktsegment,
-                 round(sum(o.o_totalprice), 2) AS revenue
+                 CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
           FROM orders o
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN nation n   ON c.c_nationkey = n.n_nationkey
