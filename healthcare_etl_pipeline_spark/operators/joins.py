@@ -160,38 +160,75 @@ def skew_join(
     salt_buckets: int = 8,
     how: str = "inner",
     force: str | None = None,
+    hot_share: float | None = None,
+    probe: bool = False,
+    hot_threshold: float = 0.05,
+    probe_fraction: float = 0.001,
 ) -> DataFrame:
-    """AQE-gated skew-resistant join — the ``dim_hint`` pattern applied
-    to salting (round-8 verdict item: measure, then gate).
+    """Skew-gated join — the ``dim_hint`` pattern applied to salting,
+    with the gate set by MEASUREMENT, not folklore (tools/skew_ab.py,
+    paired best-of-2 interleaved, sort-merge regime, BENCH_NOTES r8):
 
-    Manual salting costs something even without skew: the small side
-    replicates ``salt_buckets``×, the big side carries an extra join
-    column, and the random salt blocks any co-partitioning reuse. AQE's
-    ``skewJoin`` gets the same straggler relief for free at runtime — it
-    splits oversized post-shuffle partitions and replicates the matching
-    partition of the other side, ONLY when skew is actually observed —
-    and the sf10 paired A/B (BENCH_NOTES.md round 8) measured it at
-    parity with manual salting on a 40 %-hot key (22.3 s vs 22.6 s over
-    600 M rows, vs 34.9 s with no skew handling at all).
+    ==================  ========  ========  =============
+    key distribution    plain+AQE  salted    AQE-skew-off
+    ==================  ========  ========  =============
+    40 %-hot @ sf100     221.1 s   101.2 s    156.2 s
+    40 %-hot @ sf10        8.9 s     3.6 s      7.3 s
+    uniform @ sf10         1.9 s     3.0 s      2.0 s
+    ==================  ========  ========  =============
 
-    Gate: when the session runs with AQE skew handling enabled (this
-    engine's default posture, session.py), emit the PLAIN join and let
-    the runtime decide from measured partition sizes; salt explicitly
-    only when that safety net is off (AQE disabled — e.g. inside
-    streaming micro-batches, where it is unsupported) or when the caller
-    forces it for a known-pathological key (``force="salt"``).
+    Two measured facts drive the gate. (1) On a genuinely hot key,
+    explicit salting beats AQE's skewJoin 2.2× — AQE splits the
+    oversized partition only AFTER the map side has already funneled the
+    hot key through one shuffle partition, and its split-read of that
+    partition measured slower than no handling at all here. (2) On a
+    uniform key salting costs ~1.5× (small side replicated
+    ``salt_buckets``×, wider shuffle key, no co-partitioning reuse), so
+    salting unconditionally is also wrong.
+
+    Gate, in order:
+    - ``force="salt"``/``force="plain"`` — caller knows;
+    - ``hot_share`` (fraction of big-side rows on the hottest key,
+      caller-known or estimated by ``probe=True`` via one cheap sampled
+      aggregation, ~0.1 % of the big side): ≥ ``hot_threshold`` → salt,
+      else plain;
+    - no information: plain when AQE skew handling is on (its split is
+      still a safety net against stragglers the caller didn't predict —
+      and it costs nothing when skew never materializes), salted when
+      that net is off (AQE unsupported, e.g. stateful streaming
+      micro-batches).
     """
     if force not in (None, "salt", "plain"):
         raise ValueError(f"force must be None, 'salt' or 'plain'; got {force!r}")
     spark = big.sparkSession
-    aqe_skew = (
-        spark.conf.get("spark.sql.adaptive.enabled", "false") == "true"
-        and spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "false")
-        == "true"
-    )
-    use_plain = force == "plain" or (force is None and aqe_skew)
-    if use_plain:
+    if force == "plain":
         return big.join(small, key, how)
+    if force != "salt":
+        if hot_share is None and probe:
+            sample = big.select(key).sample(fraction=probe_fraction, seed=42)
+            top = (
+                sample.groupBy(key)
+                .count()
+                .agg(
+                    F.max("count").alias("top"),
+                    F.sum("count").alias("total"),
+                )
+                .collect()[0]
+            )
+            hot_share = (top.top / top.total) if top.total else 0.0
+        if hot_share is not None:
+            if hot_share < hot_threshold:
+                return big.join(small, key, how)
+        else:
+            aqe_skew = (
+                spark.conf.get("spark.sql.adaptive.enabled", "false") == "true"
+                and spark.conf.get(
+                    "spark.sql.adaptive.skewJoin.enabled", "false"
+                )
+                == "true"
+            )
+            if aqe_skew:
+                return big.join(small, key, how)
     return salted_join(
         big, small, key=key, salt_buckets=salt_buckets, how=how
     )

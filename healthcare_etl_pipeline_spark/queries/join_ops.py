@@ -160,15 +160,15 @@ def salted_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey
     """,
-    description="AQE-GATED skew join (operators/joins.skew_join): under "
-    "this engine's default posture (AQE + skewJoin on) the helper emits "
-    "the PLAIN join and lets runtime partition-size measurement split "
-    "stragglers only when skew actually appears — the paired A/B "
-    "(BENCH_NOTES round 8) measured AQE at parity with manual 8-bucket "
-    "salting on a 40%-hot key while costing nothing on uniform keys, so "
-    "unconditional salting (the salted_* twin) is the fallback for "
-    "AQE-off contexts, not the default. Same oracle as the twin: the "
-    "gate must never change values.",
+    description="SKEW-GATED join (operators/joins.skew_join): the gate is "
+    "set by the paired A/B in BENCH_NOTES round 8 — explicit salting wins "
+    "2.2x on a measured 40%-hot key at sf100 (AQE's post-shuffle split "
+    "measured SLOWER than no handling there), but costs ~1.5x on uniform "
+    "keys, so the helper salts when the hot share (caller-known or "
+    "sample-probed) clears the threshold and otherwise emits the plain "
+    "join under AQE's safety net. This uniform-key instance takes the "
+    "plain path. Same oracle as the salted twin: the gate must never "
+    "change values.",
     tags=("join", "skew", "aqe"),
 )
 def skew_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

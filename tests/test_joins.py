@@ -296,10 +296,12 @@ def test_interval_overlap_join_exactly_once_across_bins(spark):
 
 
 def test_skew_join_gates_on_aqe(spark):
-    """skew_join emits the PLAIN join when AQE skew handling is on (the
-    session default — runtime splitting beats paying salting's replication
-    unconditionally; paired A/B in BENCH_NOTES round 8) and falls back to
-    explicit salting when the safety net is off; force overrides both."""
+    """skew_join's gate (measured, BENCH_NOTES round 8): salt when the
+    hot share clears the threshold (probed or caller-known — salting won
+    2.2x on a 40%-hot key at sf100), plain when the key is measured
+    uniform (salting costs ~1.5x there), plain under AQE's safety net
+    when nothing is known, salted when even that net is off; force
+    overrides everything."""
     big = spark.createDataFrame([(i % 3, i) for i in range(60)], ["k", "v"])
     small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "nm"])
 
@@ -325,6 +327,26 @@ def test_skew_join_gates_on_aqe(spark):
     # force="salt" overrides the AQE gate
     forced = J.skew_join(big, small, key="k", force="salt")
     assert salt_stages(forced)
+
+    # hot_share drives the decision past the AQE default: a measured hot
+    # key salts even with AQE on; a measured-uniform key stays plain even
+    # with AQE off
+    assert salt_stages(J.skew_join(big, small, key="k", hot_share=0.4))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert not salt_stages(
+            J.skew_join(big, small, key="k", hot_share=0.001)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    # probe=True estimates the hot share from a sample: a 1-key big side
+    # must salt, and the probe must not error on tiny samples
+    hot = spark.createDataFrame([(7, i) for i in range(4000)], ["k", "v"])
+    probed = J.skew_join(
+        hot, small, key="k", probe=True, probe_fraction=0.2
+    )
+    assert salt_stages(probed)
 
     # all variants value-identical to the plain join
     want = {(r.k, r.v, r.nm) for r in big.join(small, "k").collect()}
