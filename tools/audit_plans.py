@@ -41,6 +41,7 @@ EXPECTED_NESTED_LOOP = {
     "drift_psi_orders",         # scalar bin-total crossjoins (1-row broadcasts)
     "balance_sources_docs",     # min-stratum-size crossjoin (1-row broadcast)
     "bm25_topk_docs",           # corpus N/avgdl stats crossjoin (1-row broadcast)
+    "bm25_incremental_update",  # same scoring tail: 1-row maintained-stats crossjoin
     "cms_join_size_lineitem",   # two CMS sketch frames (depth×width rows, broadcast)
     "dq_checks_orders",         # expectation-summary scalars crossjoin (1-row broadcasts)
     "triangle_count_copurchase",  # final scalar assembly: 3 crossjoins of 1-row aggs
