@@ -26,7 +26,11 @@ Portability contract (mirrors tools/check_oracle.py's driver canon):
 - strings hash through the md5-based ``portable_char_hash`` (identical
   in Spark, DuckDB, and Python);
 - arrays of integrals/strings join on an unlikely separator and hash as
-  one string. Float arrays are rejected (no portable text form).
+  one string;
+- float arrays canonicalize per element exactly like scalar doubles
+  (fmod 1e12 → 6-dp scale → BIGINT string) then join-and-hash — same
+  pre-round-to-≤6dp caller contract, so embedding/distance-valued
+  outputs join the sf10+ ladder instead of stopping at sf0.01.
 
 The row fold visits columns in NAME order (same as the driver compare
 sorts), ``h = (h * 131 + canon) % p``, so column order differences
@@ -64,6 +68,19 @@ def _canon_column(c: Column, dtype: T.DataType) -> Column:
     elif isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         v = c.cast("long")
     elif isinstance(dtype, T.DecimalType):
+        # Guard the canon's own arithmetic: Spark's c * 10^scale needs
+        # precision + scale + 1 digits (nulls out past 38 with ANSI off)
+        # while the DuckDB twin CASTs the scaled value to BIGINT (errors
+        # past int64 ≈ 9.2e18, i.e. precision ≥ 19). The two engines
+        # would fail DIFFERENTLY (silent null vs loud error) — refuse
+        # loudly instead, matching the "honest about what it cannot
+        # canonicalize" posture. No catalog column hits this today.
+        if dtype.precision + dtype.scale + 1 > 38 or dtype.precision > 18:
+            raise TypeError(
+                f"decimal({dtype.precision},{dtype.scale}) exceeds the "
+                "portable canon's exact range (needs precision ≤ 18 and "
+                "precision + scale + 1 ≤ 38)"
+            )
         v = (c * F.lit(10**dtype.scale)).cast(T.DecimalType(38, 0)) % F.lit(MOD)
     elif isinstance(dtype, (T.DoubleType, T.FloatType)):
         # fmod BEFORE scaling: a 1e13-scale money total times 1e6 would
@@ -89,6 +106,28 @@ def _canon_column(c: Column, dtype: T.DataType) -> Column:
         joined = F.array_join(
             c.cast("array<string>"), _SEP, null_replacement="\x00"
         )
+        return F.coalesce(portable_char_hash(joined), F.lit(NULL_SENTINEL))
+    elif isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, (T.DoubleType, T.FloatType)
+    ):
+        # Float arrays (embeddings, distance lists): canonicalize each
+        # element exactly like a scalar double — fmod 1e12 then 6-dp
+        # scale — to a BIGINT string, then hash the joined string. Same
+        # caller contract as scalar doubles: pre-round elements to ≤6 dp
+        # in BOTH engines. NULL elements → sentinel; NULL array →
+        # sentinel; empty array → hash('').
+        elem = lambda x: F.coalesce(  # noqa: E731
+            F.pmod(
+                F.floor(
+                    (x.cast("double") % F.lit(1.0e12))
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.lit(MOD),
+            ),
+            F.lit(NULL_SENTINEL),
+        ).cast("string")
+        joined = F.array_join(F.transform(c, elem), _SEP)
         return F.coalesce(portable_char_hash(joined), F.lit(NULL_SENTINEL))
     else:
         raise TypeError(f"no portable canonicalization for {dtype.simpleString()}")
@@ -132,7 +171,20 @@ def _canon_sql(expr: str, duck_type: str) -> str:
                "USMALLINT", "UINTEGER", "UBIGINT"):
         v = f"CAST({expr} AS BIGINT)"
     elif t.startswith("DECIMAL"):
-        scale = int(t.split(",")[1].rstrip(")")) if "," in t else 0
+        if "(" in t:
+            prec_s = t[t.index("(") + 1 : t.index(")")]
+            prec = int(prec_s.split(",")[0])
+            scale = int(prec_s.split(",")[1]) if "," in prec_s else 0
+        else:
+            prec, scale = 18, 3
+        # Mirror the Spark-side guard: past this range Spark nulls out
+        # silently while this CAST errors — diverge loudly instead.
+        if prec + scale + 1 > 38 or prec > 18:
+            raise TypeError(
+                f"decimal({prec},{scale}) exceeds the portable canon's "
+                "exact range (needs precision ≤ 18 and "
+                "precision + scale + 1 ≤ 38)"
+            )
         v = f"CAST(({expr}) * {10**scale} AS BIGINT)"
     elif t in ("DOUBLE", "FLOAT", "REAL"):
         # % (truncated remainder, sign of dividend) matches Spark's %;
@@ -147,6 +199,20 @@ def _canon_sql(expr: str, duck_type: str) -> str:
         v = f"epoch_us({expr})"
     elif t == "VARCHAR":
         return f"COALESCE({portable_char_hash_sql(expr)}, {NULL_SENTINEL})"
+    elif t.endswith("[]") and t.startswith(("DOUBLE", "FLOAT", "REAL")):
+        # Float-array twin: per-element scalar-double canon to a BIGINT
+        # string, join, hash — mirrors the Spark branch exactly.
+        elem_canon = (
+            "CAST(COALESCE(((CAST(FLOOR((CAST(x AS DOUBLE) % 1e12)"
+            f" * 1000000.0 + 0.5) AS BIGINT) % {MOD} + {MOD}) % {MOD}),"
+            f" {NULL_SENTINEL}) AS VARCHAR)"
+        )
+        joined = (
+            f"CASE WHEN ({expr}) IS NULL THEN NULL ELSE "
+            f"COALESCE(array_to_string(list_transform({expr}, "
+            f"x -> {elem_canon}), chr(31)), '') END"
+        )
+        return f"COALESCE({portable_char_hash_sql(joined)}, {NULL_SENTINEL})"
     elif t.endswith("[]") and not t.startswith(("DOUBLE", "FLOAT", "REAL")):
         # DuckDB's array_to_string([]) is NULL where Spark's array_join
         # is '' — re-split NULL list (→ sentinel) from empty list (→ '')

@@ -220,12 +220,19 @@ def skew_join(
             if hot_share < hot_threshold:
                 return big.join(small, key, how)
         else:
+            # conf.get(key) with NO default resolves Spark's registered
+            # built-in default (both true since 3.2); passing a default
+            # would instead return it whenever the key was never SET,
+            # misreading AQE as off in sessions not built by get_spark.
+            def _effective(conf_key: str) -> str:
+                try:
+                    return str(spark.conf.get(conf_key)).lower()
+                except Exception:
+                    return "false"
+
             aqe_skew = (
-                spark.conf.get("spark.sql.adaptive.enabled", "false") == "true"
-                and spark.conf.get(
-                    "spark.sql.adaptive.skewJoin.enabled", "false"
-                )
-                == "true"
+                _effective("spark.sql.adaptive.enabled") == "true"
+                and _effective("spark.sql.adaptive.skewJoin.enabled") == "true"
             )
             if aqe_skew:
                 return big.join(small, key, how)

@@ -113,6 +113,7 @@ def _ship_package(spark: SparkSession) -> None:
     executors unpack it onto their worker path."""
     global _PKG_ZIP
     if _PKG_ZIP is None:
+        import atexit
         import tempfile
         import zipfile
 
@@ -133,6 +134,10 @@ def _ship_package(spark: SparkSession) -> None:
                     )
                     zf.write(full, rel)
         _PKG_ZIP = path
+        # One zip per driver process, removed at interpreter exit so
+        # repeated short-lived drivers (tools, subprocess tests) don't
+        # accumulate zips in the temp dir.
+        atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
     spark.sparkContext.addPyFile(_PKG_ZIP)
 
 

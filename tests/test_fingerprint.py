@@ -105,12 +105,63 @@ def test_digest_order_and_partitioning_invariant(spark):
     assert _digest_set(base) == _digest_set(shuffled)
 
 
-def test_digest_rejects_float_arrays(spark):
+def test_digest_float_arrays_cross_engine(spark):
+    """Float arrays digest portably (per-element scalar-double canon →
+    string join → char hash) including NULL element / empty / NULL array."""
+    rows = [(1, [0.5, -0.25, None]), (2, []), (3, None), (4, [1.5e11, -2.0])]
+    sdf = spark.createDataFrame(rows, "id long, v array<double>")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edge(id BIGINT, v DOUBLE[])")
+    con.execute(
+        "INSERT INTO edge VALUES (1, [0.5, -0.25, NULL]), (2, []), "
+        "(3, NULL), (4, [1.5e11, -2.0])"
+    )
+    cols = [
+        (r[0], r[1])
+        for r in con.execute("DESCRIBE SELECT * FROM edge").fetchall()
+    ]
+    duck = {
+        (int(a), int(b), int(c))
+        for a, b, c in con.execute(
+            digest_sql("SELECT * FROM edge", cols)
+        ).fetchall()
+    }
+    assert _digest_set(sdf) == duck
+    # Sensitivity: a single-element change moves the digest.
+    changed = spark.createDataFrame(
+        [(1, [0.5, -0.250001, None]), (2, []), (3, None), (4, [1.5e11, -2.0])],
+        "id long, v array<double>",
+    )
+    assert _digest_set(changed) != _digest_set(sdf)
+
+
+def test_digest_rejects_unportable_types(spark):
     df = spark.createDataFrame(
-        [([1.0, 2.0],)],
-        T.StructType([T.StructField("e", T.ArrayType(T.FloatType()))]),
+        [({"k": 1.0},)],
+        T.StructType(
+            [T.StructField("m", T.MapType(T.StringType(), T.DoubleType()))]
+        ),
     )
     with pytest.raises(TypeError):
         table_digest(df)
     with pytest.raises(TypeError):
-        digest_sql("SELECT 1", [("e", "FLOAT[]")])
+        digest_sql("SELECT 1", [("m", "MAP(VARCHAR, DOUBLE)")])
+
+
+def test_digest_rejects_wide_decimals(spark):
+    """DECIMAL(38,6): Spark's scaled multiply would silently null while
+    the DuckDB twin's BIGINT cast would error — the canon refuses both
+    sides loudly instead of letting the engines diverge."""
+    df = spark.range(1).select(
+        F.col("id").cast(T.DecimalType(38, 6)).alias("d")
+    )
+    with pytest.raises(TypeError):
+        table_digest(df)
+    with pytest.raises(TypeError):
+        digest_sql("SELECT 1", [("d", "DECIMAL(38,6)")])
+    # Narrow decimals stay supported (TPC-H money is DECIMAL(15,2)).
+    ok = spark.range(3).select(
+        F.col("id").cast(T.DecimalType(15, 2)).alias("d")
+    )
+    assert len(_digest_set(ok)) > 0
+    digest_sql("SELECT 1", [("d", "DECIMAL(15,2)")])

@@ -43,10 +43,67 @@ from healthcare_etl_pipeline_spark.queries import all_queries
 from healthcare_etl_pipeline_spark.session import get_spark
 
 
+# The big-rung digest family list (the "32 families" of ORACLE_SF01.md's
+# round-8 section, +ANN/embedding families once the float-array canon
+# landed). Codified so the rung is reproducible: `--rung` selects it.
+# Excluded with rationale (ORACLE_SF01.md "Remaining oracle-cost
+# exclusions"): leakage_safe_split_docs (oracle recursive CC is
+# clique-quadratic; value-matched at sf1), corpus_prep_pipeline at sf100
+# only (DuckDB temp > 49 GB).
+RUNG_FAMILIES = [
+    # relational / analytics
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "rollup_order_volume",
+    "cube_part_stats",
+    "sql_interface_revenue_rank",
+    "exact_percentiles",
+    "approx_percentiles_value",
+    "top_orders_per_customer",
+    "set_ops_customers",
+    "pivot_event_counts",
+    "unpivot_part_measures",
+    # events / windows / sessions
+    "window_frame_functions",
+    "session_window_users",
+    "sessionize_events",
+    "rolling_event_features",
+    "rolling_active_users_events",
+    "zscore_outlier_events",
+    "retention_cohorts",
+    "funnel_view_purchase",
+    "resample_gapfill_events",
+    "range_join_purchase_window",
+    # documents / LLM prep
+    "dedup_exact_lineitem",
+    "dedup_exact_docs",
+    "text_stats_docs",
+    "quality_filter_docs",
+    "heavy_hitter_tokens",
+    "pack_sequences_docs",
+    "hash_sample_docs",
+    "hash_split_docs",
+    "stratified_sample_docs",
+    "weighted_sample_docs",
+    # digest-canon self-gates
+    "digest_lineitem",
+    "digest_dedup_exact_lineitem",
+    # embeddings / ANN (float-array canon, round 9)
+    "digest_embeddings",
+    "cosine_topk_bruteforce",
+    "ann_ivf_cosine",
+]
+
+
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    if "--rung" in args:
+        args.remove("--rung")
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(RUNG_FAMILIES)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
 
     spark = get_spark()
     con = duckdb.connect()
@@ -71,8 +128,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
+        except Exception:
+            # Including TypeError: a TypeError raised by the query
+            # function itself is a real defect, not "undigestable".
+            print(f"FAIL  {name}: SPARK PLAN ERROR")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+            continue
+        try:
             sdig = table_digest(sdf)
         except TypeError as e:
+            # table_digest raises TypeError only for column types with
+            # no portable canonicalization — a benign skip by contract.
             print(f"skip  {name}: undigestable ({e})")
             n_skip += 1
             continue
