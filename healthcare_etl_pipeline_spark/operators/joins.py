@@ -152,6 +152,49 @@ def salted_join(
     return salted_big.join(salted_small, [key, "__salt"], how).drop("__salt")
 
 
+# Memoized probe results keyed by (plan semantic hash, key, fraction):
+# repeated skew_join(probe=True) calls over the same logical big side —
+# a registry query re-run, a loop over partitions of one table — reuse
+# the sampled estimate instead of re-scanning. semanticHash is analysis-
+# only (no job) and stable across equivalent plans in one session.
+_PROBE_MEMO: dict[tuple, float] = {}
+
+
+def probe_hot_share(
+    df: DataFrame,
+    key: str,
+    *,
+    probe_fraction: float = 0.001,
+    memo: bool = True,
+) -> float:
+    """Estimate the hottest key's share of ``df`` rows from one cheap
+    sampled aggregation (the ``probe=True`` path of :func:`skew_join`).
+    Results are memoized per (semantic plan, key, fraction) so repeated
+    gate decisions on the same input cost one scan, not N."""
+    ident = None
+    if memo:
+        try:
+            ident = (df.semanticHash(), key, probe_fraction)
+        except Exception:
+            ident = None  # connect-mode / analysis quirk: skip the memo
+        if ident is not None and ident in _PROBE_MEMO:
+            return _PROBE_MEMO[ident]
+    sample = df.select(key).sample(fraction=probe_fraction, seed=42)
+    top = (
+        sample.groupBy(key)
+        .count()
+        .agg(
+            F.max("count").alias("top"),
+            F.sum("count").alias("total"),
+        )
+        .collect()[0]
+    )
+    hot_share = (top.top / top.total) if top.total else 0.0
+    if ident is not None:
+        _PROBE_MEMO[ident] = hot_share
+    return hot_share
+
+
 def skew_join(
     big: DataFrame,
     small: DataFrame,
@@ -205,17 +248,9 @@ def skew_join(
         return big.join(small, key, how)
     if force != "salt":
         if hot_share is None and probe:
-            sample = big.select(key).sample(fraction=probe_fraction, seed=42)
-            top = (
-                sample.groupBy(key)
-                .count()
-                .agg(
-                    F.max("count").alias("top"),
-                    F.sum("count").alias("total"),
-                )
-                .collect()[0]
+            hot_share = probe_hot_share(
+                big, key, probe_fraction=probe_fraction
             )
-            hot_share = (top.top / top.total) if top.total else 0.0
         if hot_share is not None:
             if hot_share < hot_threshold:
                 return big.join(small, key, how)

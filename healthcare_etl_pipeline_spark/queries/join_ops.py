@@ -184,6 +184,63 @@ def skew_join_lineitem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_join_hot_customer",
+    oracle="""
+    WITH hot AS (
+      SELECT CASE WHEN o_orderkey % 5 < 2
+                  THEN (SELECT min(c_custkey) FROM customer)
+                  ELSE o_custkey END AS c_custkey,
+             o_totalprice
+      FROM orders
+    )
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           CAST(round(sum(CAST(h.o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS total_price
+    FROM hot h JOIN customer c ON h.c_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="The skew gate's HOT path end-to-end: orders deterministic"
+    "ally remapped so ~40% of rows land on one customer key (the measured "
+    "regime where explicit salting beats AQE skewJoin 2.2x, BENCH_NOTES "
+    "round 8), joined via skew_join(probe=True) — the sampled probe "
+    "estimates the hot share, clears the 5% threshold, and takes the SALT "
+    "path (asserted in tests; memoized per (plan, key) so repeated gate "
+    "decisions cost one scan). Money total is the EXACT split-accumulator "
+    "sum — ~6M rows funnel into one group at sf10, the regime where "
+    "double-sum order drift flips cents. Same-oracle-as-plain-join "
+    "contract: the gate must never change values.",
+    tags=("join", "skew", "salt"),
+)
+def skew_join_hot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.queries.tpch import (
+        recombine,
+        split_sums,
+    )
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hot_key = cust.agg(F.min("c_custkey")).collect()[0][0]  # 1-row driver val
+    orders = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 5 < 2, F.lit(hot_key))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        "o_totalprice",
+    )
+    joined = J.skew_join(
+        orders, cust, key="c_custkey", salt_buckets=8,
+        probe=True, probe_fraction=0.01,
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            *split_sums(cents, "total_price"),
+        )
+        .select("c_mktsegment", "n_orders", recombine("total_price", 2, 2))
+    )
+
+
+@query(
     "bloom_prefilter_join_orders",
     oracle="""
     SELECT c.c_custkey, c.c_name, count(*) AS order_cnt,

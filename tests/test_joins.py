@@ -357,3 +357,53 @@ def test_skew_join_gates_on_aqe(spark):
 
     with _pytest.raises(ValueError):
         J.skew_join(big, small, key="k", force="bogus")
+
+
+def test_probe_hot_share_memoized(spark, monkeypatch):
+    """probe_hot_share memoizes per (semantic plan, key, fraction): the
+    second gate decision on the same logical input must not re-scan."""
+    J._PROBE_MEMO.clear()
+    hot = spark.createDataFrame([(7, i) for i in range(4000)], ["k", "v"])
+
+    calls = {"n": 0}
+    orig_sample = type(hot).sample
+
+    def counting_sample(self, *a, **kw):
+        calls["n"] += 1
+        return orig_sample(self, *a, **kw)
+
+    monkeypatch.setattr(type(hot), "sample", counting_sample)
+    s1 = J.probe_hot_share(hot, "k", probe_fraction=0.2)
+    s2 = J.probe_hot_share(hot, "k", probe_fraction=0.2)
+    assert s1 == s2 and s1 > 0.9
+    assert calls["n"] == 1, "second probe must hit the memo, not re-scan"
+
+    # an equivalent-but-distinct DataFrame object of the same plan also
+    # hits the memo (semanticHash identity, not Python object identity)
+    twin = spark.createDataFrame([(7, i) for i in range(4000)], ["k", "v"])
+    if twin.semanticHash() == hot.semanticHash():
+        J.probe_hot_share(twin, "k", probe_fraction=0.2)
+        assert calls["n"] == 1
+    # different fraction -> distinct memo entry -> new scan
+    J.probe_hot_share(hot, "k", probe_fraction=0.5)
+    assert calls["n"] == 2
+    # memo=False bypasses
+    J.probe_hot_share(hot, "k", probe_fraction=0.2, memo=False)
+    assert calls["n"] == 3
+    J._PROBE_MEMO.clear()
+
+
+def test_skew_join_hot_customer_takes_salt_path(spark):
+    """The registry hot-key query's gate decision must be SALT (probe
+    sees the ~40% synthetic hot share) and values must equal the plain
+    join — the gate never changes results."""
+    from healthcare_etl_pipeline_spark.queries.join_ops import (
+        skew_join_hot_customer,
+    )
+
+    J._PROBE_MEMO.clear()
+    out = skew_join_hot_customer(spark, "/root/testdata/sf0.01")
+    assert "__salt" in out._jdf.queryExecution().analyzed().toString()
+    rows = {(r.c_mktsegment, r.n_orders, r.total_price) for r in out.collect()}
+    assert sum(r[1] for r in rows) > 0
+    J._PROBE_MEMO.clear()
