@@ -18,9 +18,16 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# Per-SESSION scan memo (weak keys: a stopped session's entries vanish
+# with it). Values are lazy DataFrames — plan templates, not data.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -169,9 +176,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     regardless of the physical encoding: nanos-vintage files are read as
     nanos-since-epoch (legacy conf) and rebuilt, truncating the same way
     DuckDB does; micros-vintage files are read natively.
+
+    The returned (immutable, lazy) DataFrame is memoized per live
+    session + (sf_dir, name): building ``spark.read.parquet`` costs
+    ~0.1 s of py4j round-trips + a footer read, and a 20-query bench or
+    a multi-table query pays it once per TABLE instead of once per
+    REFERENCE. The testdata dirs are read-only, so the cached scan's
+    footer schema cannot go stale; the plan itself re-lists files at
+    execution like any parquet scan.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    memo_key = (os.path.abspath(sf_dir), name)
+    try:
+        session_memo = _TABLE_MEMO.setdefault(spark, {})
+        if memo_key in session_memo:
+            return session_memo[memo_key]
+    except TypeError:  # unhashable/mock session in a unit test
+        session_memo = None
+    df = _load_table_uncached(spark, sf_dir, name)
+    if session_memo is not None:
+        session_memo[memo_key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -7,6 +7,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,11 +71,28 @@ def spread(df: DataFrame, spark: SparkSession, target: int | None = None) -> Dat
     return df
 
 
+_TD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def td(
     spark: SparkSession, sf_dir: str, name: str, target: int | None = None
 ) -> DataFrame:
-    """``t`` + ``spread``: the loader for compute-bound queries."""
-    return spread(t(spark, sf_dir, name), spark, target)
+    """``t`` + ``spread``: the loader for compute-bound queries.
+
+    Memoized per session like ``load_table``: ``spread``'s partition
+    probe (``df.rdd.getNumPartitions()``) forces a plan-to-RDD
+    conversion costing ~0.1 s of driver round-trips per call — pure over
+    a read-only table, so pay it once per (sf_dir, table, target)."""
+    key = (os.path.abspath(sf_dir), name, target)
+    try:
+        memo = _TD_MEMO.setdefault(spark, {})
+    except TypeError:  # unhashable/mock session in a unit test
+        return spread(t(spark, sf_dir, name), spark, target)
+    if key not in memo:
+        memo[key] = spread(t(spark, sf_dir, name), spark, target)
+    return memo[key]
 
 
 # Dimensions whose cardinality is FIXED by the schema (region: 5 rows,
