@@ -92,6 +92,7 @@ RUNG_FAMILIES = [
     "digest_embeddings",
     "cosine_topk_bruteforce",
     "ann_ivf_cosine",
+    "ann_lsh_cosine",
 ]
 
 
