@@ -39,13 +39,27 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     return d
 
 
+_UTC_PINNED: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table (lazy parquet scan).
 
-    Pins the session timezone to UTC first: query results must not depend on
-    whichever session the driver hands us (oracle comparisons assume UTC).
+    Pins the session timezone to UTC first (once per session — the
+    conf.set round-trip is measurable when hundreds of loads run per
+    process): query results must not depend on whichever session the
+    driver hands us (oracle comparisons assume UTC).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        pinned = spark in _UTC_PINNED
+    except TypeError:
+        pinned = False
+    if not pinned:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            _UTC_PINNED.add(spark)
+        except TypeError:
+            pass
     return load_table(spark, sf_dir, name)
 
 
