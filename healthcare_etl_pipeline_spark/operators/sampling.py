@@ -316,3 +316,60 @@ def temperature_mix(
         .filter(hash_bucket(id_col, salt=salt) < F.col("__bound"))
         .drop("__bound")
     )
+
+
+def shuffle_key(id_col: Column | str, *, seed: int = 0) -> Column:
+    """Deterministic pseudo-random TOTAL-ORDER key for global shuffling:
+    the cubed mixer over (id, seed) — ``x -> ((id*K + seed) % p)^3 % p``
+    is a bijection of Z_p (gcd(3, p-1) = 1), so ids below p get DISTINCT
+    keys and the induced order is a seeded permutation, not a sample.
+    Ids ≥ p alias mod p (keys then tie; callers break ties by id), which
+    only makes the order locally less random, never loses a row. Changing
+    ``seed`` yields an independent training order — the reshuffle between
+    epochs, without RNG state or partition sensitivity."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    mixed = ((c.cast("long") % MOD) * (MIX_K % MOD) + F.lit(seed)) % MOD
+    return (mixed * mixed % MOD) * mixed % MOD
+
+
+def shuffle_key_sql(expr: str, *, seed: int = 0) -> str:
+    """The identical arithmetic in portable SQL (DuckDB oracle)."""
+    m = f"(((CAST({expr} AS BIGINT) % {MOD}) * ({MIX_K % MOD}) + {seed}) % {MOD})"
+    return f"(({m} * {m} % {MOD}) * {m} % {MOD})"
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets a
+    ``shard`` in [0, n_shards) and a ``pos`` (1-based) giving its position
+    within the shard under the seeded permutation — the write-side shape of
+    "globally shuffle the corpus, then write N shard files in order" that
+    training-data pipelines need for IO-efficient random-order reads.
+
+    Physical plan = exactly the shard write: ONE hash shuffle on ``shard``
+    + an in-partition sort (the window below), so at 100 TB each shard
+    streams through one task in its final order — no global sort, no
+    single reducer, no driver involvement. Disjoint + exhaustive by
+    construction (shard = key % n_shards; pos = row_number within shard),
+    stable across reruns, partitioning, and engines (pure arithmetic —
+    the same expressions run in DuckDB for the oracle)."""
+    from pyspark.sql.window import Window
+
+    key = shuffle_key(id_col, seed=seed)
+    with_key = df.withColumn("__shuffle_key", key).withColumn(
+        shard_col, (F.col("__shuffle_key") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__shuffle_key"), F.col(id_col)
+    )
+    return (
+        with_key.withColumn(pos_col, F.row_number().over(w))
+        .drop("__shuffle_key")
+    )

@@ -18,7 +18,10 @@ from pyspark.sql import types as T
 from healthcare_etl_pipeline_spark.operators import dedup as D
 from healthcare_etl_pipeline_spark.operators import similarity as S
 from healthcare_etl_pipeline_spark.operators import text as X
-from healthcare_etl_pipeline_spark.operators.sampling import hash_bucket_sql
+from healthcare_etl_pipeline_spark.operators.sampling import (
+    hash_bucket_sql,
+    shuffle_key_sql,
+)
 from healthcare_etl_pipeline_spark.queries.helpers import t, td, scratch_dir
 from healthcare_etl_pipeline_spark.queries.registry import query
 
@@ -1263,6 +1266,35 @@ def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return hash_split(docs, "doc_id")
+
+
+@query(
+    "shuffle_shards_docs",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({{k}} % 16 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY {{k}} % 16
+                                   ORDER BY {{k}}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """.replace("{k}", shuffle_key_sql("doc_id", seed=7)),
+    description="Deterministic global shuffle into 16 training shards: "
+    "shard = cubed-mixer(doc_id, seed) % 16, pos = position within the "
+    "shard under the seeded permutation (the mixer is a bijection of "
+    "Z_p, so the order is a true permutation, not a sample). The plan is "
+    "exactly the shard-write shape — ONE hash shuffle on shard + an "
+    "in-partition sort, no global sort, no single reducer — so at 100 TB "
+    "each shard streams through one task in final order; a new seed is a "
+    "new epoch order, reproducible across engines/reruns/partitionings "
+    "(df.sample/rand() are neither).",
+    tags=("sampling", "shuffle", "shards", "llm"),
+)
+def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_shards(docs, "doc_id", n_shards=16, seed=7)
 
 
 @query(

@@ -219,3 +219,44 @@ def test_grouped_hash_split_never_straddles_groups(spark):
     assert out.exceptAll(again).count() == 0
     # all three splits are populated at this group count
     assert out.select("split").distinct().count() == 3
+
+
+def test_shuffle_shards_permutation_properties(spark):
+    """shuffle_shards is a seeded PERMUTATION into shards: every row keeps
+    exactly one (shard, pos); positions are 1..count(shard) dense; the
+    assignment is invariant to input partitioning; a different seed gives
+    a different order."""
+    from pyspark.sql import functions as F
+
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", n_shards=8, seed=3)
+    assert out.count() == 5000  # exhaustive
+    # dense 1..n positions per shard
+    per = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("d"),
+        )
+        .collect()
+    )
+    assert len(per) == 8
+    for r in per:
+        assert (r.lo, r.hi, r.d) == (1, r.n, r.n)
+        assert r.n > 400  # balanced within ~35% of 625
+    # partitioning invariance
+    shuffled_input = df.repartition(13).orderBy(F.desc("doc_id"))
+    again = shuffle_shards(shuffled_input, "doc_id", n_shards=8, seed=3)
+    a = {(r.doc_id, r.shard, r.pos) for r in out.collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in again.collect()}
+    assert a == b
+    # a new seed reshuffles (epoch re-order): same rows, different order
+    other = shuffle_shards(df, "doc_id", n_shards=8, seed=4)
+    c = {(r.doc_id, r.shard, r.pos) for r in other.collect()}
+    assert c != a and {x[0] for x in c} == {x[0] for x in a}
