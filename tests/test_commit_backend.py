@@ -286,3 +286,39 @@ def test_crash_mid_copy_then_retry_republishes(spark, tmp_path):
     assert summary["txn"]["committed"] is True
     assert wh.read("patients").count() == 1
     assert wh.read("consent_records").count() == 2
+
+
+def test_put_if_absent_cross_process_single_winner(tmp_path, backend_name):
+    """Real OS-level contention: 8 separate PROCESSES race put_if_absent
+    on one path. The in-process thread test can't catch a backend that
+    accidentally relies on interpreter-level locking; this exercises the
+    actual O_EXCL/link atomicity the protocol claims. Exactly one wins
+    and the surviving object is that winner's payload, intact."""
+    import subprocess
+    import sys
+
+    target = str(tmp_path / "marker.json")
+    code = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from healthcare_etl_pipeline_spark.sources.commit_backend import (\n"
+        "    LocalFSBackend, ConditionalPutBackend)\n"
+        "be = LocalFSBackend() if sys.argv[1] == 'localfs' "
+        "else ConditionalPutBackend()\n"
+        "ok = be.put_if_absent(sys.argv[2], 'payload-' + sys.argv[3])\n"
+        "print('WON' if ok else 'LOST')\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, backend_name, target, str(i)],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(8)
+    ]
+    outcomes = [p.communicate()[0].strip() for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    assert outcomes.count("WON") == 1, outcomes
+    winner = outcomes.index("WON")
+    with open(target) as fh:
+        assert fh.read() == f"payload-{winner}"
