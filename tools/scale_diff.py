@@ -85,6 +85,7 @@ RUNG_FAMILIES = [
     "hash_split_docs",
     "stratified_sample_docs",
     "weighted_sample_docs",
+    "shuffle_shards_docs",
     # digest-canon self-gates
     "digest_lineitem",
     "digest_dedup_exact_lineitem",
