@@ -357,25 +357,39 @@ def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_interface_revenue_rank",
     oracle="""
-    WITH nation_rev AS (
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 1000000) AS BIGINT)) AS hi,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000000) AS lo
+      FROM orders
+      GROUP BY o_custkey
+    ), nation_rev AS (
       SELECT n.n_name, c.c_mktsegment,
-             CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
-      FROM orders o
-      JOIN customer c ON o.o_custkey = c.c_custkey
+             CAST(sum(p.hi) * 1000000 + sum(p.lo) AS DOUBLE) / 100 AS revenue
+      FROM per_cust p
+      JOIN customer c ON p.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name, c.c_mktsegment
     )
     SELECT n_name, c_mktsegment, revenue,
-           rank() OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, n_name) AS rev_rank
+           rank() OVER (PARTITION BY c_mktsegment
+                        ORDER BY revenue DESC, n_name) AS rev_rank
     FROM nation_rev
     WHERE revenue > 0
     """,
-    description="Pure Spark-SQL surface: the same text (CTE + join + window "
-    "rank) runs through spark.sql over registered views and through DuckDB — "
-    "exercising the SQL front end rather than the DataFrame API. Revenue "
-    "sums in DECIMAL (exact — the sf100 digest rung caught the double-sum "
-    "form off by one cent on ~6M-row groups) and surfaces as DOUBLE, "
-    "keeping the text identical in both engines.",
+    description="Pure Spark-SQL surface: the same text (CTEs + joins + "
+    "window rank) runs through spark.sql over registered views and through "
+    "DuckDB — exercising the SQL front end rather than the DataFrame API. "
+    "Exactness AND speed are both in the shared text: revenue is the "
+    "split-accumulator sum (hi/lo BIGINT cents — the earlier DECIMAL(18,2) "
+    "sum was exact but per-row BigDecimal, and the plain double sum was "
+    "the cent-drift bug the sf100 rung caught), pre-aggregated per "
+    "customer BEFORE the join so the orders->customer shuffle carries one "
+    "narrow row per customer, not one per order (3.3x at sf100, values "
+    "identical). Recombine casts exact integer cents to DOUBLE and "
+    "divides by 100 — IEEE division is correctly rounded, so both engines "
+    "produce the identical nearest double (DuckDB's DECIMAL '/' routes "
+    "through double and diverges in the last ulp; measured at sf100).",
     tags=("sql", "window", "agg"),
 )
 def sql_interface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,11 +398,17 @@ def sql_interface_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH nation_rev AS (
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 sum(CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 1000000) AS BIGINT)) AS hi,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000000) AS lo
+          FROM orders
+          GROUP BY o_custkey
+        ), nation_rev AS (
           SELECT n.n_name, c.c_mktsegment,
-                 CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
-          FROM orders o
-          JOIN customer c ON o.o_custkey = c.c_custkey
+                 CAST(sum(p.hi) * 1000000 + sum(p.lo) AS DOUBLE) / 100 AS revenue
+          FROM per_cust p
+          JOIN customer c ON p.o_custkey = c.c_custkey
           JOIN nation n   ON c.c_nationkey = n.n_nationkey
           GROUP BY n.n_name, c.c_mktsegment
         )
