@@ -373,3 +373,69 @@ def shuffle_shards(
         with_key.withColumn(pos_col, F.row_number().over(w))
         .drop("__shuffle_key")
     )
+
+
+def contrastive_negatives(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training.
+
+    For every anchor document, derive ``k`` pseudo-random negative ids as
+    a pure function of ``(anchor_id, rank, salt)`` — the same mixer family
+    as :func:`hash_bucket`, reduced modulo the id-space size — then join
+    back against the corpus to fetch the negatives' content. Properties
+    that matter at 100 TB:
+
+    - **No RNG state**: negatives are recomputable by any engine from ids
+      alone (``df.sample``-style seeded RNG changes with partitioning);
+      re-running an epoch or resuming mid-shard yields identical pairs.
+    - **One shuffle**: candidate generation is a narrow projection
+      (explode of k ranks + arithmetic); the only exchange is the
+      equi-join fetching negative payloads. The id-space size is a 1-row
+      scalar broadcast, not a driver constant.
+    - **Self-collisions drop** (``neg_id != anchor_id``): a uniform
+      sampler re-draws; a deterministic one can't, so the contract is
+      "UP TO k negatives" — at corpus scale the collision rate is k/n.
+
+    Returns ``(anchor_id, neg_rank, neg_id)``; callers join for payloads.
+    """
+    n1 = docs.agg((F.max(F.col(id_col).cast("long")) + 1).alias("_n"))
+    ranks = F.explode(F.array([F.lit(j) for j in range(1, k + 1)])).alias("neg_rank")
+    cand = (
+        docs.select(F.col(id_col).cast("long").alias("anchor_id"))
+        .crossJoin(F.broadcast(n1))
+        .select("anchor_id", "_n", ranks)
+        .withColumn(
+            "neg_id",
+            (
+                (F.col("anchor_id") % MOD) * (MIX_K % MOD)
+                + (F.col("neg_rank").cast("long") + F.lit(salt)) * (MIX_K2 % MOD)
+            )
+            % MOD
+            % F.col("_n"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id")
+    )
+    return cand
+
+
+def contrastive_negatives_sql(id_expr: str, *, k: int = 3, salt: int = 0) -> str:
+    """DuckDB twin of :func:`contrastive_negatives` candidate generation:
+    a CTE body producing (anchor_id, neg_rank, neg_id) from ``documents``."""
+    return f"""
+      WITH _n AS (SELECT max(CAST({id_expr} AS BIGINT)) + 1 AS n FROM documents),
+      _ranks AS (SELECT unnest(range(1, {k + 1})) AS neg_rank),
+      _cand AS (
+        SELECT CAST(d.{id_expr} AS BIGINT) AS anchor_id,
+               CAST(r.neg_rank AS INTEGER) AS neg_rank,
+               ((CAST(d.{id_expr} AS BIGINT) % {MOD}) * ({MIX_K % MOD})
+                + (CAST(r.neg_rank AS BIGINT) + {salt}) * ({MIX_K2 % MOD}))
+               % {MOD} % _n.n AS neg_id
+        FROM documents d, _n, _ranks r
+      )
+    """

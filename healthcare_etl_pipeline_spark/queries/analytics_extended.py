@@ -1411,3 +1411,73 @@ def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events"), "ts", "event_type", "user_id",
         window_days=7,
     )
+
+
+_RECURSIVE_TREE_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT CAST(1 AS BIGINT) AS partkey, 0 AS depth
+  UNION ALL
+  SELECT c.p_partkey AS partkey, w.depth + 1 AS depth
+  FROM walk w
+  JOIN part c ON CAST(floor(c.p_partkey / 2.0) AS BIGINT) = w.partkey
+  WHERE c.p_partkey > 1
+)
+SELECT depth, count(*) AS n_parts, min(partkey) AS min_key, max(partkey) AS max_key
+FROM walk GROUP BY depth
+"""
+
+
+@query(
+    "sql_interface_recursive_tree",
+    oracle=_RECURSIVE_TREE_SQL,
+    description="Pure SQL-surface recursion (WITH RECURSIVE, Spark 4's "
+    "recursive CTE): walk the implicit binary tree over part keys "
+    "(parent = floor(key/2)) from the root and aggregate node counts per "
+    "depth — the same text runs through spark.sql and DuckDB. Each "
+    "iteration is an EQUI-join of the frontier against the part scan "
+    "(the parent expression is computed on the probe side), so every "
+    "step is a plain shuffled/broadcast hash join and the iteration "
+    "count is log2(|part|) — ~25 joins at 20M parts, not a "
+    "row-at-a-time driver loop. The iterative-DataFrame twin of this "
+    "shape is bfs_hops_orders; this entry pins the SQL front end.",
+    tags=("sql", "recursive", "iterative"),
+)
+def sql_interface_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+WITH cs AS (SELECT c_custkey FROM customer)
+SELECT cs.c_custkey, l.o_orderkey, l.o_totalprice
+FROM cs, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = cs.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) l
+"""
+
+
+@query(
+    "sql_interface_lateral_topk",
+    oracle=_LATERAL_TOPK_SQL,
+    description="SQL-surface correlated LATERAL subquery with ORDER BY + "
+    "LIMIT (top-2 orders per customer), same text in both engines. "
+    "Catalyst DECORRELATES the apply: the executed plan is a map-side "
+    "partial WindowGroupLimit (per-partition top-k before the shuffle) "
+    "+ one hash exchange + broadcast join back to the customer keys — "
+    "i.e. the same distributed top-k-per-group shape as "
+    "top_orders_per_customer, never a per-customer nested loop. The "
+    "deterministic tie-break (price DESC, orderkey ASC) is what makes "
+    "the result value-comparable across engines.",
+    tags=("sql", "lateral", "window"),
+)
+def sql_interface_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

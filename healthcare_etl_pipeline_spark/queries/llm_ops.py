@@ -3737,3 +3737,93 @@ def lsh_eval_pr_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
         F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
     )
+
+
+@query(
+    "warc_export_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({hash_bucket_sql("doc_id")} % 8 AS INTEGER) AS shard,
+           lang,
+           'https://example.org/' || source || '/' || doc_id AS target_uri,
+           md5(text) AS text_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+    FROM documents
+    """,
+    description="Web-archive interchange, value-checked through the FULL "
+    "write->read roundtrip: documents shard deterministically, export as "
+    "Common-Crawl-layout .warc.gz (WARC 1.0 records, one gzip member per "
+    "record, deterministic bytes — sorted within shard, fixed WARC-Date, "
+    "mtime=0), then parse BACK via the binaryFile source (one task per "
+    "archive, the honest parallelism unit for gzip'd WARC). Returned ids, "
+    "filename-derived shard assignments, language headers, target URIs, "
+    "payload md5s and byte lengths must match the oracle's direct "
+    "recomputation — a framing bug, a broken utf-8 roundtrip, or a "
+    "manifest/row-count mismatch (asserted in-query) flips the check red. "
+    "Format implemented from the public ISO 28500 spec "
+    "(sources/warc.py); no WARC library involved.",
+    tags=("export", "source", "sink", "llm"),
+)
+def warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.sources.warc import (
+        export_warc_shards,
+        read_warc,
+        shard_of_file,
+    )
+
+    out = scratch_dir("warc_export", sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    manifest = export_warc_shards(docs, out, n_shards=8)
+
+    back = read_warc(spark, out + "/shard-*.warc.gz")
+    n_back = back.count()
+    assert manifest["row_count"] == n_back, "manifest must account for every row"
+    assert sum(manifest["shard_counts"].values()) == n_back
+    return back.select(
+        "doc_id",
+        shard_of_file(F.col("source_file")).alias("shard"),
+        "lang",
+        "target_uri",
+        F.md5("text").alias("text_md5"),
+        "content_length",
+    )
+
+
+from healthcare_etl_pipeline_spark.operators.sampling import (  # noqa: E402
+    contrastive_negatives_sql as _cn_sql,
+)
+
+
+@query(
+    "contrastive_negatives_docs",
+    oracle=_cn_sql("doc_id", k=3, salt=0)
+    + """
+    SELECT c.anchor_id, c.neg_rank, c.neg_id,
+           md5(x.text) AS neg_md5, x.source AS neg_source
+    FROM _cand c JOIN documents x ON x.doc_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id
+    """,
+    description="Deterministic negative sampling for contrastive/embedding "
+    "training: k=3 pseudo-random negatives per anchor derived purely from "
+    "(anchor_id, rank) by the portable multiplicative mixer mod the "
+    "id-space size (a 1-row scalar broadcast, not a driver constant), "
+    "then ONE equi-join fetches negative payloads. No RNG state — resuming "
+    "an epoch or re-running on a different partitioning yields identical "
+    "pairs, and the DuckDB oracle recomputes the exact same candidate set. "
+    "Self-collisions drop (deterministic samplers can't redraw), so the "
+    "contract is up-to-k negatives with collision rate k/n.",
+    tags=("sampling", "training", "llm"),
+)
+def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.operators.sampling import contrastive_negatives
+
+    docs = t(spark, sf_dir, "documents")
+    cand = contrastive_negatives(docs, "doc_id", k=3, salt=0)
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.md5("text").alias("neg_md5"),
+        F.col("source").alias("neg_source"),
+    )
+    return cand.join(neg, "neg_id").select(
+        "anchor_id", "neg_rank", "neg_id", "neg_md5", "neg_source"
+    )

@@ -47,3 +47,52 @@ def test_unpivot_row_multiplicity(spark):
     out = get("unpivot_part_measures").fn(spark, SF)
     n_parts = t(spark, SF, "part").count()
     assert out.count() == 2 * n_parts
+
+
+def test_recursive_tree_matches_closed_form(spark):
+    """Binary-tree depth histogram has a closed form: full levels hold
+    2^d nodes; the last level holds the remainder."""
+    rows = {r.depth: r for r in get("sql_interface_recursive_tree").fn(spark, SF).collect()}
+    # keys run 0..N-1; key 0 is unreachable from root 1, so the tree
+    # covers the contiguous keys 1..N-1
+    n = t(spark, SF, "part").filter(F.col("p_partkey") >= 1).count()
+    depth = 0
+    remaining = n
+    while remaining > 0:
+        level = min(2**depth, remaining)
+        r = rows[depth]
+        assert r.n_parts == level, (depth, r.n_parts, level)
+        assert r.min_key == 2**depth
+        assert r.max_key == 2**depth + level - 1
+        remaining -= level
+        depth += 1
+    assert set(rows) == set(range(depth))
+
+
+def test_lateral_topk_decorrelates_to_window_topk(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT 2) must plan as the
+    distributed top-k-per-group shape — map-side partial WindowGroupLimit
+    before the exchange — not a per-customer nested loop."""
+    df = get("sql_interface_lateral_topk").fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # at most 2 per customer, correct top-2 for a sampled customer
+    per = df.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
+    assert per <= 2
+    import pyspark.sql.functions as SF_
+    sample_key = df.select("c_custkey").first()[0]
+    got = sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in df.filter(F.col("c_custkey") == sample_key).collect()
+    )
+    exact = (
+        t(spark, SF, "orders")
+        .filter(F.col("o_custkey") == sample_key)
+        .orderBy(SF_.desc("o_totalprice"), "o_orderkey")
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    assert got == sorted((r.o_orderkey, r.o_totalprice) for r in exact)

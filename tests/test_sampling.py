@@ -260,3 +260,45 @@ def test_shuffle_shards_permutation_properties(spark):
     other = shuffle_shards(df, "doc_id", n_shards=8, seed=4)
     c = {(r.doc_id, r.shard, r.pos) for r in other.collect()}
     assert c != a and {x[0] for x in c} == {x[0] for x in a}
+
+
+def test_contrastive_negatives_properties(spark):
+    from healthcare_etl_pipeline_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    cand = contrastive_negatives(docs, "doc_id", k=3, salt=0)
+    rows = cand.collect()
+
+    # up-to-k contract: at most 3 per anchor, never the anchor itself,
+    # ids always inside the id space
+    per = {}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert 0 <= r.neg_id < n
+        per.setdefault(r.anchor_id, []).append(r.neg_rank)
+    assert all(len(v) <= 3 and len(set(v)) == len(v) for v in per.values())
+    assert len(rows) >= 3 * n - 10  # collisions are rare: ~k/n
+
+    # deterministic + partitioning-independent
+    again = set(
+        map(tuple, contrastive_negatives(docs.repartition(7), "doc_id", k=3).collect())
+    )
+    assert set(map(tuple, rows)) == again
+
+    # a different salt draws an (almost entirely) different negative set
+    other = set(
+        (r.anchor_id, r.neg_rank, r.neg_id)
+        for r in contrastive_negatives(docs, "doc_id", k=3, salt=99).collect()
+    )
+    overlap = len(set(map(tuple, rows)) & other) / len(rows)
+    assert overlap < 0.05, overlap
+
+    # negatives spread across the corpus rather than clustering: every
+    # decile of the id space is hit
+    import collections
+
+    deciles = collections.Counter(r.neg_id * 10 // n for r in rows)
+    assert len(deciles) == 10
