@@ -1446,6 +1446,16 @@ def sql_interface_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_etl_pipeline_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # Spark's runaway-recursion guard (spark.sql.cteRecursionRowLimit,
+    # default 1M cumulative rows) is a SAFETY NET, not a semantic bound —
+    # this walk provably visits each part key at most once, so size the
+    # guard to the table (found live by the sf10 rung: 2M parts tripped
+    # the default). Keeping the guard data-scaled (rather than -1) still
+    # catches a genuinely diverging recursion loudly.
+    n_parts = spark.table("part").count()
+    current = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if n_parts + 16 > current:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(n_parts + 16))
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 

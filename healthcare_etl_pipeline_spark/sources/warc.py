@@ -43,6 +43,7 @@ import io
 import json
 import os
 import tempfile
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -90,6 +91,42 @@ def _gzip_member(raw: bytes) -> bytes:
 
 class WarcFormatError(ValueError):
     pass
+
+
+def gunzip_members(blob: bytes) -> bytes:
+    """Linear-time decompression of concatenated gzip members.
+
+    stdlib ``gzip.decompress`` re-copies the ENTIRE remaining buffer into
+    ``unused_data`` once per member — O(members x bytes), quadratic on
+    Common-Crawl-layout archives with one member per record (measured:
+    ~70 s for a 21 MB / 62k-member shard; this path does it in well under
+    a second). Feeding fixed-size chunks through a streaming
+    ``decompressobj`` keeps every byte touched O(1) times; zlib's gzip
+    wrapper (wbits=31) still verifies each member's CRC and length.
+    Raises ``OSError`` on a truncated final member, matching the gzip
+    module's failure mode.
+    """
+    out: list[bytes] = []
+    view = memoryview(blob)
+    pos, n = 0, len(blob)
+    # Small chunks bound the per-member-boundary unused_data copy to
+    # chunk_size bytes: total extra memcpy is O(members x chunk), and the
+    # Python loop count for large single-member files stays trivial.
+    chunk_size = 1 << 16
+    while pos < n:
+        do = zlib.decompressobj(wbits=31)
+        while not do.eof and pos < n:
+            chunk = view[pos : pos + chunk_size]
+            pos += len(chunk)
+            out.append(do.decompress(chunk))
+        if not do.eof:
+            raise OSError(
+                "Compressed file ended before the end-of-stream marker was reached"
+            )
+        # rewind to the exact member boundary; the next member re-reads
+        # from the source view instead of chaining unused_data copies
+        pos -= len(do.unused_data)
+    return b"".join(out)
 
 
 def parse_records(raw: bytes) -> Iterator[dict]:
@@ -263,8 +300,8 @@ def read_warc(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 base = os.path.basename(str(fpath))
                 try:
-                    raw = gzip.decompress(bytes(content))
-                except OSError as exc:
+                    raw = gunzip_members(bytes(content))
+                except (OSError, zlib.error) as exc:
                     if on_malformed == "fail":
                         raise WarcFormatError(f"{base}: bad gzip stream: {exc}") from exc
                     if on_malformed == "route":

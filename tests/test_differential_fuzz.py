@@ -182,6 +182,10 @@ def duck():
     con.execute(
         f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
     )
+    for extra in ("customer", "supplier", "part"):  # grammar 7 dims
+        con.execute(
+            f"CREATE VIEW {extra} AS SELECT * FROM read_parquet('{SF_DIR}/{extra}.parquet')"
+        )
     yield con
     con.close()
 
@@ -857,3 +861,104 @@ def test_distinct_filter_rollup_aggregates_agree(spark, duck, q):
     drows = [tuple(r) for r in duck.execute(_duck_agg6_sql(q)).fetchall()]
     ok, why = _agree(_normalize(srows, n_key), _normalize(drows, n_key))
     assert ok, f"{why}\nAST: {q}\nSQL: {_duck_agg6_sql(q)}"
+
+
+# -- grammar 7: same-TEXT SQL (correlated LATERAL top-k / recursive CTE) ------
+#
+# Grammars 1-6 lower one AST through TWO renderers (DataFrame + SQL); this
+# one exercises the SQL FRONT ENDS on identical text — any disagreement is
+# an engine-semantics divergence in decorrelation (LATERAL + ORDER BY +
+# LIMIT) or fixpoint iteration (WITH RECURSIVE), the two surfaces pinned by
+# the sql_interface_* registry queries.
+
+_LAT_PAIRS = [
+    # (dim table, dim key, fact table, fk, value cols, unique tie-break cols)
+    ("customer", "c_custkey", "orders", "o_custkey",
+     ["o_totalprice"], ["o_orderkey"]),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey",
+     ["l_extendedprice", "l_quantity"], ["l_orderkey", "l_linenumber"]),
+]
+
+_TREE_TABS = [("part", "p_partkey"), ("customer", "c_custkey")]
+
+sql7_ast = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["lateral", "recursive"]),
+        "pair": st.integers(min_value=0, max_value=1),
+        "val_idx": st.integers(min_value=0, max_value=1),
+        "desc": st.booleans(),
+        "k": st.integers(min_value=1, max_value=3),
+        "dim_mod": st.one_of(st.none(), st.integers(min_value=2, max_value=7)),
+        "fanout": st.integers(min_value=2, max_value=4),
+        "depth_cap": st.integers(min_value=2, max_value=7),
+        "tree_tab": st.integers(min_value=0, max_value=1),
+    }
+)
+
+
+def _sql7(q) -> str:
+    if q["kind"] == "lateral":
+        dim, dk, fact, fk, vals, ties = _LAT_PAIRS[q["pair"]]
+        val = vals[q["val_idx"] % len(vals)]
+        direction = "DESC" if q["desc"] else "ASC"
+        tie = ", ".join(f"f.{c}" for c in ties)
+        tie_sel = ", ".join(f"f.{c} AS {c}" for c in ties)
+        flt = f" WHERE {dk} % {q['dim_mod']} = 1" if q["dim_mod"] else ""
+        return f"""
+        WITH cs AS (SELECT {dk} FROM {dim}{flt})
+        SELECT cs.{dk} AS dim_key, l.*
+        FROM cs, LATERAL (
+          SELECT f.{val} AS v, {tie_sel}
+          FROM {fact} f WHERE f.{fk} = cs.{dk}
+          ORDER BY f.{val} {direction}, {tie}
+          LIMIT {q['k']}
+        ) l
+        """
+    tab, key = _TREE_TABS[q["tree_tab"]]
+    return f"""
+    WITH RECURSIVE walk AS (
+      SELECT CAST(1 AS BIGINT) AS nodekey, 0 AS depth
+      UNION ALL
+      SELECT t.{key} AS nodekey, w.depth + 1 AS depth
+      FROM walk w
+      JOIN {tab} t ON CAST(floor(t.{key} / {q['fanout']}.0) AS BIGINT) = w.nodekey
+      WHERE t.{key} > 1 AND w.depth < {q['depth_cap']}
+    )
+    SELECT depth, count(*) AS n_nodes, min(nodekey) AS min_key, max(nodekey) AS max_key
+    FROM walk GROUP BY depth
+    """
+
+
+def _t7_agree(srows, drows):
+    if len(srows) != len(drows):
+        return False, f"row-count {len(srows)} vs {len(drows)}"
+    for a, b in zip(sorted(srows), sorted(drows)):
+        for x, y in zip(a, b):
+            if isinstance(x, float) or isinstance(y, float):
+                if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9):
+                    return False, f"value {x} vs {y} in {a} / {b}"
+            elif x != y:
+                return False, f"value {x} vs {y} in {a} / {b}"
+    return True, ""
+
+
+def _check_sql7(spark, duck, q):
+    from healthcare_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    sql = _sql7(q)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = [tuple(r) for r in duck.execute(sql).fetchall()]
+    return _t7_agree(srows, drows)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=sql7_ast)
+def test_same_text_lateral_recursive_agree(spark, duck, q):
+    ok, why = _check_sql7(spark, duck, q)
+    assert ok, f"{why}\nAST: {q}\nSQL: {_sql7(q)}"

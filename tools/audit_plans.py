@@ -63,6 +63,7 @@ EXPECTED_NESTED_LOOP = {
     "leakage_safe_split_docs",  # leak-audit crossjoin (1-row broadcast agg)
     "pq_adc_topk_embeddings",   # distortion-invariant crossjoin (1-row aggs)
     "ann_ivfpq_recall_contract",  # brute-force exact side: broadcast 10-query × corpus
+    "contrastive_negatives_docs",  # id-space size crossjoin (1-row broadcast agg)
 }
 
 # Queries expected to run Python (Arrow) stages.
@@ -78,6 +79,7 @@ EXPECTED_PYTHON = {
     "dedup_embedding_lsh_auto",  # same signature kernel, auto-sized planes
     "dedup_embedding_pair_sample",  # same signature kernel, sampled pairs
     "bpe_encode_docs",      # Arrow-batched greedy rank-priority encode UDF
+    "warc_export_roundtrip",  # applyInPandas shard writer + mapInPandas WARC parser
     "kmeans_embeddings",    # Arrow-batched centroid-assignment kernel
     "semantic_dedup_embeddings",  # k-means partition (same Arrow kernel)
     "txn_committed_read",   # decrypt-roundtrip UDF on the committed snapshot

@@ -56,7 +56,7 @@ def _draw(strat, n: int, seed_val: int) -> list:
 
 def _duck():
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "customer", "supplier", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{tf.SF_DIR}/{t}.parquet')"
@@ -137,6 +137,11 @@ def _check_agg6(spark, duck, q) -> str | None:
     return f"{why}\nAST: {q}\nSQL: {tf._duck_agg6_sql(q)}"
 
 
+def _check_sql7(spark, duck, q) -> str | None:
+    ok, why = tf._check_sql7(spark, duck, q)
+    return None if ok else f"{why}\nAST: {q}\nSQL: {tf._sql7(q)}"
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -150,6 +155,7 @@ def main() -> int:
         ("set-ops", tf.setop_ast, _check_setop),
         ("subqueries", tf.subq_ast, _check_subq),
         ("distinct+filter+rollup", tf.agg6_ast, _check_agg6),
+        ("same-text lateral+recursive", tf.sql7_ast, _check_sql7),
     ]
     failures = 0
     for name, strat, check in props:

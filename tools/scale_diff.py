@@ -86,6 +86,12 @@ RUNG_FAMILIES = [
     "stratified_sample_docs",
     "weighted_sample_docs",
     "shuffle_shards_docs",
+    # SQL front end (same text in both engines)
+    "sql_interface_recursive_tree",
+    "sql_interface_lateral_topk",
+    # export / interchange + training sampling (round 9)
+    "warc_export_roundtrip",
+    "contrastive_negatives_docs",
     # digest-canon self-gates
     "digest_lineitem",
     "digest_dedup_exact_lineitem",
