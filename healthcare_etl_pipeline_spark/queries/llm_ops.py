@@ -3827,3 +3827,72 @@ def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(neg, "neg_id").select(
         "anchor_id", "neg_rank", "neg_id", "neg_md5", "neg_source"
     )
+
+
+@query(
+    "data_card_sources",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, text, n_chars,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, text, n_chars,
+             len(tk) AS n_tokens,
+             round(0.4 * (CASE WHEN len(tk) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN len(tk) > 0
+                               THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                               ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN length(text) > 0
+                               THEN 1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+                               ELSE 1.0 END), 6) AS quality
+      FROM toks
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate,
+           sum(n_tokens) AS total_tokens,
+           sum(n_chars) AS total_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(CAST(floor(quality * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000) AS avg_quality,
+           CAST(sum(CASE WHEN quality >= 0.85 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS hq_share
+    FROM q
+    GROUP BY source
+    """,
+    description="Per-source corpus data card — the governance summary a "
+    "training-data release ships with: volume (docs/tokens/chars), exact-"
+    "duplicate rate (distinct text md5), composite quality (mean + share "
+    "clearing the 0.85 gate). One scan, one partial-aggregated groupBy on "
+    "a low-cardinality key. Float determinism: the mean is an EXACT "
+    "integer sum of per-row micro-units (6dp quality x 1e6) divided once "
+    "at the end (IEEE division is correctly rounded), and rates are exact "
+    "integer ratios — no cross-partition summation-order drift at any "
+    "scale.",
+    tags=("text", "quality", "reporting", "llm"),
+)
+def data_card_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "n_chars",
+        X.token_count("text").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+        F.md5("text").alias("text_md5"),
+    )
+    n = F.count(F.lit(1))
+    uniq = F.count_distinct(F.col("text_md5"))
+    micro = F.sum(F.floor(F.col("quality") * 1000000 + F.lit(0.5)).cast("long"))
+    hq = F.sum(F.when(F.col("quality") >= 0.85, 1).otherwise(0))
+    return per_doc.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        uniq.cast("long").alias("n_unique_texts"),
+        ((n - uniq).cast("double") / n).alias("dup_rate"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (micro.cast("double") / (n * 1000000)).alias("avg_quality"),
+        (hq.cast("double") / n).alias("hq_share"),
+    )

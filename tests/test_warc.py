@@ -172,3 +172,32 @@ def test_bad_gzip_routes(spark, tmp_path):
     assert len(routed) == 1 and "gzip" in routed[0]["_corrupt"]
     with pytest.raises(Exception, match="gzip"):
         read_warc(spark, arc, on_malformed="fail").collect()
+
+
+def test_gunzip_members_chunk_boundaries():
+    """gunzip_members must agree with stdlib gzip across member sizes that
+    straddle its internal chunk size (64 KiB): tiny members (many per
+    chunk), members exactly at the boundary, and members spanning many
+    chunks."""
+    import io as _io
+    from healthcare_etl_pipeline_spark.sources.warc import gunzip_members
+
+    def member(payload: bytes) -> bytes:
+        b = _io.BytesIO()
+        with gzip.GzipFile(fileobj=b, mode="wb", mtime=0) as gz:
+            gz.write(payload)
+        return b.getvalue()
+
+    payloads = [
+        b"x" * 10,
+        b"boundary" * 8192,          # ~64 KiB
+        bytes(range(256)) * 2048,    # 512 KiB, spans many chunks
+        b"",                          # empty member
+        b"tail",
+    ]
+    blob = b"".join(member(p) for p in payloads)
+    assert gunzip_members(blob) == gzip.decompress(blob) == b"".join(payloads)
+    # single member equivalence
+    assert gunzip_members(member(b"solo")) == b"solo"
+    # empty input
+    assert gunzip_members(b"") == b""
