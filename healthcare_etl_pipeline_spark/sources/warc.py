@@ -174,6 +174,12 @@ def export_warc_shards(
     Returns the manifest dict (also persisted as ``_WARC_MANIFEST.json``
     AFTER the data — readers treat the manifest as the commit point, the
     same convention as the JSONL export and the transactional warehouse).
+
+    Deployment note: shard files are written by EXECUTOR-side Python via
+    plain ``open()``, so ``out_dir`` must be a filesystem every executor
+    can reach (local in local/local-cluster modes; NFS/FUSE-mounted
+    object storage on a real cluster). The atomic-rename dedup relies on
+    POSIX ``rename`` semantics, which those mounts provide.
     """
     os.makedirs(out_dir, exist_ok=True)
     sharded = df.withColumn("shard", hash_bucket(id_col) % n_shards)

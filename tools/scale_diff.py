@@ -89,9 +89,10 @@ RUNG_FAMILIES = [
     # SQL front end (same text in both engines)
     "sql_interface_recursive_tree",
     "sql_interface_lateral_topk",
-    # export / interchange + training sampling (round 9)
+    # export / interchange + training sampling + reporting (round 9)
     "warc_export_roundtrip",
     "contrastive_negatives_docs",
+    "data_card_sources",
     # digest-canon self-gates
     "digest_lineitem",
     "digest_dedup_exact_lineitem",
