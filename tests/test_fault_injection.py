@@ -262,6 +262,22 @@ spark = build_session(
         # task commit, exactly the case the heuristic skips
         ("spark.speculation.efficiency.enabled", "false"),
         ("spark.task.maxFailures", "3"),
+        # The standalone Master removes an app after maxExecutorRetries
+        # (default 10) consecutive executor failures with none running.
+        # Scenario C2 SIGKILLs an executor on purpose, and on a heavily
+        # co-loaded box the relaunch loop can rack up exits (slow worker
+        # registration -> SIGTERM 143) until the cap kills the whole app
+        # ("failed 17 times; removing it", seen once under a parallel
+        # oracle drive). Unlimited retries keeps the deliberate-fault
+        # test from dying to the master's churn accounting.
+        ("spark.deploy.maxExecutorRetries", "-1"),
+        # C2's SIGKILL leaves the victim's shuffle map outputs missing;
+        # every fetch failure while the replacement executor is still
+        # relaunching counts against the RESULT stage's consecutive-
+        # attempt cap (default 4: "ResultStage has failed the maximum
+        # allowable number of times"). The deliberate-fault run needs
+        # headroom for that churn window, not a tighter failure budget.
+        ("spark.stage.maxConsecutiveAttempts", "10"),
         ("spark.driver.extraJavaOptions", f"-Dlog4j2.configurationFile={LOG4J}"),
     ],
 )
@@ -330,6 +346,18 @@ def kill_executor_mid_write(batches):
     inject = tc.partitionId() == SLOW and tc.attemptNumber() == 0
     yield from batches
     if inject:
+        # Fire exactly ONCE across stage re-attempts. attemptNumber() is
+        # per-TaskSet, and a stage RETRY (e.g. a sibling task's shuffle
+        # fetch failed because the victim executor held map outputs)
+        # builds a new TaskSet whose attempt numbers restart at 0 — so
+        # without a global marker every stage attempt would re-kill an
+        # executor (kill -> lose shuffle outputs -> fetch failure ->
+        # stage retry -> kill ...) until maxConsecutiveAttempts aborts.
+        try:
+            fd = os.open(os.path.join(ROOT, "kill-once"), os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return
+        os.close(fd)
         # every row is in this attempt's parquet file; murder the whole
         # executor JVM before task commit
         os.kill(executor_jvm_pid(), 9)
