@@ -82,6 +82,112 @@ def asof_join(
     )
 
 
+def pit_join(
+    labels: DataFrame,
+    features: list[tuple[str, DataFrame, str, list[str]]],
+    *,
+    key: str,
+    label_time: str,
+    horizon: Column | None = None,
+) -> DataFrame:
+    """Point-in-time-correct multi-feature join (feature-store semantics):
+    for each label row, attach from EACH feature table the payload of the
+    latest feature row with the same key and ``feature_time <= label_time``
+    — NULL when no feature row qualifies, and NULL when the matched row is
+    older than ``label_time - horizon`` (feature staleness TTL).
+
+    ``features`` is a list of ``(name, df, time_col, payload_cols)``;
+    payload column names must be distinct across feature tables (they land
+    flat in the output). ``horizon`` is an interval Column (e.g.
+    ``F.expr("INTERVAL 30 MINUTES")``) applied to every feature table;
+    None disables staleness nulling.
+
+    Scale shape: K chained as-of joins would shuffle the label table K
+    times. This is ONE union of labels + all K feature tables and ONE
+    window pass per key — ``K`` independent ``last(payload_k,
+    ignorenulls)`` expressions share the same sort, so the whole join
+    costs a single shuffle of |labels| + Σ|features| rows regardless of
+    K. Staleness is decided AFTER the merge from the matched row's own
+    timestamp (carried inside the payload struct): the latest at-or-before
+    row is the only candidate that could be fresh — anything earlier is
+    staler — so null-if-stale equals match-only-within-window.
+
+    Ties: a feature row at exactly ``label_time`` is visible (feature side
+    sorts before the label side at the same instant), matching DuckDB's
+    inclusive ``ASOF JOIN ... ON f.ts <= l.ts``. Rows of one feature table
+    that share (key, time) must be pre-deduplicated by the caller — which
+    row wins is otherwise tie-broken by physical order.
+    """
+    from pyspark.sql import types as T
+
+    label_struct_t = T.StructType(
+        [T.StructField(c, labels.schema[c].dataType) for c in labels.columns]
+    )
+    feat_struct_t = {}
+    for name, fdf, time_col, payload_cols in features:
+        feat_struct_t[name] = T.StructType(
+            [T.StructField("__ft", fdf.schema[time_col].dataType)]
+            + [T.StructField(c, fdf.schema[c].dataType) for c in payload_cols]
+        )
+
+    def null_feats(except_name: str | None):
+        return [
+            (
+                F.struct(
+                    F.col(time_col).alias("__ft"),
+                    *[F.col(c) for c in payload_cols],
+                )
+                if name == except_name
+                else F.lit(None).cast(feat_struct_t[name])
+            ).alias(f"__f_{name}")
+            for name, _fdf, time_col, payload_cols in features
+        ]
+
+    l_tagged = labels.select(
+        F.col(key).alias("__key"),
+        F.col(label_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*labels.columns).alias("__label"),
+        *null_feats(None),
+    )
+    merged = l_tagged
+    for name, fdf, time_col, _payload_cols in features:
+        merged = merged.unionByName(
+            fdf.select(
+                F.col(key).alias("__key"),
+                F.col(time_col).alias("__t"),
+                F.lit(0).alias("__side"),
+                F.lit(None).cast(label_struct_t).alias("__label"),
+                *null_feats(name),
+            )
+        )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "__side",
+        "__t",
+        "__label",
+        *[
+            F.last(f"__f_{name}", ignorenulls=True).over(w).alias(f"__f_{name}")
+            for name, *_ in features
+        ],
+    ).filter(F.col("__side") == 1)
+    out_cols: list[Column | str] = ["__label.*"]
+    for name, _fdf, _time_col, payload_cols in features:
+        fresh = (
+            F.lit(True)
+            if horizon is None
+            else F.col(f"__f_{name}.__ft") >= F.col("__t") - horizon
+        )
+        out_cols.extend(
+            F.when(fresh, F.col(f"__f_{name}.{c}")).alias(c) for c in payload_cols
+        )
+    return carried.select(*out_cols)
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -1491,3 +1491,39 @@ def sql_interface_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_GROUPING_FILTER_SQL = """
+SELECT
+  coalesce(o_orderpriority, '(all)') AS priority,
+  coalesce(o_orderstatus, '(all)') AS status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  count(*) AS n_orders,
+  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+  CAST(sum(CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 1000000) AS BIGINT)) * 1000000
+       + sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000000) AS DOUBLE) / 100 AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderpriority, o_orderstatus), ())
+"""
+
+
+@query(
+    "sql_interface_grouping_filter",
+    oracle=_GROUPING_FILTER_SQL,
+    description="SQL-surface GROUPING SETS + GROUPING() markers + "
+    "aggregate FILTER (WHERE ...) clauses, same text through spark.sql "
+    "and DuckDB — pins front-end parity for the multi-granularity "
+    "reporting shape (per-priority, per-priority-and-status, grand "
+    "total in ONE scan: Spark executes one Expand + hash aggregate, "
+    "never three scans). Revenue uses the same split-accumulator "
+    "(hi/lo BIGINT cents) recombine-to-double trick as "
+    "sql_interface_revenue_rank so the sums are exact and both engines "
+    "agree at every grouping granularity.",
+    tags=("sql", "agg", "grouping-sets"),
+)
+def sql_interface_grouping_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_FILTER_SQL)

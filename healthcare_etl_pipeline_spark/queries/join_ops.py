@@ -438,7 +438,8 @@ def entity_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -448,7 +449,11 @@ def entity_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exchange on either side — the plan is asserted Exchange-free under "
     "the join before the aggregate. At 100 TB this converts every "
     "recurring join on the bucket key from a full two-sided shuffle into "
-    "a local merge; the groupBy after the join is the only exchange left.",
+    "a local merge; the groupBy after the join is the only exchange left. "
+    "Revenue is the EXACT split-accumulator sum (queries/tpch.py:31): the "
+    "round-9 full-registry sf10 sweep caught the plain double sum off in "
+    "the last cent on 3 M-row segments — summation-order drift, the same "
+    "class the rollup/revenue-rank fixes closed in round 8.",
     tags=("join", "bucketed", "layout", "scale"),
 )
 def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,9 +494,16 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if "Exchange hashpartitioning" in plan:
         raise AssertionError("bucketed join planned a shuffle:\n" + plan)
-    return joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    from healthcare_etl_pipeline_spark.queries.tpch import recombine, split_sums
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            *split_sums(cents, "revenue"),
+        )
+        .select("c_mktsegment", "n_orders", recombine("revenue", 2, 2))
     )
 
 
@@ -529,3 +541,79 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block=F.element_at(F.split(F.col("name"), " "), -1),
         min_sim=0.9,
     )
+
+
+@query(
+    "pit_feature_join_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    views AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN round(c.value, 4) END AS click_value_30m,
+           CASE WHEN v.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN round(v.value, 4) END AS view_value_30m
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    description="Point-in-time-correct feature join (feature-store "
+    "semantics): each purchase label gets the latest click value and the "
+    "latest view value at-or-before the label timestamp, nulled when the "
+    "matched feature row is staler than a 30-minute horizon. ONE union + "
+    "ONE window pass serves BOTH feature tables (operators/joins.py "
+    "pit_join) — K chained as-of joins would shuffle the label table K "
+    "times; this costs a single shuffle regardless of the feature count. "
+    "Oracle: two chained DuckDB ASOF LEFT JOINs + CASE staleness.",
+    tags=("join", "asof", "feature-store", "custom"),
+)
+def pit_feature_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value", "event_type")
+
+    def one_per_instant(typed: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+        return (
+            typed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    purchases = one_per_instant(
+        ev.filter(F.col("event_type") == "purchase")
+    ).select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    clicks = one_per_instant(ev.filter(F.col("event_type") == "click")).select(
+        "user_id", "ts", F.round("value", 4).alias("click_value_30m")
+    )
+    views = one_per_instant(ev.filter(F.col("event_type") == "view")).select(
+        "user_id", "ts", F.round("value", 4).alias("view_value_30m")
+    )
+    joined = J.pit_join(
+        purchases,
+        [
+            ("click", clicks, "ts", ["click_value_30m"]),
+            ("view", views, "ts", ["view_value_30m"]),
+        ],
+        key="user_id",
+        label_time="ts",
+        horizon=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return joined.select("purchase_id", "user_id", "click_value_30m", "view_value_30m")

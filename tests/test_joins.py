@@ -407,3 +407,70 @@ def test_skew_join_hot_customer_takes_salt_path(spark):
     rows = {(r.c_mktsegment, r.n_orders, r.total_price) for r in out.collect()}
     assert sum(r[1] for r in rows) > 0
     J._PROBE_MEMO.clear()
+
+
+def _pit_frames(spark):
+    labels = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 200, "L2"), (2, 50, "L3"), (3, 10, "L4")],
+        ["key", "t", "label"],
+    )
+    f_a = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (2, 49, 3.0)], ["key", "ft", "a_val"]
+    ).select("key", "ft", "a_val")
+    f_b = spark.createDataFrame(
+        [(1, 90, "x"), (2, 50, "y")], ["key", "ft", "b_val"]
+    )
+    return labels, f_a, f_b
+
+
+def test_pit_join_multi_feature_latest_at_or_before(spark):
+    labels, f_a, f_b = _pit_frames(spark)
+    out = J.pit_join(
+        labels,
+        [("a", f_a, "ft", ["a_val"]), ("b", f_b, "ft", ["b_val"])],
+        key="key",
+        label_time="t",
+    )
+    got = {r.label: (r.a_val, r.b_val) for r in out.collect()}
+    assert got == {
+        "L1": (1.0, "x"),   # a@100 inclusive tie visible; b@90
+        "L2": (2.0, "x"),   # latest a@150; b unchanged
+        "L3": (3.0, "y"),   # a@49; b@50 inclusive
+        "L4": (None, None), # key 3 has no feature rows at all
+    }
+    assert out.count() == labels.count()  # left-outer: every label survives
+
+
+def test_pit_join_horizon_nulls_stale_matches(spark):
+    labels, f_a, f_b = _pit_frames(spark)
+    out = J.pit_join(
+        labels,
+        [("a", f_a, "ft", ["a_val"]), ("b", f_b, "ft", ["b_val"])],
+        key="key",
+        label_time="t",
+        horizon=F.lit(10),
+    )
+    got = {r.label: (r.a_val, r.b_val) for r in out.collect()}
+    # L1@100: a@100 fresh (age 0), b@90 fresh (age 10, inclusive edge)
+    # L2@200: a@150 age 50 -> stale; b@90 age 110 -> stale
+    # L3@50: a@49 age 1 fresh, b@50 age 0 fresh
+    assert got == {
+        "L1": (1.0, "x"),
+        "L2": (None, None),
+        "L3": (3.0, "y"),
+        "L4": (None, None),
+    }
+
+
+def test_pit_join_single_shuffle_for_all_features(spark):
+    labels, f_a, f_b = _pit_frames(spark)
+    out = J.pit_join(
+        labels,
+        [("a", f_a, "ft", ["a_val"]), ("b", f_b, "ft", ["b_val"])],
+        key="key",
+        label_time="t",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole K-feature join hangs off ONE hashpartitioning exchange on
+    # the key — the scale contract vs K chained as-of joins
+    assert plan.count("hashpartitioning(__key") == 1, plan
