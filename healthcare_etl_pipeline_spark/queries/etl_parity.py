@@ -466,7 +466,12 @@ def enc_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_encrypt_udf,
     )
 
-    cust = t(spark, sf_dir, "customer")
+    # spread: EVERY row goes through encrypt+decrypt here (unlike the
+    # ingest pipeline's ~6%-survivor crypto stage), so the full fan is
+    # worth it — the round-9 sf10 sweep measured this query at 59.7 s
+    # because the 25 MB single-file scan arrived as ONE split and the
+    # Fernet UDFs serialized on one core.
+    cust = td(spark, sf_dir, "customer")
     enc = make_encrypt_udf()
     dec = make_decrypt_udf()
     return cust.select("c_custkey", dec(enc(F.col("c_name"))).alias("name_rt"))

@@ -89,6 +89,9 @@ RUNG_FAMILIES = [
     # SQL front end (same text in both engines)
     "sql_interface_recursive_tree",
     "sql_interface_lateral_topk",
+    "sql_interface_grouping_filter",
+    # feature-store point-in-time join (round 9)
+    "pit_feature_join_events",
     # export / interchange + training sampling + reporting (round 9)
     "warc_export_roundtrip",
     "contrastive_negatives_docs",
@@ -104,12 +107,34 @@ RUNG_FAMILIES = [
 ]
 
 
+# Excluded from --wide (full-registry) big-rung drives, with rationale —
+# oracle-side cost or synthetic-data shape, never engine limits
+# (ORACLE_SF01.md):
+#   leakage_safe_split_docs: the DuckDB oracle's recursive connected-
+#   components is clique-quadratic; value-matched at sf1.
+#   ann_ivfpq_recall_contract: tools/make_sf1.py builds big-rung
+#   embeddings by TILING the 2,000 sf0.1 vectors (ANN cost scales with
+#   count; vectors unchanged), so every probe has ~100 exact copies in
+#   the corpus and even the deliberately-obsolete quantizer scores
+#   recall 1.0 — the query's "drift must fire" assertion is vacuously
+#   unreachable on tiled data. Value-checked at sf0.001/0.01/0.1 where
+#   vectors are unique.
+WIDE_EXCLUSIONS = {"leakage_safe_split_docs", "ann_ivfpq_recall_contract"}
+
+
 def main() -> int:
     args = sys.argv[1:]
     if "--rung" in args:
         args.remove("--rung")
         sf_dir = args[0] if args else "/root/testdata/sf0.01"
         only = set(RUNG_FAMILIES)
+    elif "--wide" in args:
+        # the round-9 full-registry sweep: EVERY registered query rides
+        # the digest differential at the given rung, not just the curated
+        # RUNG_FAMILIES — chunk with explicit names for parallel drives.
+        args.remove("--wide")
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(all_queries()) - WIDE_EXCLUSIONS
     else:
         sf_dir = args[0] if args else "/root/testdata/sf0.01"
         only = set(args[1:])
