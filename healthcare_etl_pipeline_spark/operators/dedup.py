@@ -1251,34 +1251,58 @@ def cdc_chunk_census(
     chunking), constant-factor slower. The census is ONE hash-groupBy on
     8-byte chunk fingerprints — the only shuffle, and it ships no text.
 
+    The per-position boundary test runs as an Arrow-batched mapInPandas
+    stage, not as a higher-order F.filter expression: HOFs are
+    CodegenFallback (interpreted), and native-md5-per-position inside one
+    cost ~15 µs/char — the round-9 full-registry sf10 sweep clocked the
+    expression form at 45+ min over 151 M chars, vs ~1.1 µs/char for
+    hashlib in a plain Python loop (the md5 values are identical —
+    portable_char_hash_py equality with the Column form is pinned by
+    test). The chunk fingerprints for the census still hash in-plan with
+    the codegen'd native md5 expression (one per CHUNK, not per char).
+
     Output: one row per chunk value that occurs more than once anywhere in
     the corpus: (chunk_hash, chunk_len, n_occurrences, n_docs).
     """
-    text = F.col(text_col)
-    n = F.length(text)
-    # breakpoint candidates: window-end positions whose trailing-window
-    # hash satisfies the divisor rule (position n excluded: it is always
-    # a boundary and must not appear twice)
-    bps = F.when(
-        n >= window,
-        F.filter(
-            F.sequence(F.lit(window), n),
-            lambda i: (i < n)
-            & (portable_char_hash(F.substring(text, (i - window + 1).cast("int"), window)) % divisor == 0),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(F.array(F.lit(0)), bps, F.array(n.cast("int")))
-    chunks = F.transform(
-        F.sequence(F.lit(2), F.size(bounds)),
-        lambda j: F.substring(
-            text,
-            (F.element_at(bounds, (j - 1).cast("int")) + 1).cast("int"),
-            (F.element_at(bounds, j.cast("int")) - F.element_at(bounds, (j - 1).cast("int"))).cast("int"),
-        ),
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from healthcare_etl_pipeline_spark.operators.text import (
+        portable_char_hash_py,
     )
-    ex = df.select(F.col(id_col), F.explode(chunks).alias("__chunk")).filter(
-        F.length("__chunk") > 0
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("__chunk", T.StringType()),
+        ]
     )
+
+    def cut(batches):
+        # boundary at 1-based window-end position i in [window, n-1]
+        # (position n excluded: always a bound, must not appear twice)
+        # when md5-hash(chars i-window+1..i) % divisor == 0 — the same
+        # rule as the oracle's per-position substr/md5 filter.
+        for pdf in batches:
+            ids: list = []
+            chunks: list = []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                n = len(s)
+                prev = 0
+                for i in range(window, n):
+                    if portable_char_hash_py(s[i - window : i]) % divisor == 0:
+                        if i > prev:
+                            ids.append(did)
+                            chunks.append(s[prev:i])
+                        prev = i
+                if n > prev:
+                    ids.append(did)
+                    chunks.append(s[prev:n])
+            yield pd.DataFrame({id_col: ids, "__chunk": chunks})
+
+    ex = df.select(id_col, text_col).mapInPandas(cut, out_schema)
     return (
         ex.select(
             F.col(id_col),

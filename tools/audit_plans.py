@@ -92,6 +92,9 @@ EXPECTED_PYTHON = {
     "unicode_nfc_parts",    # Arrow unicodedata NFC normalization kernel
     "pq_adc_topk_embeddings",   # Arrow subspace-argmin encode kernel
     "ann_ivfpq_persisted",      # Arrow ADC codeword-gather + einsum re-rank
+    "cdc_chunk_docs",   # Arrow per-position rolling-window boundary scan
+    #   (HOF F.filter is CodegenFallback: native-md5-per-char inside it
+    #   measured 45+ min at sf10 vs ~1 µs/char for the hashlib twin)
 }
 
 
