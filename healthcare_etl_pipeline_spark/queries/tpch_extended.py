@@ -543,29 +543,45 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT n.n_name, o.o_orderpriority,
-           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
     """,
-    description="GROUPING SETS aggregation: by nation, by priority, and both.",
+    description="GROUPING SETS aggregation: by nation, by priority, and "
+    "both. Money sums are EXACT via the split-accumulator kernel "
+    "(queries/tpch.py:31) — the round-9 full-registry sf10 sweep caught "
+    "the plain double sum off in the last cent on the single-column "
+    "subtotal rows (~600k rows each), the same summation-order drift "
+    "class as the round-8 rollup fix; oracle sums in DECIMAL.",
     tags=("agg", "grouping-sets"),
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.queries.tpch import recombine, split_sums
+
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     )
-    return joined.groupingSets(
-        [["n_name"], ["o_orderpriority"], ["n_name", "o_orderpriority"]],
-        "n_name",
-        "o_orderpriority",
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        joined.groupingSets(
+            [["n_name"], ["o_orderpriority"], ["n_name", "o_orderpriority"]],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            *split_sums(cents, "total_price"),
+        )
+        .select(
+            "n_name", "o_orderpriority", "n_orders", recombine("total_price", 2, 2)
+        )
     )
 
 
