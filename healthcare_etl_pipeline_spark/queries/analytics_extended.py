@@ -827,18 +827,34 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantile_normalize_orders",
     oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n,
+             ntile(10) OVER w AS decile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    )
     SELECT o_orderkey, o_orderpriority,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
-           CAST(ntile(10) OVER w AS INTEGER) AS decile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+           CAST(CASE WHEN n = 1 THEN 0
+                ELSE (2*(rn-1)*1000000 + (n-1)) // (2*(n-1)) END AS DOUBLE)
+               / 1000000 AS pr,
+           CAST((2*rn*1000000 + n) // (2*n) AS DOUBLE) / 1000000 AS cd,
+           CAST(decile AS INTEGER) AS decile
+    FROM r
     """,
     description="Quantile normalization of a feature column (the rank-based "
     "scaling step of ML feature prep): percent_rank, cume_dist and decile "
     "of o_totalprice within each order priority — the remaining "
     "distribution window functions. Deterministic total order via the "
-    "(value, key) tie-break; one shuffle on the partition key.",
+    "(value, key) tie-break; one shuffle on the partition key. The 6-dp "
+    "rounding of the rank rationals is EXACT integer half-up arithmetic "
+    "((2·num·10^6 + den) div (2·den)) in BOTH engines: the round-9 sf10 "
+    "digest sweep caught round(cume_dist(),6) flipping the 6th decimal "
+    "between engines wherever rn/n lands on a .5e-6 midpoint (Spark "
+    "rounds the double's exact expansion half-up via BigDecimal, DuckDB "
+    "the scaled double — a last-ulp cross-engine hazard absent at the "
+    "gate scales because their group sizes produce no exact midpoints).",
     tags=("window", "percentile", "normalize"),
 )
 def quantile_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,11 +862,21 @@ def quantile_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    rn = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    # Exact half-up 6-dp rounding of the rank rationals in long arithmetic.
+    # Operands stay < 2^53 (2·n·10^6 ≈ 6.4e12 at sf10, ~6.4e15 headroom at
+    # 100× that), so the double division inside floor() is exact-integer
+    # correct — same reasoning as split_sums (queries/tpch.py:31).
+    pr6 = F.when(n == 1, F.lit(0).cast("long")).otherwise(
+        F.floor((2 * (rn - 1) * 1_000_000 + (n - 1)) / (2 * (n - 1)))
+    )
+    cd6 = F.floor((2 * rn * 1_000_000 + n) / (2 * n))
     return orders.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (pr6.cast("double") / 1_000_000).alias("pr"),
+        (cd6.cast("double") / 1_000_000).alias("cd"),
         F.ntile(10).over(w).alias("decile"),
     )
 

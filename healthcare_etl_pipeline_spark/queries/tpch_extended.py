@@ -591,18 +591,26 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 'high' ELSE 'low' END AS priority_class,
            count(*) AS late_items,
-           round(sum(l.l_extendedprice), 2) AS late_value
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS late_value
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
     GROUP BY 1
     """,
     description=(
         "TPC-H Q12 (adapted: no shipmode column — classes by priority; "
-        "late = shipped >60d after order): fact-fact join + CASE grouping."
+        "late = shipped >60d after order): fact-fact join + CASE grouping. "
+        "Money sums are EXACT via the split-accumulator kernel "
+        "(queries/tpch.py:31) — the round-9 full-registry sf10 sweep "
+        "caught the plain double sum off in the last cent over the "
+        "~30M-row groups (summation-order drift, same class as the "
+        "rollup/revenue-rank/grouping-sets fixes); oracle sums in DECIMAL."
     ),
     tags=("join", "agg", "tpch"),
 )
 def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_etl_pipeline_spark.queries.tpch import recombine, split_sums
+
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
@@ -611,9 +619,14 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority_class = F.when(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
     ).otherwise("low")
-    return joined.groupBy(priority_class.alias("priority_class")).agg(
-        F.count(F.lit(1)).alias("late_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        joined.groupBy(priority_class.alias("priority_class"))
+        .agg(
+            F.count(F.lit(1)).alias("late_items"),
+            *split_sums(cents, "late_value"),
+        )
+        .select("priority_class", "late_items", recombine("late_value", 2, 2))
     )
 
 

@@ -2673,7 +2673,7 @@ class TransactionalWarehouse(Warehouse):
         cols: list[str],
         *,
         bloom_cols: list[str] | None = None,
-        bloom_bits: int = 1 << 16,
+        bloom_bits: int | None = None,
         bloom_k: int = 3,
     ) -> int:
         """Build (or rebuild) a file-level min/max stats index for
@@ -2696,6 +2696,18 @@ class TransactionalWarehouse(Warehouse):
         Iceberg's bloom stats, at this warehouse's file granularity). No
         false negatives by construction; false positives only cost an
         extra file read.
+
+        ``bloom_bits`` defaults to SCALE-ADAPTIVE sizing: the bit-space is
+        derived from the largest per-file row count so the sets stay
+        sparse (fill ≤ ~1/8 ⇒ fpp ≈ 0.2 % at k=3) at any scale factor. A
+        fixed size is a 100×-trap: 2^16 bits saturates completely at
+        ~190 k keys/file (measured at the sf10 rung — every probe answered
+        "maybe" and zero files were pruned). The derived size is recorded
+        in the manifest; :meth:`update_stats_index` keeps using it for
+        incremental appends (re-run ``build_stats_index`` to re-size after
+        the per-file volume grows by orders of magnitude). Storage is a
+        distinct-position list, ≤ min(bits, k·n_rows) rows per file — a
+        few MB per GB-scale file, still noise beside the data.
 
         At 100 TB the stats scan is one pass (column-pruned to the indexed
         columns) and the index is KB-scale — the listing that replaces
@@ -2729,6 +2741,25 @@ class TransactionalWarehouse(Warehouse):
                 os.path.join(sdir, "files")
             )
             if bloom_cols:
+                if bloom_bits is None:
+                    # Size the bit-space to the biggest file: m >= 8·k·n
+                    # keeps fill ratio <= ~1/8 (fpp ~ (1-e^{-1/8})^k,
+                    # ~0.2% at k=3) no matter how many rows a file holds.
+                    # Row count upper-bounds the distinct count, so this
+                    # can only over-provision. Floor 2^16 (the old fixed
+                    # size, right for tiny files); cap 2^27 — far below
+                    # the portable hash's 1e9+7 modulus, so positions
+                    # stay uniform.
+                    max_rows = (
+                        self.spark.read.parquet(os.path.join(sdir, "files"))
+                        .agg(F.max("n_rows"))
+                        .collect()[0][0]
+                        or 1
+                    )
+                    bloom_bits = min(
+                        1 << 27,
+                        max(1 << 16, 1 << (8 * bloom_k * max_rows - 1).bit_length()),
+                    )
                 self._write_blooms(
                     table,
                     base,
@@ -2748,7 +2779,10 @@ class TransactionalWarehouse(Warehouse):
             "n_files": n_files,
             "bloom": {
                 "cols": bloom_cols,
-                "bits": bloom_bits,
+                # None only when there were no live runs to size against
+                # (nothing was written): record the floor so a later
+                # update_stats_index has a concrete modulus.
+                "bits": bloom_bits if bloom_bits is not None else 1 << 16,
                 "k": bloom_k,
             },
         }

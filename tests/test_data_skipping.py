@@ -278,3 +278,44 @@ def test_bloom_requires_indexed_column(spark, wh):
     wh.build_stats_index("kv", ["k"])  # no bloom_cols
     with pytest.raises(KeyError, match="Bloom"):
         wh.read_skipping("kv", {"k": (5, 5)}, equals={"k": 5})
+
+
+def test_bloom_bits_scale_with_file_volume(spark, wh):
+    """Adaptive sizing (round-9 sf10 catch): a fixed 2^16-bit space
+    saturates once files hold ~10^5 keys (every probe answers "maybe",
+    zero files pruned). The default must derive the bit-space from the
+    largest per-file row count so the sets stay sparse at any volume."""
+    import json
+    import os
+
+    # 12,000 interleaved keys per residue class, 2 files per run: every
+    # file's [min,max] spans the full key range (zone maps prune nothing)
+    # and each file holds ~6,000 keys — enough that 8·k·n overflows 2^16.
+    for residue in range(4):
+        _append_interleaved(spark, wh, residue, n=12000)
+    wh.build_stats_index("kv", ["k"], bloom_cols=["k"])
+
+    with open(
+        os.path.join(wh.root, "_stats", "kv", "manifest.json"),
+        encoding="utf-8",
+    ) as fh:
+        manifest = json.load(fh)
+    bits, k = manifest["bloom"]["bits"], manifest["bloom"]["k"]
+    # ~6,000 rows in the largest file -> at least 8·k·n bits, power of two
+    assert bits >= 8 * k * 5000
+    assert bits & (bits - 1) == 0
+
+    # and the point lookup still prunes past the useless zone maps
+    _, mm = wh.read_skipping("kv", {"k": (17, 17)})
+    assert mm["files_read"] == mm["files_total"]
+    df, bl = wh.read_skipping("kv", {"k": (17, 17)}, equals={"k": 17})
+    assert bl["files_read"] < mm["files_read"]
+    assert df.filter(F.col("k") == 17).count() == 1
+
+    # explicit override still honored (the manifest records what ran)
+    wh.build_stats_index("kv", ["k"], bloom_cols=["k"], bloom_bits=1 << 18)
+    with open(
+        os.path.join(wh.root, "_stats", "kv", "manifest.json"),
+        encoding="utf-8",
+    ) as fh:
+        assert json.load(fh)["bloom"]["bits"] == 1 << 18
